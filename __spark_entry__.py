@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — K-Means (the reference's whole
+  analytic surface, SURVEY §2 Part A) over a numeric projection of
+  lineitem at sf0.001, returning the centroid table.
+- ``queries()``: every implemented operator from SURVEY §2 (relational
+  Part B + training-data-pipeline extensions + windowed events +
+  K-Means itself).
+- ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible
+  query. K-Means (iterative), PRNG-seeded LSH and the Pandas-UDF decode
+  stub are rows-only by design.
 """
 
 from __future__ import annotations
@@ -12,27 +16,102 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.array(
+            F.col("l_quantity"),
+            F.col("l_extendedprice") / 1000.0,
+            F.col("l_discount"),
+            F.col("l_tax"),
+        )
+        .cast("array<float>")
+        .alias("features")
+    )
+
+
+def k01_kmeans_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded K-Means (native mode) on the lineitem numeric projection;
+    returns one row per centroid: cluster id, size, rounded coordinates.
+    Deterministic for a given sf_dir (seeded takeSample init)."""
+    from kmeanwithmapreduce_spark.kmeans import core
+
+    feats = _lineitem_features(spark, sf_dir)
+    res = core.lloyd(
+        feats, core.KMeansParams(k=4, seed=42, thresh=1e-4, max_loop=30)
+    )
+    labeled = core.label(feats, res.centroids)
+    sizes = labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_points"))
+    rows = [
+        (i, [round(float(v), 4) for v in c]) for i, c in enumerate(res.centroids)
+    ]
+    cents = spark.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    )
+    return (
+        cents.join(sizes, "cluster", "left")
+        .na.fill(0, ["n_points"])
+        .select(
+            "cluster",
+            "n_points",
+            F.round(F.element_at("centroid", 1), 4).alias("c_quantity"),
+            F.round(F.element_at("centroid", 2), 4).alias("c_price_k"),
+            F.round(F.element_at("centroid", 3), 4).alias("c_discount"),
+            F.round(F.element_at("centroid", 4), 4).alias("c_tax"),
+        )
+    )
+
+
+def k02_kmeans_compat_customer_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compat-mode K-Means (reference quirks: 5-dp half-up float32 mean
+    rounding, max_loop-1 cap) with fixed injected init centroids, on the
+    normalized [0,1] embedding prefix — the CustomerData-shaped case."""
+    from kmeanwithmapreduce_spark.kmeans import core
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        F.slice(F.col("embedding"), 1, 7).cast("array<float>").alias("features")
+    )
+    init = [[0.1 * (i + 1)] * 7 for i in range(3)]
+    res = core.lloyd(
+        feats,
+        core.KMeansParams(k=3, thresh=0.01, max_loop=300, mode="compat"),
+        init_centroids=init,
+    )
+    labeled = core.label(feats, res.centroids)
+    dbi = core.davies_bouldin_index(labeled, res.centroids)
+    return labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.lit(res.n_iter).alias("n_iter"),
+        F.round(F.lit(dbi), 4).alias("dbi"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return k01_kmeans_lineitem(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kmeanwithmapreduce_spark.operators import ALL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in ALL_QUERIES.items()
+    }
+    out["k01_kmeans_lineitem"] = k01_kmeans_lineitem
+    out["k02_kmeans_compat"] = k02_kmeans_compat_customer_shape
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kmeanwithmapreduce_spark.operators import ALL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql}

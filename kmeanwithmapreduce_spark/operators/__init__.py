@@ -1,0 +1,28 @@
+"""Operator registry: every (name -> (spark_fn, oracle_sql|None)) pair
+the engine exposes. The driver contract (__spark_entry__.py) is a thin
+view over this dict."""
+
+from .dedup import DEDUP_QUERIES
+from .multimodal import MULTIMODAL_QUERIES
+from .relational import RELATIONAL_QUERIES
+from .similarity import SIMILARITY_QUERIES
+from .textops import TEXT_QUERIES
+from .windows_batch import WINDOW_QUERIES
+
+ALL_QUERIES = {
+    **RELATIONAL_QUERIES,
+    **TEXT_QUERIES,
+    **DEDUP_QUERIES,
+    **SIMILARITY_QUERIES,
+    **MULTIMODAL_QUERIES,
+    **WINDOW_QUERIES,
+}
+
+__all__ = [
+    "ALL_QUERIES",
+    "DEDUP_QUERIES",
+    "MULTIMODAL_QUERIES",
+    "RELATIONAL_QUERIES",
+    "SIMILARITY_QUERIES",
+    "TEXT_QUERIES",
+]

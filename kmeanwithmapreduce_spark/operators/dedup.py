@@ -1,0 +1,317 @@
+"""Deduplication operators over the documents table: exact, n-gram
+Jaccard, MinHash-LSH, SimHash — the core of a training-data pipeline.
+
+Cross-engine determinism strategy: every hash is md5-derived (identical
+bytes in Spark and DuckDB), so even the MinHash signatures and SimHash
+bits hash-match the oracle — no engine-specific hash() anywhere.
+
+Scale notes:
+- exact dedup: hash-groupBy on a 128-bit digest — one shuffle keyed by
+  digest, no skew (uniform hash keys).
+- n-gram Jaccard: explode(shingles) -> self-join on shingle ->
+  pair-count. The shingle join is the classic quadratic blow-up risk;
+  at 100 TB you bound it by frequency-capping shingles (drop shingles
+  appearing in > T docs — they only create useless hot pairs). The cap
+  is applied here too.
+- MinHash-LSH: signatures via per-seed min over shingle hashes (one
+  explode + groupBy), banding -> bucket join. Only same-bucket pairs are
+  compared: linear-ish in practice, the standard scale path.
+- SimHash: 64-bit fingerprint per doc, near-dups = hamming distance <= t
+  grouped by band prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+# Shingles occurring in more than this many docs are dropped from the
+# Jaccard pair-join (stopword-shingle frequency cap; see module doc).
+_SHINGLE_DOC_CAP = 100
+_N_MINHASH = 16  # permutations
+_LSH_BANDS = 4  # 4 bands x 4 rows
+_JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(text_col, n: int = 3):
+    """Distinct word n-grams as an array column (JVM-side)."""
+    toks = F.split(text_col, " ")
+    # sequence(1, 0) would yield [1, 0] (descending), so short docs get an
+    # explicit empty shingle set.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# d01 — exact dedup by content digest: keep lowest doc_id per digest.
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text")).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+D01_SQL = """
+SELECT md5(text) AS digest,
+       min(doc_id) AS keep_doc_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# d02 — n-gram Jaccard near-dup pairs via shingle inverted index.
+def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+    # frequency cap (scale guard, see module doc)
+    capped = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _SHINGLE_DOC_CAP)
+        .select("shingle"),
+        "shingle",
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    # floor-truncate (not round): floor of an identical double is
+    # engine-identical; round is not (see relational._gridsum note).
+    jac = F.floor(
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")) * 10000.0
+    ) / 10000.0
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+D02_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+capped AS (
+  SELECT * FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= {_SHINGLE_DOC_CAP})
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor(inter * 1.0 / (sa.n_sh + sb.n_sh - inter) * 10000.0) / 10000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(inter * 1.0 / (sa.n_sh + sb.n_sh - inter) * 10000.0) / 10000.0
+      >= {_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# d03 — MinHash signatures + LSH banding (md5-derived permutations so
+# the oracle reproduces them bit-for-bit).
+def _seed_hasher(s: int):
+    # NOTE: must be a factory returning a SINGLE-arg lambda — PySpark
+    # binds a default second parameter to the array index column.
+    prefix = f"{s}:"
+
+    def h(x):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), x)), 1, 8), 16, 10
+        ).cast("bigint")
+
+    return h
+
+
+def _minhash_sig_expr(shingle_arr):
+    """Array of _N_MINHASH min-hash values over the shingle set: for seed
+    s, h_s(x) = int64(md5(s || ':' || x)[0:8 hex])."""
+    sigs = [
+        F.array_min(F.transform(shingle_arr, _seed_hasher(s)))
+        for s in range(_N_MINHASH)
+    ]
+    return F.array(*sigs)
+
+
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id", _minhash_sig_expr(_shingles(F.col("text"))).alias("sig")
+    )
+    rows_per_band = _N_MINHASH // _LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _d03_sql() -> str:
+    rows_per_band = _N_MINHASH // _LSH_BANDS
+    min_exprs = ", ".join(
+        "min(CAST(('0x' || substr(md5('{s}:' || shingle), 1, 8)) AS BIGINT)) AS h{s}".format(
+            s=s
+        )
+        for s in range(_N_MINHASH)
+    )
+    band_rows = []
+    for b in range(_LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS key FROM sigs")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+sigs AS (SELECT doc_id, {min_exprs} FROM sh GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+D03_SQL = _d03_sql()
+
+
+# --------------------------------------------------------------------------
+# d04 — SimHash 32-bit fingerprints (md5-derived token hashes; bit b of
+# the fingerprint = sign of the sum of +-1 votes from each token).
+_SIMHASH_BITS = 32
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    th = F.transform(
+        toks,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint"),
+    )
+    def _bit_vote(b: int):
+        # factory (not a default arg — see _seed_hasher note)
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    bit_votes = [
+        F.aggregate(th, F.lit(0), _bit_vote(b)) for b in range(_SIMHASH_BITS)
+    ]
+    fingerprint = sum(
+        (
+            F.when(v > 0, F.lit(2**b)).otherwise(F.lit(0))
+            for b, v in enumerate(bit_votes)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    return d.select("doc_id", fingerprint.alias("simhash"))
+
+
+def _d04_sql() -> str:
+    votes = []
+    for b in range(_SIMHASH_BITS):
+        votes.append(
+            f"CASE WHEN sum(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) > 0"
+            f" THEN {2**b} ELSE 0 END"
+        )
+    total = " + ".join(votes)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+  FROM tok
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash
+FROM hashed
+GROUP BY doc_id
+"""
+
+
+D04_SQL = _d04_sql()
+
+
+DEDUP_QUERIES = {
+    "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
+    "d02_ngram_jaccard_pairs": (d02_ngram_jaccard_pairs, D02_SQL),
+    "d03_minhash_lsh_pairs": (d03_minhash_lsh_pairs, D03_SQL),
+    "d04_simhash": (d04_simhash, D04_SQL),
+}

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with decode / feature-extract as Arrow-batched mapInPandas operators.
+
+The image/audio codecs are NOT in this container (SURVEY build notes),
+so the decode kernel is a clearly-marked deterministic fake behind the
+same Spark-side plumbing a real decoder would use: schema contract,
+partition-preserving mapInPandas, Arrow batch shape. Swapping
+``_fake_decode`` for PIL/ffmpeg is a one-function change; everything
+around it (the scale path) is real and tested.
+
+Scale: binary payloads ride the columnar scan; mapInPandas processes
+whole Arrow batches (no per-row Python), and metadata-only queries never
+touch the payload column thanks to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.readers import load_table
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary column (here: utf-8 bytes of the text,
+    standing in for image/audio bytes) plus typed metadata."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "media_type", F.lit("image/fake")
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB — deterministic fake decoder. A real build would call
+    PIL.Image.open / soundfile here; this container has neither, so the
+    'decoded' geometry is derived from the bytes deterministically."""
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    channels = 3
+    mean_intensity = (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0
+    return width, height, channels, mean_intensity
+
+
+def decode_batch(df: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, metadata rows out."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, c, mi = _fake_decode(b)
+                out.append((doc_id, len(b), w, h, c, mi))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_intensity",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(fn, DECODED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m01 — metadata-only query (never reads the payload column at the scan
+# when run against a parquet sink; here payload length is the metadata).
+def m01_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    blobs = with_binary_payload(d)
+    return (
+        blobs.select(
+            "source",
+            F.octet_length(F.col("payload")).cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+    )
+
+
+M01_SQL = """
+SELECT source,
+       count(*) AS n_payloads,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# m02 — decoded features via the mapInPandas stub (rows-only: the fake
+# decoder is Python-side, deliberately not mirrored in SQL).
+def m02_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_batch(with_binary_payload(d))
+    return decoded.groupBy("channels").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        F.max("width").cast("int").alias("max_width"),
+        F.max("height").cast("int").alias("max_height"),
+    )
+
+
+MULTIMODAL_QUERIES = {
+    "m01_payload_meta": (m01_payload_meta, M01_SQL),
+    "m02_decoded_features": (m02_decoded_features, None),
+}

@@ -1,0 +1,734 @@
+"""Relational operator surface (SURVEY §2 Part B) as DataFrame queries,
+each paired with an ANSI-SQL oracle string the driver runs on DuckDB.
+
+The reference implements none of these (SURVEY §2 Part B: no joins, no
+windows, no sorts, no set ops — its only relational shape is the K-Means
+kernel); this module exposes the full standard surface through Spark SQL
+so a reference user gets every category a real engine needs, planned by
+Catalyst (broadcast vs sort-merge joins, partial aggregation, pushdown).
+
+Conventions for oracle hash-matching:
+- every computed column aliased identically in Spark and SQL;
+- monetary/value columns live on a 2-decimal grid (4/6-decimal after
+  discount/tax products), so aggregates over them are computed as
+  INTEGER-SCALED SUMS: round(x * 10^s) per element (deterministic — a
+  single fp op sequence both engines execute identically), summed as
+  BIGINT (exact, accumulation-order independent), then divided once.
+  Rounding a plain double sum instead is fragile: grid data lands sums
+  exactly on rounding half-boundaries, where cross-engine
+  accumulation-order ulp noise flips the last digit. (At extreme scale
+  the scaled sums need DECIMAL(38) instead of BIGINT — overflow past
+  ~9e18 scaled units; noted for the 100 TB config.)
+- DuckDB sum(BIGINT) returns HUGEINT -> always CAST to BIGINT;
+- year()/datediff results cast to INT on both sides;
+- date_trunc cast to DATE on both sides (Spark returns TIMESTAMP,
+  DuckDB DATE);
+- no ORDER BY needed (driver hash is order-insensitive) except under
+  LIMIT, where the sort is made total with a unique key.
+
+Scale notes are inline per query; the common themes: filters sit
+directly on scan columns (parquet pushdown), dimension joins broadcast
+(region/nation/supplier are small at any SF), fact-fact joins shuffle on
+their keys and AQE handles skew, every aggregation gets map-side partial
+aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+def _gridsum(expr, scale: int, out_dec: int = 0):
+    """Exact sum for grid-decimal data: per-element integer scaling
+    (deterministic single-op chain), BIGINT sum (order-independent),
+    ONE final division — and crucially NO round() on the result: the
+    quotient of identical integers is the identical double in both
+    engines, so it hash-matches as-is. (round() is engine-divergent at
+    conceptual boundaries: Spark rounds the exact binary value via
+    BigDecimal HALF_UP, DuckDB multiplies in fp first.)"""
+    s = F.sum(F.round(expr * scale).cast("long")).cast("double")
+    return s / F.lit(float(scale))
+
+
+def _gridavg(expr, scale: int, out_dec: int = 0):
+    """Average truncated to scale*100 units via floor: floor() of the
+    same double is the same value in every engine, unlike round()."""
+    s = F.sum(F.round(expr * scale).cast("long")).cast("double")
+    return F.floor(s * 100.0 / F.count(F.lit(1))) / F.lit(float(scale) * 100.0)
+
+
+def _sql_gridsum(expr: str, scale: int, out_dec: int = 0) -> str:
+    return (
+        f"CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}.0"
+    )
+
+
+def _sql_gridavg(expr: str, scale: int, out_dec: int = 0) -> str:
+    return (
+        f"floor(CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE)"
+        f" * 100.0 / count(*)) / {scale}00.0"
+    )
+
+
+# --------------------------------------------------------------------------
+# q01 — TPC-H Q1 shape: scan + filter + groupBy + 8 aggregates.
+# Scale: pure map-side-combinable agg; shuffle carries ~6 groups.
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _gridsum(F.col("l_quantity"), 100, 2).alias("sum_qty"),
+            _gridsum(F.col("l_extendedprice"), 100, 2).alias("sum_base_price"),
+            _gridsum(disc_price, 10000, 2).alias("sum_disc_price"),
+            _gridsum(charge, 1000000, 2).alias("sum_charge"),
+            _gridavg(F.col("l_quantity"), 100, 4).alias("avg_qty"),
+            _gridavg(F.col("l_extendedprice"), 100, 4).alias("avg_price"),
+            _gridavg(F.col("l_discount"), 100, 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_gridsum("l_quantity", 100, 2)}      AS sum_qty,
+       {_sql_gridsum("l_extendedprice", 100, 2)} AS sum_base_price,
+       {_sql_gridsum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS sum_disc_price,
+       {_sql_gridsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000, 2)} AS sum_charge,
+       {_sql_gridavg("l_quantity", 100, 4)}      AS avg_qty,
+       {_sql_gridavg("l_extendedprice", 100, 4)} AS avg_price,
+       {_sql_gridavg("l_discount", 100, 4)}      AS avg_disc,
+       count(*)                                  AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 — multi-way dim join + group: revenue per region per year.
+# Scale: region/nation/customer are dims -> broadcast chain onto the
+# orders fact; only the final small agg shuffles.
+def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            _gridsum(F.col("o_totalprice"), 100, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q02_SQL = f"""
+SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+       {_sql_gridsum("o_totalprice", 100, 2)} AS revenue,
+       count(*)                    AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, CAST(year(o_orderdate) AS INT)
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — TPC-H Q3 shape: selective join + agg + total-order top-10.
+# Scale: both filters push to the scans; top-k is TakeOrderedAndProject
+# (no global sort materialization).
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _gridsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q03_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_sql_gridsum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — EXISTS / left-semi join: orders with a late-shipped lineitem.
+# Scale: semi-join shuffles only the keys of the probe side; counts per
+# priority are a tiny final agg.
+def q04_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+    return (
+        o.join(
+            late.select("l_orderkey").distinct(),
+            o.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — TPC-H Q5 shape: 6-way join, customer & supplier in same nation.
+# Scale: dims broadcast; lineitem-orders is the only fact-fact shuffle.
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _gridsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q05_SQL = f"""
+SELECT n_name,
+       {_sql_gridsum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — TPC-H Q6: filter-only global aggregate; the predicate-pushdown
+# showcase (all three predicates reach the parquet scan).
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _gridsum(
+                F.col("l_extendedprice") * F.col("l_discount"), 10000, 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q06_SQL = f"""
+SELECT {_sql_gridsum("l_extendedprice * l_discount", 10000, 2)} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — ROLLUP: revenue per (nation, year) with subtotals + grand total.
+def q07_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").cast("int").alias("o_year"), "o_totalprice")
+        .rollup("n_name", "o_year")
+        .agg(
+            _gridsum(F.col("o_totalprice"), 100, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q07_SQL = f"""
+SELECT n_name, o_year,
+       {_sql_gridsum("o_totalprice", 100, 2)} AS revenue,
+       count(*)                    AS n_orders
+FROM (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+GROUP BY ROLLUP (n_name, o_year)
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — CUBE over (mktsegment, orderstatus).
+def q08_cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderstatus", "o_totalprice")
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            _gridsum(F.col("o_totalprice"), 100, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q08_SQL = f"""
+SELECT c_mktsegment, o_orderstatus,
+       {_sql_gridsum("o_totalprice", 100, 2)} AS revenue,
+       count(*)                    AS n_orders
+FROM (
+  SELECT c_mktsegment, o_orderstatus, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — top-k per group via ranking window: 3 priciest parts per brand.
+def q09_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
+    )
+
+
+Q09_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rk
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rk
+  FROM part
+)
+WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — analytic window frame: per-customer running revenue total.
+def q10_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("running_revenue"),
+    )
+
+
+Q10_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 100.0
+         AS running_revenue
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — lag/lead analytics: days between consecutive orders per customer.
+def q11_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.datediff(F.col("o_orderdate"), prev_date).cast("int").alias("gap_days"),
+    )
+
+
+Q11_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(date_diff('day',
+                      lag(o_orderdate) OVER w,
+                      o_orderdate) AS INT) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — semi + anti join united with a tag: customer activity per nation.
+def q12_semi_anti_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    active = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("status", F.lit("active"))
+    )
+    inactive = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("status", F.lit("inactive"))
+    )
+    return active.unionByName(inactive)
+
+
+Q12_SQL = """
+SELECT c_nationkey, count(*) AS n_customers, 'active' AS status
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+UNION ALL
+SELECT c_nationkey, count(*) AS n_customers, 'inactive' AS status
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — set operations: nation keys by who has customers vs suppliers.
+def q13_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    cust_only = c.distinct().exceptAll(s.distinct()).withColumn("src", F.lit("customer_only"))
+    supp_only = s.distinct().exceptAll(c.distinct()).withColumn("src", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only)
+
+
+Q13_SQL = """
+SELECT nationkey, 'both' AS src
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS src
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS src
+FROM (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      EXCEPT
+      SELECT DISTINCT c_nationkey FROM customer)
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — distinct aggregation: per-supplier distinct parts + volume.
+def q14_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        _gridsum(F.col("l_quantity"), 100, 2).alias("total_qty"),
+    )
+
+
+Q14_SQL = f"""
+SELECT l_suppkey,
+       count(DISTINCT l_partkey)   AS n_parts,
+       {_sql_gridsum("l_quantity", 100, 2)}   AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — conditional aggregation (TPC-H Q12 shape): high/low priority
+# order counts per return flag.
+def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q15_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — string function battery over part.
+def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.upper(F.col("p_type")).alias("type_upper"),
+            F.substring(F.col("p_name"), 1, 4).alias("name_prefix"),
+            F.length(F.col("p_name")).cast("int").alias("name_len"),
+            F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.col("p_retailprice"),
+        )
+        .groupBy("type_upper", "name_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("name_len").cast("int").alias("max_name_len"),
+            F.countDistinct("brand_type").alias("n_brand_types"),
+            _gridavg(F.col("p_retailprice"), 100, 4).alias("avg_price"),
+        )
+    )
+
+
+Q16_SQL = f"""
+SELECT upper(p_type)        AS type_upper,
+       substr(p_name, 1, 4) AS name_prefix,
+       count(*)             AS n,
+       CAST(max(length(p_name)) AS INT)            AS max_name_len,
+       count(DISTINCT p_brand || '|' || p_type)    AS n_brand_types,
+       {_sql_gridavg("p_retailprice", 100, 4)}     AS avg_price
+FROM part
+GROUP BY upper(p_type), substr(p_name, 1, 4)
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 — date functions: monthly revenue trend.
+def q17_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+        )
+        .agg(
+            _gridsum(F.col("o_totalprice"), 100, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q17_SQL = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       {_sql_gridsum("o_totalprice", 100, 2)} AS revenue,
+       count(*)                    AS n_orders
+FROM orders
+GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — JSON extraction from the events props column.
+def q18_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", (k % 10).alias("k_bucket"), "value")
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _gridsum(F.col("value"), 100, 2).alias("total_value"),
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*)                   AS n,
+       {_sql_gridsum("value", 100, 2)}       AS total_value
+FROM events
+GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS INT) % 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — batch sessionization: gap > 30 min starts a new session; emit
+# sessions-per-user histogram. Window lag + running sum of boundaries —
+# the classic shuffle-once sessionization (pyspark_guide 'Sessionization').
+def q19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        F.sum(is_new)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    per_user = sess.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions")
+    )
+    return per_user.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+Q19_SQL = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per_user AS (
+  SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions
+  FROM marked GROUP BY user_id
+)
+SELECT n_sessions, count(*) AS n_users
+FROM per_user
+GROUP BY n_sessions
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 — pivot: daily counts per event type as columns.
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q20_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date(F.col("ts")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+Q20_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_region_revenue": (q02_region_revenue, Q02_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q04_priority_semi": (q04_priority_semi, Q04_SQL),
+    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
+    "q06_forecast_revenue": (q06_forecast_revenue, Q06_SQL),
+    "q07_rollup_nation_year": (q07_rollup_nation_year, Q07_SQL),
+    "q08_cube_segment_status": (q08_cube_segment_status, Q08_SQL),
+    "q09_topk_parts_per_brand": (q09_topk_parts_per_brand, Q09_SQL),
+    "q10_running_total": (q10_running_total, Q10_SQL),
+    "q11_order_gaps": (q11_order_gaps, Q11_SQL),
+    "q12_semi_anti_activity": (q12_semi_anti_activity, Q12_SQL),
+    "q13_setops_nations": (q13_setops_nations, Q13_SQL),
+    "q14_distinct_parts_per_supplier": (q14_distinct_parts_per_supplier, Q14_SQL),
+    "q15_conditional_agg": (q15_conditional_agg, Q15_SQL),
+    "q16_string_funcs": (q16_string_funcs, Q16_SQL),
+    "q17_monthly_trend": (q17_monthly_trend, Q17_SQL),
+    "q18_json_props": (q18_json_props, Q18_SQL),
+    "q19_sessionization": (q19_sessionization, Q19_SQL),
+    "q20_pivot_daily_events": (q20_pivot_daily_events, Q20_SQL),
+}

@@ -1,0 +1,147 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- s01: brute-force cosine top-k — the exactness baseline. JVM-side
+  zip_with/aggregate dot products against a broadcast of the query
+  vectors; ranking via window. Scale: O(Q x N) but embarrassingly
+  parallel; Q (queries) is broadcast so no shuffle until the tiny top-k.
+- s02: random-hyperplane LSH (SimHash for vectors): 16 deterministic
+  hyperplanes -> 16-bit bucket; candidate pairs share a bucket. This is
+  the 100 TB path: the N x N pair space collapses to per-bucket blocks.
+  Hyperplane components are seeded NumPy, folded into the plan as
+  literals — no oracle (not SQL-expressible without replicating the
+  PRNG), driver records the rows-only check.
+- s03: IVF-style coarse quantization using K-Means centroids as the
+  inverted index: assign every vector to its nearest centroid cell, then
+  search only the probe cell(s). Composes the engine's own kmeans.core.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity_expr
+from ..sources.readers import load_table
+
+_TOP_K = 10
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_LSH_PLANES = 16
+_LSH_SEED = 42
+
+
+# --------------------------------------------------------------------------
+# s01 — brute-force cosine top-k, query vectors vs the rest.
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    base = e.where(F.col("vec_id") >= _N_QUERIES)
+    # floor-truncate at 4dp (engine-identical on identical doubles)
+    sim = (
+        F.floor(
+            cosine_similarity_expr(F.col("qvec"), F.col("embedding")) * 10000.0
+        )
+        / 10000.0
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", sim)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= _TOP_K)
+    )
+
+
+S01_SQL = f"""
+SELECT query_id, vec_id, cosine, rk
+FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS INT) AS rk
+  FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+           floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) * 10000.0)
+             / 10000.0 AS cosine
+    FROM embeddings q CROSS JOIN embeddings b
+    WHERE q.vec_id < {_N_QUERIES} AND b.vec_id >= {_N_QUERIES}
+  )
+)
+WHERE rk <= {_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# s02 — random-hyperplane LSH bucketing (rows-only check; PRNG-seeded
+# hyperplanes are not portable to the SQL oracle).
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((_LSH_PLANES, dim))
+
+
+def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    planes = _hyperplanes(dim)
+    bits = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), lit_plane, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    bucket = sum(bits[1:], bits[0]).cast("bigint")
+    return (
+        e.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# --------------------------------------------------------------------------
+# s03 — IVF coarse index: cells from our own K-Means, probe-cell search.
+def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame:
+    from ..kmeans import core
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("features")
+    )
+    res = core.lloyd(
+        feats,
+        core.KMeansParams(k=n_cells, seed=7, thresh=1e-3, max_loop=10),
+    )
+    cells = core.assign(feats, res.centroids)  # vec_id -> cell
+    q = cells.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("features").alias("qvec"),
+        F.col("cluster").alias("qcell"),
+    )
+    base = cells.where(F.col("vec_id") >= _N_QUERIES)
+    sim = (
+        F.floor(
+            cosine_similarity_expr(F.col("qvec"), F.col("features")) * 10000.0
+        )
+        / 10000.0
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        base.join(F.broadcast(q), base.cluster == q.qcell)  # probe own cell only
+        .select("query_id", "vec_id", sim)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= _TOP_K)
+    )
+
+
+SIMILARITY_QUERIES = {
+    "s01_knn_bruteforce": (s01_knn_bruteforce, S01_SQL),
+    "s02_lsh_buckets": (s02_lsh_buckets, None),
+    "s03_ivf_search": (s03_ivf_search, None),
+}

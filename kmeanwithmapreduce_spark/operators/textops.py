@@ -1,0 +1,225 @@
+"""Text-analysis operators over the documents table — the training-data
+pipeline surface (language-ID heuristic, quality scoring, token stats,
+fingerprinting). All pure JVM-side expressions (split / array ops /
+md5), no Python in the hot path; each is paired with a DuckDB oracle.
+
+Scale: every operator here is embarrassingly parallel per document (no
+shuffle except the final small agg), so it scales linearly with input
+splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+# Deterministic marker-word lists for the language-ID heuristic. The
+# point is a reproducible n-gram/stopword classifier shape (real marker
+# lists would be curated per language); accuracy vs the synthetic lang
+# column is reported, not assumed.
+_LANG_MARKERS = {
+    "en": ("the", "a", "fast"),
+    "de": ("der", "und", "nicht"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+    "zh": ("zh", "hanzi", "pinyin"),
+}
+
+
+# --------------------------------------------------------------------------
+# t01 — token / char statistics per source.
+def t01_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "source",
+            "n_chars",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # floor-truncated explicit sum/count (engine-identical; see
+            # relational._gridavg note on round())
+            (
+                F.floor(F.sum("n_chars").cast("double") * 100.0 / F.count(F.lit(1)))
+                / 100.0
+            ).alias("avg_chars"),
+            (
+                F.floor(F.sum("n_tokens").cast("double") * 100.0 / F.count(F.lit(1)))
+                / 100.0
+            ).alias("avg_tokens"),
+            (
+                F.floor(
+                    F.sum(F.col("n_uniq_tokens") / F.col("n_tokens")) * 10000.0
+                    / F.count(F.lit(1))
+                )
+                / 10000.0
+            ).alias("avg_uniq_ratio"),
+        )
+    )
+
+
+T01_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       floor(CAST(sum(n_chars) AS DOUBLE) * 100.0 / count(*)) / 100.0  AS avg_chars,
+       floor(CAST(sum(n_tokens) AS DOUBLE) * 100.0 / count(*)) / 100.0 AS avg_tokens,
+       floor(sum(n_uniq_tokens * 1.0 / n_tokens) * 10000.0 / count(*)) / 10000.0
+         AS avg_uniq_ratio
+FROM (
+  SELECT source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+  FROM documents
+)
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# t02 — per-document quality score: token-length + uniqueness + length
+# heuristics; emit score buckets (the filter a data pipeline applies
+# before training).
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) * 1.0 / n_tokens
+    avg_tok_len = (F.length("text") - (n_tokens - 1)) * 1.0 / n_tokens
+    raw = (
+        0.4 * uniq_ratio
+        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.least(avg_tok_len / F.lit(8.0), F.lit(1.0))
+    )
+    # floor-truncation, not round(): engine-identical on identical doubles
+    score = F.floor(raw * 10000.0) / 10000.0
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.floor(uniq_ratio * 10000.0) / 10000.0).alias("uniq_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+T02_SQL = """
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor(uniq_ratio * 10000.0) / 10000.0 AS uniq_ratio,
+       floor(raw * 10000.0) / 10000.0 AS quality_score,
+       floor(raw * 10000.0) / 10000.0 >= 0.5 AS keep
+FROM (
+  SELECT doc_id, n_tokens, uniq_ratio,
+         0.4 * uniq_ratio
+             + 0.3 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * least(((n_chars - (n_tokens - 1)) * 1.0 / n_tokens) / 8.0, 1.0)
+           AS raw
+  FROM (
+    SELECT doc_id, n_chars, n_tokens,
+           n_uniq * 1.0 / n_tokens AS uniq_ratio
+    FROM (
+      SELECT doc_id, length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents
+    )
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# t03 — language-ID heuristic: count marker-word hits per language,
+# argmax with deterministic tie-break on language code; report the
+# confusion matrix vs the labeled lang column.
+def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    hit_cols = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        hits = sum(
+            (F.array_contains(toks, m).cast("int") for m in markers),
+            F.lit(0),
+        )
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max of (hits, lang) structs: max hits, then max lang — make the
+    # tie-break deterministic-lowest by negating via sort: use sort_array
+    # descending on hits, ascending lang via struct ordering trick below.
+    best = F.sort_array(
+        F.array(*hit_cols), asc=False
+    )  # struct order: hits desc, then lang desc
+    # to get lowest-lang tie-break, first filter to max hits then take min lang
+    max_hits = F.element_at(best, 1)["hits"]
+    cand = F.filter(F.array(*hit_cols), lambda s: s["hits"] == max_hits)
+    pred = F.array_min(F.transform(cand, lambda s: s["lang"]))
+    return (
+        d.select("lang", F.when(max_hits > 0, pred).otherwise(F.lit("und")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _t03_sql() -> str:
+    per_lang = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        hits = " + ".join(
+            f"CAST(list_contains(toks, '{m}') AS INT)" for m in markers
+        )
+        per_lang.append(f"({hits}) AS hits_{lang}")
+    greatest = "greatest(" + ", ".join(f"hits_{l}" for l in sorted(_LANG_MARKERS)) + ")"
+    first_match = "CASE " + " ".join(
+        f"WHEN hits_{l} = mx THEN '{l}'" for l in sorted(_LANG_MARKERS)
+    ) + " END"
+    return f"""
+WITH hits AS (
+  SELECT lang, {", ".join(per_lang)}
+  FROM (SELECT lang, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+),
+best AS (
+  SELECT lang, mx, {first_match} AS pred
+  FROM (SELECT *, {greatest} AS mx FROM hits)
+)
+SELECT lang,
+       CASE WHEN mx > 0 THEN pred ELSE 'und' END AS pred_lang,
+       count(*) AS n_docs
+FROM best
+GROUP BY 1, 2
+"""
+
+
+T03_SQL = _t03_sql()
+
+
+# --------------------------------------------------------------------------
+# t04 — document fingerprinting: md5 content hash + bucketed prefix (the
+# shard key a dedup pipeline partitions on).
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    bucket = F.conv(F.substring(fp, 1, 4), 16, 10).cast("bigint") % 64
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        bucket.alias("shard"),
+    )
+
+
+T04_SQL = """
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 64 AS shard
+FROM documents
+"""
+
+
+TEXT_QUERIES = {
+    "t01_doc_stats": (t01_doc_stats, T01_SQL),
+    "t02_quality_score": (t02_quality_score, T02_SQL),
+    "t03_language_id": (t03_language_id, T03_SQL),
+    "t04_fingerprint": (t04_fingerprint, T04_SQL),
+}

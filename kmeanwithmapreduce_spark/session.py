@@ -49,6 +49,9 @@ def get_spark(
         # --- scans: keep splits big enough to amortize task overhead ----
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS); read as long + convert
+        # (see sources.readers.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- python<->jvm: Arrow for pandas UDFs / toPandas -------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -30,8 +30,20 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark only reads as a nanosecond long (spark.sql.legacy.parquet
+    .nanosAsLong); convert to a microsecond timestamp to match what
+    DuckDB exposes for the same file.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # integer division: float division loses precision (ns since
+            # epoch exceeds 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

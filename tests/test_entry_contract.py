@@ -1,0 +1,51 @@
+"""Smoke the driver contract exactly as the driver will: entry() runs
+with >=0 rows and a stable schema; every queries() key resolves; every
+oracle_sql() key exists in queries() and parses in DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert [f.name for f in df.schema.fields] == [
+        "cluster",
+        "n_points",
+        "c_quantity",
+        "c_price_k",
+        "c_discount",
+        "c_tax",
+    ]
+
+
+def test_entry_deterministic(spark):
+    a = sorted(map(tuple, entry_mod.entry(spark).collect()))
+    b = sorted(map(tuple, entry_mod.entry(spark).collect()))
+    assert a == b
+
+
+def test_queries_and_oracles_consistent(spark, sf_dir):
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 35
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name, sql in osql.items():
+        con.execute(f"SELECT * FROM ({sql}) LIMIT 0")  # parses + binds
+
+
+def test_kmeans_queries_run(spark, sf_dir):
+    qs = entry_mod.queries()
+    k01 = qs["k01_kmeans_lineitem"](spark, sf_dir)
+    assert k01.count() == 4
+    k02 = qs["k02_kmeans_compat"](spark, sf_dir)
+    assert k02.count() >= 1

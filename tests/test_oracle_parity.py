@@ -1,0 +1,75 @@
+"""Emulates the driver's t2 gate: run every registered query on Spark at
+sf0.001 AND its DuckDB oracle on the same parquet, compare row count,
+schema (column names) and sorted values."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from kmeanwithmapreduce_spark.operators import ALL_QUERIES
+
+ORACLE_CASES = [(n, fn, sql) for n, (fn, sql) in ALL_QUERIES.items() if sql]
+ROWS_ONLY_CASES = [(n, fn) for n, (fn, sql) in ALL_QUERIES.items() if not sql]
+
+
+def _canon_value(v):
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return pd.Timestamp(v).isoformat()
+    return str(v)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object or str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].map(_canon_value)
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(
+        drop=True
+    )
+    return df
+
+
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                xf = float("nan") if x is None else float(x)
+                yf = float("nan") if y is None else float(y)
+                if math.isnan(xf) and math.isnan(yf):
+                    continue
+                assert xf == pytest.approx(yf, rel=1e-9, abs=1e-9), (
+                    f"{name}: col {c} row {i}: {x} != {y}"
+                )
+            else:
+                assert str(x) == str(y), f"{name}: col {c} row {i}: {x!r} != {y!r}"
+
+
+@pytest.mark.parametrize("name,fn,sql", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES])
+def test_oracle_parity(spark, duck, sf_dir, name, fn, sql):
+    got = fn(spark, sf_dir).toPandas()
+    want = duck.execute(sql).fetchdf()
+    _compare(got, want, name)
+
+
+@pytest.mark.parametrize("name,fn", ROWS_ONLY_CASES, ids=[c[0] for c in ROWS_ONLY_CASES])
+def test_rows_only_queries_run(spark, sf_dir, name, fn):
+    df = fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

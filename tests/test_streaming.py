@@ -1,0 +1,54 @@
+"""Structured Streaming: each streaming window agg must equal its batch
+equivalent on the same bounded input (the streaming/batch unification
+contract), plus the foreachBatch incremental K-Means."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kmeanwithmapreduce_spark.operators import windows_batch
+from kmeanwithmapreduce_spark.streaming import windows as sw
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = sw.read_events_stream(spark, sf_dir)
+    got = sw.run_stream_to_memory(
+        sw.streaming_tumbling_agg(stream), "t_tumbling"
+    )
+    want = windows_batch.w01_tumbling(spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    stream = sw.read_events_stream(spark, sf_dir)
+    got = sw.run_stream_to_memory(sw.streaming_sliding_agg(stream), "t_sliding")
+    want = windows_batch.w02_sliding(spark, sf_dir)
+    cols = ["window_start", "n", "avg_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    stream = sw.read_events_stream(spark, sf_dir)
+    got = sw.run_stream_to_memory(sw.streaming_session_agg(stream), "t_session")
+    want = windows_batch.w03_session(spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_kmeans_converges_toward_batch(spark, sf_dir):
+    stream = sw.read_events_stream(spark, sf_dir).select(
+        F.array(F.col("value")).cast("array<float>").alias("features")
+    )
+    init = [[0.0], [100.0]]
+    cents = sw.streaming_kmeans_foreachbatch(
+        spark, stream, k=2, dim=1, init_centroids=init, decay=0.2
+    )
+    c = np.sort(np.asarray(cents).ravel())
+    assert c[0] != 0.0 and c[1] != 100.0  # both centroids moved
+    assert 0.0 < c[0] < c[1]
