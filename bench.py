@@ -1,0 +1,99 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (full distributed execution, no
+driver-side row transfer), matching how a cluster job would be bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from kmeanwithmapreduce_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kmeanwithmapreduce_spark.operators import ALL_QUERIES
+
+    headline = [
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_local_supplier_volume",
+        "q09_topk_parts_per_brand",
+        "q10_running_total",
+        "q14_distinct_parts_per_supplier",
+        "q19_sessionization",
+        "w01_tumbling",
+        "t02_quality_score",
+        "d01_exact_dedup",
+        "d02_ngram_jaccard_pairs",
+        "d03_minhash_lsh_pairs",
+        "s01_knn_bruteforce",
+    ]
+
+    # JVM/codegen warmup (untimed): one scan+agg so the first timed query
+    # doesn't absorb classloading.
+    from kmeanwithmapreduce_spark.sources.readers import load_table as _lt
+
+    _lt(spark, sf_dir, "lineitem").agg({"l_quantity": "sum"}).collect()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = ALL_QUERIES[name][0]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # K-Means: fixed 5 iterations on the lineitem projection (per-iter
+    # cost is the metric; convergence depends on init).
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.kmeans import core
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.array(
+            F.col("l_quantity"),
+            F.col("l_extendedprice") / 1000.0,
+            F.col("l_discount"),
+            F.col("l_tax"),
+        )
+        .cast("array<float>")
+        .alias("features")
+    )
+    t0 = time.monotonic()
+    core.lloyd(
+        feats,
+        core.KMeansParams(k=8, seed=42, thresh=0.0, max_loop=5),
+    )
+    timings["kmeans_5iter_k8"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

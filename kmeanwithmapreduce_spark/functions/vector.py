@@ -54,6 +54,23 @@ def _centroid_lit(centroid: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in centroid])
 
 
+# Unroll per-dimension arithmetic up to this arity: a flat sum of
+# (f[i]-c_i)^2 terms codegens and executes faster than the
+# zip_with/aggregate lambda machinery for small d.
+_UNROLL_DIM = 32
+
+
+def _squared_dist_unrolled(features: Column, centroid: Sequence[float]) -> Column:
+    terms = [
+        (F.element_at(features, i + 1).cast("double") - float(v)) ** 2
+        for i, v in enumerate(centroid)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def distance_array_expr(features: Column, centroids: Sequence[Sequence[float]]) -> Column:
     """array<double> of squared distances from ``features`` to each centroid.
 
@@ -62,6 +79,10 @@ def distance_array_expr(features: Column, centroids: Sequence[Sequence[float]]) 
     (Main.java:166-173 / KMapper.java:15-26): k×d constants ride the
     serialized plan to every task, no shuffle, no join.
     """
+    if centroids and len(centroids[0]) <= _UNROLL_DIM:
+        return F.array(
+            *[_squared_dist_unrolled(features, c) for c in centroids]
+        )
     return F.array(
         *[squared_euclidean_expr(features, _centroid_lit(c)) for c in centroids]
     )

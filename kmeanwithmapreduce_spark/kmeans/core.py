@@ -72,16 +72,20 @@ def init_random_centroids(
 ) -> list[list[float]]:
     """k distinct random rows as initial centroids (Main.java:129-164).
 
-    The reference uses an unseeded ``Random`` over line indices; we use
-    Spark's distributed ``takeSample`` with an injectable seed so runs are
-    reproducible (SURVEY §8 Q9: exact reproduction is impossible anyway).
+    The reference uses an unseeded ``Random`` over line indices; we rank
+    rows by a seeded rand() and take the k smallest — a uniform
+    without-replacement sample that stays entirely JVM-side
+    (TakeOrderedAndProject: per-partition size-k heaps, no global sort,
+    no Python serialization — unlike RDD takeSample, which would drag
+    the whole dataset through pickle). Injectable seed per SURVEY §8 Q9.
     """
     rows = (
         df.select(features_col)
-        .rdd.map(lambda r: r[0])
-        .takeSample(False, k, seed if seed is not None else int(time.time()))
+        .orderBy(F.rand(seed if seed is not None else int(time.time())))
+        .limit(k)
+        .collect()
     )
-    return [[float(v) for v in row] for row in rows]
+    return [[float(v) for v in row[0]] for row in rows]
 
 
 def _assign_expr_path(
@@ -171,7 +175,9 @@ def lloyd(
     """
     compat = params.mode == "compat"
     feats = params.features_col
-    df = df.select(feats).cache()
+    from ..sources.readers import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df.select(feats)).cache()
     dim = int(df.select(F.size(F.col(feats))).first()[0])
 
     if init_centroids is None:

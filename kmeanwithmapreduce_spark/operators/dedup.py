@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import ensure_min_parallelism, load_table
 
 # Shingles occurring in more than this many docs are dropped from the
 # Jaccard pair-join (stopword-shingle frequency cap; see module doc).
@@ -79,7 +79,10 @@ GROUP BY md5(text)
 # --------------------------------------------------------------------------
 # d02 — n-gram Jaccard near-dup pairs via shingle inverted index.
 def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    # NOT cached: re-deriving shingles from the (tiny, OS-cached) scan is
+    # cheaper than materializing the exploded rows; at 100 TB you'd
+    # checkpoint `sh` to parquet instead of memory-caching it.
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
@@ -153,35 +156,53 @@ WHERE floor(inter * 1.0 / (sa.n_sh + sb.n_sh - inter) * 10000.0) / 10000.0
 
 
 # --------------------------------------------------------------------------
-# d03 — MinHash signatures + LSH banding (md5-derived permutations so
-# the oracle reproduces them bit-for-bit).
-def _seed_hasher(s: int):
-    # NOTE: must be a factory returning a SINGLE-arg lambda — PySpark
-    # binds a default second parameter to the array index column.
-    prefix = f"{s}:"
-
-    def h(x):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), x)), 1, 8), 16, 10
-        ).cast("bigint")
-
-    return h
+# d03 — MinHash signatures + LSH banding.
+#
+# One md5 per shingle (32-bit base hash), then _N_MINHASH affine
+# permutations h_i = (A_i * h + B_i) mod P — the classic universal-hash
+# MinHash family. All integer arithmetic (A_i < 2^30 odd, h < 2^32,
+# P = 2^61-1: products stay under 2^63), so the DuckDB oracle reproduces
+# the signatures bit-for-bit with no engine-specific hashing.
+# Scale: cost is one explode + one 16-min-aggregate groupBy (map-side
+# combined) + a bucket self-join restricted to band-equal pairs.
+_MINHASH_P = (1 << 61) - 1
 
 
-def _minhash_sig_expr(shingle_arr):
-    """Array of _N_MINHASH min-hash values over the shingle set: for seed
-    s, h_s(x) = int64(md5(s || ':' || x)[0:8 hex])."""
-    sigs = [
-        F.array_min(F.transform(shingle_arr, _seed_hasher(s)))
-        for s in range(_N_MINHASH)
-    ]
-    return F.array(*sigs)
+def _minhash_coeffs() -> list[tuple[int, int]]:
+    """Deterministic (A, B) pairs from a fixed LCG (shared by the Spark
+    plan and the SQL oracle text)."""
+    coeffs = []
+    state = 0x5DEECE66D
+    for _ in range(_N_MINHASH):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 8) % (1 << 30) | 1  # odd, < 2^30
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+_MINHASH_COEFFS = _minhash_coeffs()
+
+
+def _shingle_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle, h) rows: distinct 3-gram shingles with their
+    32-bit md5-derived base hash."""
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    return sh.withColumn("h", h)
 
 
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id", _minhash_sig_expr(_shingles(F.col("text"))).alias("sig")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    hashed = _shingle_rows(d)
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(_MINHASH_COEFFS)
+        ]
     )
     rows_per_band = _N_MINHASH // _LSH_BANDS
     bands = sig.select(
@@ -194,7 +215,7 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
+                                F.col(f"s{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ],
                         ).alias("key"),
@@ -219,15 +240,13 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _d03_sql() -> str:
     rows_per_band = _N_MINHASH // _LSH_BANDS
     min_exprs = ", ".join(
-        "min(CAST(('0x' || substr(md5('{s}:' || shingle), 1, 8)) AS BIGINT)) AS h{s}".format(
-            s=s
-        )
-        for s in range(_N_MINHASH)
+        f"min(({a} * h + {b}) % {_MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(_MINHASH_COEFFS)
     )
     band_rows = []
     for b in range(_LSH_BANDS):
         cols = " || ',' || ".join(
-            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            f"CAST(s{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
         )
         band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS key FROM sigs")
     bands = " UNION ALL ".join(band_rows)
@@ -237,7 +256,11 @@ WITH sh AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
 ),
-sigs AS (SELECT doc_id, {min_exprs} FROM sh GROUP BY doc_id),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+sigs AS (SELECT doc_id, {min_exprs} FROM hashed GROUP BY doc_id),
 bands AS ({bands})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -255,7 +278,7 @@ _SIMHASH_BITS = 32
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     toks = F.array_distinct(F.split(F.col("text"), " "))
     th = F.transform(
         toks,

@@ -56,6 +56,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only when the scan produced fewer partitions than the
+    cluster has cores — the local-testdata case (single-row-group
+    parquet files scan as one task, serializing CPU-heavy operators).
+    On a real multi-file 100 TB layout the input is already split and
+    this is a no-op, so no shuffle is paid at scale."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_points_csv(
     spark: SparkSession, path: str, dim: int, float32: bool = True
 ) -> DataFrame:
