@@ -3,6 +3,7 @@ the engine exposes. The driver contract (__spark_entry__.py) is a thin
 view over this dict."""
 
 from .dedup import DEDUP_QUERIES
+from .joins_advanced import ADVANCED_JOIN_QUERIES
 from .multimodal import MULTIMODAL_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
@@ -16,6 +17,7 @@ ALL_QUERIES = {
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
     **WINDOW_QUERIES,
+    **ADVANCED_JOIN_QUERIES,
 }
 
 __all__ = [

@@ -1,0 +1,146 @@
+"""Advanced join shapes absent from both the reference and vanilla SQL
+textbooks but required of a real engine (SURVEY §2 Part B: "range/as-of/
+interval" joins) plus approximate aggregates.
+
+Scale notes:
+- as-of join: expressed as a conditional last_value window — ONE shuffle
+  on the partition key, no join at all. This is the scale-optimal form
+  when both sides share a partition key (here: the same events table).
+- range join: tiny build side -> broadcast nested-loop with an interval
+  predicate (Catalyst's BroadcastNestedLoopJoin). For a LARGE build side
+  the pattern is bucketize-by-range-unit + equi-join on bucket + residual
+  filter (noted in j02's docstring); the tiny-dim case here is the
+  common campaign/calendar shape.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# j01 — as-of join (point-in-time lookup): for every click, the most
+# recent prior purchase value of the same user.
+def j01_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_purchase_value", last_purchase)
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_purchase_value")
+    )
+
+
+J01_SQL = """
+SELECT event_id, user_id, ts, last_purchase_value
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+  FROM events
+)
+WHERE event_type = 'click'
+"""
+
+
+# --------------------------------------------------------------------------
+# j02 — range (interval) join: events against campaign windows.
+# Campaign dims are generated from shared Python constants so the oracle
+# joins the byte-identical build side.
+_CAMPAIGNS = [
+    (
+        i,
+        datetime(2024, 1, 1) + timedelta(days=3 * i),
+        datetime(2024, 1, 1) + timedelta(days=3 * i + 5),
+    )
+    for i in range(10)
+]
+
+
+def j02_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast interval join (build side: 10 rows). For a large build
+    side, bucketize ts to days, equi-join on day, then filter the exact
+    interval — same results, shuffle-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    camp = spark.createDataFrame(
+        _CAMPAIGNS, "campaign_id int, start_ts timestamp, end_ts timestamp"
+    )
+    return (
+        e.join(
+            F.broadcast(camp),
+            (e.ts >= camp.start_ts) & (e.ts < camp.end_ts),
+        )
+        .groupBy("campaign_id", "start_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _j02_sql() -> str:
+    values = ", ".join(
+        f"({i}, TIMESTAMP '{s:%Y-%m-%d %H:%M:%S}', TIMESTAMP '{t:%Y-%m-%d %H:%M:%S}')"
+        for i, s, t in _CAMPAIGNS
+    )
+    return f"""
+SELECT campaign_id, start_ts,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+JOIN (VALUES {values}) AS camp(campaign_id, start_ts, end_ts)
+  ON ts >= start_ts AND ts < end_ts
+GROUP BY campaign_id, start_ts
+"""
+
+
+J02_SQL = _j02_sql()
+
+
+# --------------------------------------------------------------------------
+# j03 — approximate aggregates: HLL distinct counts checked against the
+# exact answer. The approx value itself is engine-specific, so the
+# compared output is the exact count plus a boolean asserting the approx
+# landed within 10% — a semantic property both engines must satisfy.
+def j03_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id") - F.countDistinct("user_id")
+            )
+            <= 0.1 * F.countDistinct("user_id")
+        ).alias("approx_within_10pct"),
+    )
+
+
+J03_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= 0.1 * count(DISTINCT user_id) AS approx_within_10pct
+FROM events
+GROUP BY event_type
+"""
+
+
+ADVANCED_JOIN_QUERIES = {
+    "j01_asof_last_purchase": (j01_asof_last_purchase, J01_SQL),
+    "j02_range_join_campaigns": (j02_range_join_campaigns, J02_SQL),
+    "j03_approx_distinct": (j03_approx_distinct, J03_SQL),
+}

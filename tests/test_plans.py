@@ -1,0 +1,88 @@
+"""Plan-shape pins: the properties that make these queries scale —
+pushdown reaching the parquet scan, column pruning, broadcast joins for
+dims, map-side partial aggregation — asserted on the optimized physical
+plans so a regression is a test failure, not a silent 100 TB slowdown."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kmeanwithmapreduce_spark.operators import relational as R
+from kmeanwithmapreduce_spark.plans import explain_str
+from kmeanwithmapreduce_spark.plans.inspect import count_nodes
+
+
+def test_q06_pushdown_and_pruning(spark, sf_dir):
+    plan = explain_str(R.q06_forecast_revenue(spark, sf_dir))
+    # all three range predicates reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # column pruning: only the 4 needed columns are read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4, m.group(1) if m else plan
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    plan = explain_str(R.q01_pricing_summary(spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert count_nodes(plan, "Exchange") == 1  # exactly one shuffle (the groupBy)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q02_broadcasts_all_dims(spark, sf_dir):
+    plan = explain_str(R.q02_region_revenue(spark, sf_dir))
+    assert count_nodes(plan, "BroadcastHashJoin") == 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_q05_single_fact_shuffle(spark, sf_dir):
+    plan = explain_str(R.q05_local_supplier_volume(spark, sf_dir))
+    # dims broadcast; the only sort-merge/shuffle join is lineitem-orders
+    assert count_nodes(plan, "BroadcastHashJoin") >= 4
+    assert count_nodes(plan, "Exchange") <= 3  # fact-fact join + agg
+
+
+def test_q03_topk_no_global_sort(spark, sf_dir):
+    plan = explain_str(R.q03_shipping_priority(spark, sf_dir))
+    # orderBy+limit compiles to TakeOrderedAndProject, not a full Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q09_window_single_shuffle(spark, sf_dir):
+    plan = explain_str(R.q09_topk_parts_per_brand(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") == 1  # one hash partition by p_brand
+    assert "Window" in plan
+
+
+def test_kmeans_iteration_plan(spark, sf_dir):
+    """One K-Means iteration = scan + project(argmin) + partial agg +
+    k-row shuffle + final agg. No join, no extra exchange."""
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.kmeans.core import assign
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    feats = li.select(
+        F.array("l_quantity", "l_discount").cast("array<float>").alias("features")
+    )
+    cents = [[1.0, 0.0], [30.0, 0.1]]
+    agg = (
+        assign(feats, cents)
+        .groupBy("cluster")
+        .agg(F.avg(F.col("features")[0]), F.count(F.lit(1)))
+    )
+    plan = explain_str(agg)
+    assert "partial_avg" in plan or "partial_sum" in plan
+    assert count_nodes(plan, "Exchange") == 1
+    assert "Join" not in plan  # broadcast-as-literals, not a join
+    assert "BatchEvalPython" not in plan  # no Python in the hot path
+
+
+def test_no_python_udfs_in_relational_plans(spark, sf_dir):
+    for name, (fn, _sql) in R.RELATIONAL_QUERIES.items():
+        plan = explain_str(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

@@ -1,0 +1,64 @@
+"""Sources & sinks: format round-trips (parquet/csv/json/orc),
+partitioned writes with partition pruning, and the SQL catalog surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeanwithmapreduce_spark.plans import explain_str
+from kmeanwithmapreduce_spark.sources.readers import load_table
+from kmeanwithmapreduce_spark.sql import Q01_SPARK_SQL, run_sql
+
+
+@pytest.fixture(scope="module")
+def nation_df(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip_formats(spark, nation_df, tmp_path_factory, fmt):
+    out = str(tmp_path_factory.mktemp(f"rt_{fmt}"))
+    nation_df.write.mode("overwrite").format(fmt).option("header", "true").save(out)
+    reader = spark.read.format(fmt).option("header", "true")
+    if fmt in ("json", "csv"):
+        reader = reader.schema(nation_df.schema)
+    back = reader.load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation_df.collect())
+    )
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part"))
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out).where(F.col("o_year") == 1996)
+    plan = explain_str(back)
+    # partition pruning: only the 1996 directory is scanned
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    assert back.count() == o.where(F.col("o_year") == 1996).count()
+
+
+def test_sql_surface_matches_dataframe(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.relational import q01_pricing_summary
+
+    via_sql = run_sql(spark, sf_dir, Q01_SPARK_SQL)
+    via_df = q01_pricing_summary(spark, sf_dir)
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
+
+
+def test_csv_points_reader(spark, tmp_path_factory):
+    from kmeanwithmapreduce_spark.sources.readers import load_points_csv
+
+    d = tmp_path_factory.mktemp("pts")
+    p = d / "pts.csv"
+    p.write_text("1.0,2.0,3.0\n4.0,5.0,6.0\n")
+    df = load_points_csv(spark, str(p), dim=3)
+    rows = sorted(r[0] for r in df.collect())
+    assert rows == [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+    assert df.schema["features"].dataType.simpleString() == "array<float>"
