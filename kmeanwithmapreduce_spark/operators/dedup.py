@@ -332,9 +332,46 @@ GROUP BY doc_id
 D04_SQL = _d04_sql()
 
 
+# --------------------------------------------------------------------------
+# d05 — embedding-cosine near-dup pairs: vectors whose cosine similarity
+# exceeds a threshold. Brute-force pair space here (oracle-checkable);
+# the scale path is s02's hyperplane-LSH bucketing to collapse N^2.
+_COSINE_DUP_THRESHOLD = 0.5
+
+
+def d05_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = F.floor(
+        cosine_similarity_expr(F.col("va"), F.col("vb")) * 10000.0
+    ) / 10000.0
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+    )
+
+
+D05_SQL = f"""
+SELECT id_a, id_b, cosine
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 10000.0)
+           / 10000.0 AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cosine >= {_COSINE_DUP_THRESHOLD}
+"""
+
+
 DEDUP_QUERIES = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_ngram_jaccard_pairs": (d02_ngram_jaccard_pairs, D02_SQL),
     "d03_minhash_lsh_pairs": (d03_minhash_lsh_pairs, D03_SQL),
     "d04_simhash": (d04_simhash, D04_SQL),
+    "d05_embedding_neardup_pairs": (d05_embedding_neardup_pairs, D05_SQL),
 }

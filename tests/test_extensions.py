@@ -1,0 +1,78 @@
+"""Skew-join utility, stateful streaming, and the UDF/UDTF surface."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kmeanwithmapreduce_spark.functions.skew import salted_join
+from kmeanwithmapreduce_spark.sources.readers import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey")
+    salted = salted_join(li, o, on="l_orderkey", n_salts=8)
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one key carries 90% of rows; salted join must agree with plain join
+    big = spark.range(10000).select(
+        F.when(F.col("id") < 9000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    plain = big.join(small, "k")
+    salted = salted_join(big, small, on="k", n_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_stateful_streaming_user_stats(spark, sf_dir):
+    from kmeanwithmapreduce_spark.streaming import windows as sw
+    from kmeanwithmapreduce_spark.streaming.stateful import streaming_user_stats
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    agg = streaming_user_stats(stream)
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT user_id, max(n_events) n, max(total_value) v FROM user_stats GROUP BY user_id"
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    g = {r["user_id"]: (r["n"], round(r["v"], 6)) for r in got.collect()}
+    w = {r["user_id"]: (r["n"], round(r["v"], 6)) for r in want.collect()}
+    assert g == w
+
+
+def test_udf_udtf_surface(spark, sf_dir):
+    from kmeanwithmapreduce_spark.functions.udfs import register_extensions
+
+    register_extensions(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("emb_v")
+    row = spark.sql(
+        "SELECT cosine_sim(embedding, embedding) AS c FROM emb_v LIMIT 1"
+    ).first()
+    assert abs(row["c"] - 1.0) < 1e-9
+    rows = spark.sql(
+        "SELECT * FROM shingles('a b c d')"
+    ).collect()
+    assert [(r["pos"], r["shingle"]) for r in rows] == [(0, "a b c"), (1, "b c d")]
