@@ -710,6 +710,77 @@ GROUP BY CAST(ts AS DATE)
 """
 
 
+# --------------------------------------------------------------------------
+# q21 — TPC-H Q13 shape: customer order-count distribution (left outer
+# join + two-level aggregation).
+def q21_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q21_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — TPC-H Q22 shape: scalar subquery (global average) + anti join.
+# The global avg is exact (grid-decimal sum, see module doc) so the
+# filter boundary is engine-identical.
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+        .first()["a"]
+    )
+    return (
+        c.where(F.col("c_acctbal") > avg_bal)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _gridsum(F.col("c_acctbal"), 100, 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       {_sql_gridsum("c_acctbal", 100, 2)} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_region_revenue": (q02_region_revenue, Q02_SQL),
@@ -731,4 +802,6 @@ RELATIONAL_QUERIES = {
     "q18_json_props": (q18_json_props, Q18_SQL),
     "q19_sessionization": (q19_sessionization, Q19_SQL),
     "q20_pivot_daily_events": (q20_pivot_daily_events, Q20_SQL),
+    "q21_custdist": (q21_custdist, Q21_SQL),
+    "q22_wealthy_inactive": (q22_wealthy_inactive, Q22_SQL),
 }
