@@ -125,7 +125,90 @@ def m02_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Transform stubs with real Spark plumbing: resize and frame-sample.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_batch(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """STUB resize: a real build would decode + PIL.resize + re-encode;
+    the fake truncates/pads the byte payload to w*h deterministically.
+    Plumbing (Arrow batches, schema contract, column pruning) is real."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_w * target_h
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                resized = (b * (n // max(len(b), 1) + 1))[:n]
+                out.append((doc_id, target_w, target_h, resized))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "payload"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def frame_sample_batch(df: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """STUB video frame sampling: emits up to max_frames byte-slices per
+    payload (a real build would ffmpeg-seek keyframes). One-to-many
+    mapInPandas — the row-explosion shape of a frame extractor."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(min(max(len(b) // every_n_bytes, 1), max_frames)):
+                    out.append((doc_id, i, b[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.select("doc_id", "payload").mapInPandas(fn, FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m03 — end-to-end multimodal pipeline: payload -> decode -> numeric
+# features -> the engine's own K-Means (composition check; rows-only).
+def m03_cluster_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F2
+
+    from ..kmeans import core
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_batch(with_binary_payload(d))
+    feats = decoded.select(
+        F2.array(
+            F2.col("width").cast("float"),
+            F2.col("height").cast("float"),
+            (F2.col("n_bytes") / 1000.0).cast("float"),
+            F2.col("mean_intensity").cast("float"),
+        ).alias("features")
+    )
+    res = core.lloyd(
+        feats, core.KMeansParams(k=3, seed=11, thresh=1e-3, max_loop=10)
+    )
+    labeled = core.label(feats, res.centroids)
+    return labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 MULTIMODAL_QUERIES = {
     "m01_payload_meta": (m01_payload_meta, M01_SQL),
     "m02_decoded_features": (m02_decoded_features, None),
+    "m03_cluster_decoded": (m03_cluster_decoded, None),
 }
