@@ -79,30 +79,39 @@ GROUP BY md5(text)
 # --------------------------------------------------------------------------
 # d02 — n-gram Jaccard near-dup pairs via shingle inverted index.
 def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index pair generation WITHOUT a shingle self-join:
+    group each shingle's (capped, sorted) posting list once, expand
+    doc-id pairs map-side with array expressions, aggregate pair counts.
+    Two shuffles (by shingle, then by pair) instead of the self-join's
+    three, and no wide join. The frequency cap bounds both posting-list
+    memory and the quadratic pair expansion."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    # NOT cached: re-deriving shingles from the (tiny, OS-cached) scan is
-    # cheaper than materializing the exploded rows; at 100 TB you'd
-    # checkpoint `sh` to parquet instead of memory-caching it.
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
-    # frequency cap (scale guard, see module doc)
-    capped = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= _SHINGLE_DOC_CAP)
-        .select("shingle"),
-        "shingle",
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("docs")
     )
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = capped.alias("a")
-    b = capped.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    capped = postings.where(F.size("docs") <= _SHINGLE_DOC_CAP)
+    sizes = (
+        capped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # map-side pair expansion: for sorted docs, all (docs[i], docs[j]), i<j
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    inter = (
+        capped.where(F.size("docs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(
