@@ -39,7 +39,11 @@ def main() -> int:
         "d01_exact_dedup",
         "d02_ngram_jaccard_pairs",
         "d03_minhash_lsh_pairs",
+        "d04_simhash",
         "s01_knn_bruteforce",
+        "w03_session",
+        "j01_asof_last_purchase",
+        "q21_custdist",
     ]
 
     # JVM/codegen warmup (untimed): one scan+agg so the first timed query

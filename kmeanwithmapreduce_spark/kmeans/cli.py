@@ -40,7 +40,14 @@ def main(argv: list[str] | None = None) -> int:
     from ..sources.readers import load_points_csv
     from . import core
 
-    spark = get_spark("kmeans-cli")
+    # NumReduceTask maps to shuffle partitions (the reference's reducer
+    # count, Main.java:266); default 1 reducer like the reference — the
+    # combiner makes that tolerable there and partial aggregation does
+    # here. Values >1 parallelize the per-iteration aggregation.
+    spark = get_spark(
+        "kmeans-cli",
+        shuffle_partitions=max(args.NumReduceTask, 1),
+    )
     df = load_points_csv(spark, args.input, dim=args.dim)
 
     if args.mode == "mllib":

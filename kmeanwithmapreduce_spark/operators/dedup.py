@@ -287,32 +287,36 @@ _SIMHASH_BITS = 32
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode tokens, hash each ONCE, then take all 32 bit votes in a
+    single grouped aggregation (one data pass, map-side combined) —
+    rather than 32 array-fold passes per document."""
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = F.array_distinct(F.split(F.col("text"), " "))
-    th = F.transform(
-        toks,
-        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint"),
+    hashed = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
     )
-    def _bit_vote(b: int):
-        # factory (not a default arg — see _seed_hasher note)
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
-
-        return merge
-
-    bit_votes = [
-        F.aggregate(th, F.lit(0), _bit_vote(b)) for b in range(_SIMHASH_BITS)
+        ).alias(f"v{b}")
+        for b in range(_SIMHASH_BITS)
     ]
+    sig = hashed.groupBy("doc_id").agg(*votes)
     fingerprint = sum(
         (
-            F.when(v > 0, F.lit(2**b)).otherwise(F.lit(0))
-            for b, v in enumerate(bit_votes)
+            F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+            for b in range(1, _SIMHASH_BITS)
         ),
-        F.lit(0),
+        F.when(F.col("v0") > 0, F.lit(1)).otherwise(F.lit(0)),
     ).cast("bigint")
-    return d.select("doc_id", fingerprint.alias("simhash"))
+    return sig.select("doc_id", fingerprint.alias("simhash"))
 
 
 def _d04_sql() -> str:
