@@ -781,6 +781,49 @@ GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q23 — null semantics battery: the reference has NO null handling at all
+# (SURVEY §1.2 — malformed input kills the task); this pins the engine's
+# ANSI behavior: count(*) vs count(col), distinct-with-null, null-safe
+# equality, coalesce, null grouping keys, three-valued WHERE logic.
+def q23_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    with_nulls = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"),
+        F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice")).alias(
+            "big_price"
+        ),
+        "o_orderpriority",
+    )
+    return with_nulls.groupBy("status_n").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("big_price").alias("n_big"),  # count(col) skips nulls
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.sum(F.col("big_price").isNull().cast("int")).cast("bigint").alias(
+            "n_null_big"
+        ),
+        _gridsum(F.coalesce(F.col("big_price"), F.lit(0.0)), 100, 2).alias(
+            "total_big"
+        ),
+    )
+
+
+Q23_SQL = f"""
+SELECT nullif(o_orderstatus, 'P') AS status_n,
+       count(*) AS n_rows,
+       count(big_price) AS n_big,
+       count(DISTINCT o_orderpriority) AS n_prio,
+       CAST(sum(CASE WHEN big_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_big,
+       {_sql_gridsum("coalesce(big_price, 0.0)", 100, 2)} AS total_big
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END AS big_price
+  FROM orders
+)
+GROUP BY nullif(o_orderstatus, 'P')
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_region_revenue": (q02_region_revenue, Q02_SQL),
@@ -804,4 +847,5 @@ RELATIONAL_QUERIES = {
     "q20_pivot_daily_events": (q20_pivot_daily_events, Q20_SQL),
     "q21_custdist": (q21_custdist, Q21_SQL),
     "q22_wealthy_inactive": (q22_wealthy_inactive, Q22_SQL),
+    "q23_null_semantics": (q23_null_semantics, Q23_SQL),
 }
