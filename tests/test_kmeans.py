@@ -161,6 +161,20 @@ def test_mllib_path_runs(spark, points_df):
     assert len(model.clusterCenters()) == 3
 
 
+def test_lloyd_wide_dims_on_embeddings(spark, sf_dir):
+    """64-dimensional path: unrolled distance still applies (d<=32 is
+    the unroll bound, so this exercises the zip_with fold), and the
+    d+1-column update aggregate."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feats = e.select(F.col("embedding").cast("array<float>").alias("features"))
+    res = core.lloyd(
+        feats, core.KMeansParams(k=6, seed=3, thresh=1e-3, max_loop=8)
+    )
+    assert len(res.centroids) == 6
+    assert all(len(c) == 64 for c in res.centroids)
+    assert sum(res.cluster_sizes.values()) == e.count()
+
+
 def test_lloyd_on_lineitem_projection(spark, sf_dir):
     """The reference surface applied to the driver's testdata: numeric
     projection of lineitem as the point set."""
