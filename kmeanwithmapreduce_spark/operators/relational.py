@@ -824,6 +824,57 @@ GROUP BY nullif(o_orderstatus, 'P')
 """
 
 
+# --------------------------------------------------------------------------
+# q24 — exact percentiles (linear interpolation — same convention in
+# Spark's percentile() and DuckDB's quantile_cont). Restricted to the
+# integer-valued quantity column so interpolated midpoints are exact
+# binary values (engine-identical without truncation).
+def q24_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+Q24_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — regular expressions: extract the Brand number and match part
+# types by pattern (Java regex and RE2 agree on this class of pattern).
+def q25_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    brand_num = F.regexp_extract(F.col("p_brand"), "Brand#([0-9]+)", 1).cast("int")
+    return (
+        p.select(
+            brand_num.alias("brand_num"),
+            F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_budget"),
+        )
+        .groupBy("brand_num", "is_budget")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+Q25_SQL = """
+SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num,
+       regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_budget,
+       count(*) AS n_parts
+FROM part
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_region_revenue": (q02_region_revenue, Q02_SQL),
@@ -848,4 +899,6 @@ RELATIONAL_QUERIES = {
     "q21_custdist": (q21_custdist, Q21_SQL),
     "q22_wealthy_inactive": (q22_wealthy_inactive, Q22_SQL),
     "q23_null_semantics": (q23_null_semantics, Q23_SQL),
+    "q24_quantiles": (q24_quantiles, Q24_SQL),
+    "q25_regex": (q25_regex, Q25_SQL),
 }
