@@ -139,8 +139,50 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# j04 — as-of join via per-group pandas merge_asof (applyInPandas).
+# Same semantics as j01; this is the formulation for when the two sides
+# are DIFFERENT tables sharing a partition key (the window trick needs
+# one table). Scale: one shuffle on user_id, then per-group sorted
+# merge in Arrow batches.
+def j04_asof_merge_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("last_purchase_value", T.DoubleType()),
+        ]
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        c = pdf[pdf["event_type"] == "click"][["event_id", "user_id", "ts"]]
+        p = pdf[pdf["event_type"] == "purchase"][["ts", "value"]]
+        if c.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "ts", "last_purchase_value"])
+        merged = pd.merge_asof(
+            c.sort_values("ts"),
+            p.sort_values("ts").rename(columns={"value": "last_purchase_value"}),
+            on="ts",
+            direction="backward",
+        )
+        return merged[["event_id", "user_id", "ts", "last_purchase_value"]]
+
+    return (
+        e.select("event_id", "user_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandas(per_user, out_schema)
+    )
+
+
 ADVANCED_JOIN_QUERIES = {
     "j01_asof_last_purchase": (j01_asof_last_purchase, J01_SQL),
     "j02_range_join_campaigns": (j02_range_join_campaigns, J02_SQL),
     "j03_approx_distinct": (j03_approx_distinct, J03_SQL),
+    "j04_asof_merge_grouped": (j04_asof_merge_grouped, None),
 }
