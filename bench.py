@@ -84,6 +84,12 @@ def main() -> int:
     )
     timings["kmeans_5iter_k8"] = round(time.monotonic() - t0, 3)
 
+    from kmeanwithmapreduce_spark.kmeans.mllib import mllib_kmeans
+
+    t0 = time.monotonic()
+    mllib_kmeans(feats, k=8, seed=42, max_iter=5, init_mode="random")
+    timings["kmeans_mllib_5iter_k8"] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -875,6 +875,36 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q26 — explicit GROUPING SETS with grouping_id (beyond rollup/cube):
+# revenue by (status), by (priority), and overall, tagged.
+def q26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_q26_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+                 AS gid,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS revenue,
+               count(*) AS n_orders
+        FROM _q26_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+Q26_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_region_revenue": (q02_region_revenue, Q02_SQL),
@@ -901,4 +931,5 @@ RELATIONAL_QUERIES = {
     "q23_null_semantics": (q23_null_semantics, Q23_SQL),
     "q24_quantiles": (q24_quantiles, Q24_SQL),
     "q25_regex": (q25_regex, Q25_SQL),
+    "q26_grouping_sets": (q26_grouping_sets, Q26_SQL),
 }

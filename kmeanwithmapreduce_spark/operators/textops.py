@@ -217,9 +217,73 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# t05 — TF-IDF: top-3 terms per document by tf·idf.
+# tf = term count / doc token count; idf = ln(N / df). Scores are
+# floor-truncated at 1e-6 (see relational module doc: floor of
+# op-identical doubles is engine-identical; ln may differ by an ulp
+# between libm implementations — truncation makes that harmless except
+# within 1e-12 of a cell edge). Deterministic tie-break: score desc,
+# term asc.
+def t05_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar, exact in both engines
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.floor(
+        (F.col("tc") * 1.0 / F.col("dl"))
+        * F.log(F.lit(float(n_docs)) / F.col("df"))
+        * 1000000.0
+    ) / 1000000.0
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(doc_len, "doc_id")
+        .join(df_, "term")
+        .select("doc_id", "term", score.alias("tfidf"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+def _t05_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor((tf.tc * 1.0 / doc_len.dl)
+               * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000.0) / 1000000.0
+           AS tfidf
+  FROM tf JOIN doc_len ON tf.doc_id = doc_len.doc_id
+          JOIN df ON tf.term = df.term
+          CROSS JOIN n
+)
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS INT) AS rk
+FROM scored
+QUALIFY rk <= 3
+"""
+
+
+T05_SQL = _t05_sql()
+
+
 TEXT_QUERIES = {
     "t01_doc_stats": (t01_doc_stats, T01_SQL),
     "t02_quality_score": (t02_quality_score, T02_SQL),
     "t03_language_id": (t03_language_id, T03_SQL),
     "t04_fingerprint": (t04_fingerprint, T04_SQL),
+    "t05_tfidf_top_terms": (t05_tfidf_top_terms, T05_SQL),
 }
