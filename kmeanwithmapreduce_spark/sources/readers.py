@@ -29,6 +29,21 @@ TABLES = (
 )
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Make any SparkSession (including one built by an external driver
+    with default configs) able to run this engine's queries correctly:
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which
+      Spark rejects outright without this flag;
+    - UTC session timezone: timestamp outputs must match a UTC-naive
+      DuckDB oracle regardless of the host timezone.
+
+    Both are runtime-settable; idempotent.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 
@@ -37,6 +52,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     .nanosAsLong); convert to a microsecond timestamp to match what
     DuckDB exposes for the same file.
     """
+    ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):

@@ -35,6 +35,9 @@ EVENTS_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (nanos ts -> micros,
     same conversion as the batch reader)."""
+    from ..sources.readers import ensure_session_conf
+
+    ensure_session_conf(spark)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
