@@ -34,7 +34,8 @@ for t in "region nation customer supplier part orders lineitem events documents 
 qs, osql = e.queries(), e.oracle_sql()
 # the events-based, timestamp-emitting queries are the ones a hostile
 # session breaks; check full values on one of each shape
-for name in ["w01_tumbling", "q17_monthly_trend", "q19_sessionization"]:
+for name in ["w01_tumbling", "q17_monthly_trend", "q19_sessionization",
+             "j02_range_join_campaigns", "j01_asof_last_purchase", "w03_session"]:
     got = sorted(map(str, qs[name](spark, sf).collect()))
     n_want = len(con.execute(osql[name]).fetchall())
     assert len(got) == n_want, (name, len(got), n_want)
