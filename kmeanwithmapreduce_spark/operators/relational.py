@@ -905,6 +905,76 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+# --------------------------------------------------------------------------
+# q27 — set operations, ALL variants (bag semantics).
+def q27_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    inter_all = c.intersectAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("op", F.lit("intersect_all"))
+    except_all = c.exceptAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("op", F.lit("except_all"))
+    return inter_all.unionByName(except_all)
+
+
+Q27_SQL = """
+SELECT nationkey, count(*) AS n, 'intersect_all' AS op
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier)
+GROUP BY nationkey
+UNION ALL
+SELECT nationkey, count(*) AS n, 'except_all' AS op
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier)
+GROUP BY nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 — full outer join: per-nation customer vs supplier account
+# balances, keeping nations with only one side present.
+def q28_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(_gridsum(F.col("c_acctbal"), 100, 2).alias("cust_bal"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(_gridsum(F.col("s_acctbal"), 100, 2).alias("supp_bal"))
+    )
+    return c.join(s, c.nk_c == s.nk_s, "full_outer").select(
+        F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+        "cust_bal",
+        "supp_bal",
+        F.col("nk_c").isNull().alias("customer_missing"),
+        F.col("nk_s").isNull().alias("supplier_missing"),
+    )
+
+
+Q28_SQL = f"""
+SELECT coalesce(nk_c, nk_s) AS nationkey,
+       cust_bal, supp_bal,
+       nk_c IS NULL AS customer_missing,
+       nk_s IS NULL AS supplier_missing
+FROM (SELECT c_nationkey AS nk_c, {_sql_gridsum("c_acctbal", 100, 2)} AS cust_bal
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk_s, {_sql_gridsum("s_acctbal", 100, 2)} AS supp_bal
+      FROM supplier GROUP BY s_nationkey) s
+  ON nk_c = nk_s
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_region_revenue": (q02_region_revenue, Q02_SQL),
@@ -932,4 +1002,6 @@ RELATIONAL_QUERIES = {
     "q24_quantiles": (q24_quantiles, Q24_SQL),
     "q25_regex": (q25_regex, Q25_SQL),
     "q26_grouping_sets": (q26_grouping_sets, Q26_SQL),
+    "q27_setops_all": (q27_setops_all, Q27_SQL),
+    "q28_full_outer": (q28_full_outer, Q28_SQL),
 }

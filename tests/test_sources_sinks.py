@@ -52,6 +52,20 @@ def test_sql_surface_matches_dataframe(spark, sf_dir):
     )
 
 
+def test_csv_points_reader_failfast_on_malformed(spark, tmp_path_factory):
+    """Reference parity: a malformed field kills the job (the reference
+    throws NumberFormatException, SURVEY §1.2); FAILFAST reproduces
+    fail-on-malformed rather than silently nulling."""
+    from kmeanwithmapreduce_spark.sources.readers import load_points_csv
+
+    d = tmp_path_factory.mktemp("badpts")
+    p = d / "bad.csv"
+    p.write_text("1.0,2.0\nnot_a_number,4.0\n")
+    df = load_points_csv(spark, str(p), dim=2)
+    with pytest.raises(Exception, match="(?i)malformed|failfast|cannot"):
+        df.collect()
+
+
 def test_csv_points_reader(spark, tmp_path_factory):
     from kmeanwithmapreduce_spark.sources.readers import load_points_csv
 
