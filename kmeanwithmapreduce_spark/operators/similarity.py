@@ -116,7 +116,9 @@ def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFr
     )
     res = core.lloyd(
         feats,
-        core.KMeansParams(k=n_cells, seed=7, thresh=1e-3, max_loop=10),
+        # few iterations: cell quality barely moves after 4 and the cells
+        # only gate the candidate set, not correctness of ranking
+        core.KMeansParams(k=n_cells, seed=7, thresh=1e-2, max_loop=4),
     )
     cells = core.assign(feats, res.centroids)  # vec_id -> cell
     q = cells.where(F.col("vec_id") < _N_QUERIES).select(
