@@ -85,6 +85,17 @@ def streaming_session_agg(events: DataFrame, watermark: str = "30 minutes") -> D
     )
 
 
+def streaming_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark keeps each key only until the
+    watermark passes it — the unbounded-stream version of d01. Late
+    re-arrivals inside the watermark are dropped as duplicates; state
+    never grows past the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -41,6 +41,40 @@ def test_streaming_session_equals_batch(spark, sf_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_streaming_dedup_drops_replayed_batch(spark, sf_dir, tmp_path_factory):
+    """Write the same rows twice as two files: the second delivery must
+    be fully deduplicated by event_id within the watermark."""
+    import pyspark.sql.functions as FF
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    )
+    batch.write.mode("overwrite").parquet(src)
+    batch.write.mode("append").parquet(src)  # replay: every row duplicated
+
+    raw = (
+        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = raw.withColumn("ts", FF.timestamp_micros(FF.expr("ts DIV 1000")))
+    deduped = sw.streaming_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT event_id FROM sdedup")
+    assert out.count() == 200
+    assert out.distinct().count() == 200
+
+
 def test_streaming_kmeans_converges_toward_batch(spark, sf_dir):
     stream = sw.read_events_stream(spark, sf_dir).select(
         F.array(F.col("value")).cast("array<float>").alias("features")
