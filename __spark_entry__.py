@@ -95,6 +95,16 @@ def k02_kmeans_compat_customer_shape(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def k03_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path MLlib KMeans on the lineitem projection (k-means||
+    init, seeded); returns per-cluster sizes (rows-only: iterative)."""
+    from kmeanwithmapreduce_spark.kmeans.mllib import mllib_kmeans
+
+    feats = _lineitem_features(spark, sf_dir)
+    _model, labeled = mllib_kmeans(feats, k=4, seed=42, max_iter=15)
+    return labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_points"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return k01_kmeans_lineitem(spark, SF001)
@@ -108,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["k01_kmeans_lineitem"] = k01_kmeans_lineitem
     out["k02_kmeans_compat"] = k02_kmeans_compat_customer_shape
+    out["k03_kmeans_mllib"] = k03_kmeans_mllib
     return out
 
 

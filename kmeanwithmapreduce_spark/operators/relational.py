@@ -975,6 +975,52 @@ FULL OUTER JOIN
 """
 
 
+# --------------------------------------------------------------------------
+# q29 — unpivot (melt): the inverse of q20's pivot, back to long form.
+def q29_unpivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q20_pivot_daily_events(spark, sf_dir)
+    return wide.unpivot(
+        "day", _EVENT_TYPES, "event_type", "n"
+    ).where(F.col("n") > 0)
+
+
+Q29_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q30 — posexplode (generator with ordinality): per-position stats over
+# the embedding vectors (mean per dimension across the corpus).
+def q30_posexplode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.floor(
+                    F.sum(F.col("v").cast("double")) * 10000.0 / F.count(F.lit(1))
+                )
+                / 10000.0
+            ).alias("dim_mean"),
+        )
+    )
+
+
+Q30_SQL = """
+SELECT CAST(u.i - 1 AS INT) AS dim,
+       count(*) AS n,
+       floor(sum(CAST(embedding[u.i] AS DOUBLE)) * 10000.0 / count(*)) / 10000.0
+         AS dim_mean
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+GROUP BY u.i
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_region_revenue": (q02_region_revenue, Q02_SQL),
@@ -1004,4 +1050,6 @@ RELATIONAL_QUERIES = {
     "q26_grouping_sets": (q26_grouping_sets, Q26_SQL),
     "q27_setops_all": (q27_setops_all, Q27_SQL),
     "q28_full_outer": (q28_full_outer, Q28_SQL),
+    "q29_unpivot_daily_events": (q29_unpivot_daily_events, Q29_SQL),
+    "q30_posexplode_embedding_dims": (q30_posexplode_embedding_dims, Q30_SQL),
 }
