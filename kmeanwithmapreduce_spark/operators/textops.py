@@ -280,10 +280,71 @@ QUALIFY rk <= 3
 T05_SQL = _t05_sql()
 
 
+# --------------------------------------------------------------------------
+# t06 — document clustering: TF-IDF -> feature hashing (md5-bucketed
+# hashing trick, 32 dims) -> the engine's own K-Means. The composition
+# the reference exists for (clustering), applied to the text pipeline.
+# Rows-only (iterative). Scale: one extra groupBy to assemble the
+# hashed vectors; everything else is the K-Means core path.
+_HASH_DIMS = 32
+
+
+def t06_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..kmeans import core
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
+        % _HASH_DIMS
+    ).cast("int")
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(df_, "term")
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            (
+                (F.col("tc") * 1.0 / F.col("dl"))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("w").alias("w"))
+    )
+    # assemble dense vectors: map buckets into a fixed-arity array
+    vec = scored.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("w")))
+        ).alias("m")
+    )
+    feats = vec.select(
+        "doc_id",
+        F.array(
+            *[
+                F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0))
+                for i in range(_HASH_DIMS)
+            ]
+        )
+        .cast("array<float>")
+        .alias("features"),
+    )
+    res = core.lloyd(
+        feats, core.KMeansParams(k=5, seed=13, thresh=1e-3, max_loop=8)
+    )
+    labeled = core.label(feats, res.centroids)
+    return labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 TEXT_QUERIES = {
     "t01_doc_stats": (t01_doc_stats, T01_SQL),
     "t02_quality_score": (t02_quality_score, T02_SQL),
     "t03_language_id": (t03_language_id, T03_SQL),
     "t04_fingerprint": (t04_fingerprint, T04_SQL),
     "t05_tfidf_top_terms": (t05_tfidf_top_terms, T05_SQL),
+    "t06_tfidf_kmeans": (t06_tfidf_kmeans, None),
 }
