@@ -1021,6 +1021,65 @@ GROUP BY u.i
 """
 
 
+# --------------------------------------------------------------------------
+# q31 — ranking-function battery: ntile / percent_rank / cume_dist /
+# dense_rank over customer balances per nation.
+def q31_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        (F.floor(F.percent_rank().over(w) * 10000.0) / 10000.0).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 10000.0) / 10000.0).alias("cume"),
+        F.dense_rank().over(w).cast("int").alias("drank"),
+    )
+
+
+Q31_SQL = """
+SELECT c_nationkey, c_custkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       floor(percent_rank() OVER w * 10000.0) / 10000.0 AS pct_rank,
+       floor(cume_dist() OVER w * 10000.0) / 10000.0 AS cume,
+       CAST(dense_rank() OVER w AS INT) AS drank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — correlated scalar subquery: parts priced above their own brand's
+# average retail price (decorrelated by Catalyst into a join under the
+# hood — the plan to check, not hand-write).
+def q32_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q32_part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_premium
+        FROM _q32_part p
+        WHERE p_retailprice > (
+            SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / count(*)
+            FROM _q32_part p2 WHERE p2.p_brand = p.p_brand
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+Q32_SQL = """
+SELECT p_brand, count(*) AS n_premium
+FROM part p
+WHERE p_retailprice > (
+    SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / count(*)
+    FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+GROUP BY p_brand
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_region_revenue": (q02_region_revenue, Q02_SQL),
@@ -1052,4 +1111,6 @@ RELATIONAL_QUERIES = {
     "q28_full_outer": (q28_full_outer, Q28_SQL),
     "q29_unpivot_daily_events": (q29_unpivot_daily_events, Q29_SQL),
     "q30_posexplode_embedding_dims": (q30_posexplode_embedding_dims, Q30_SQL),
+    "q31_ranking_battery": (q31_ranking_battery, Q31_SQL),
+    "q32_correlated_subquery": (q32_correlated_subquery, Q32_SQL),
 }
