@@ -334,7 +334,7 @@ def t06_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("features"),
     )
     res = core.lloyd(
-        feats, core.KMeansParams(k=5, seed=13, thresh=1e-3, max_loop=8)
+        feats, core.KMeansParams(k=5, seed=13, thresh=1e-2, max_loop=5)
     )
     labeled = core.label(feats, res.centroids)
     return labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
