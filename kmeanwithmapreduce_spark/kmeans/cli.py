@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--NumReduceTask", type=int, default=1)
     p.add_argument("--mode", choices=["compat", "native", "mllib"], default="compat")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--trace",
+        action="store_true",
+        help="per-iteration centroid/movement dump (reference console tracing)",
+    )
     return p
 
 
@@ -65,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             k=args.k, thresh=args.thresh, max_loop=args.maxloop,
             seed=args.seed, mode=args.mode,
         )
-        res = core.lloyd(df, params)
+        res = core.lloyd(df, params, trace=args.trace)
         centroids, n_iter, seconds = res.centroids, res.n_iter, res.seconds
         labeled = core.label(df, centroids)
         dbi = core.davies_bouldin_index(labeled, centroids)

@@ -161,6 +161,7 @@ def lloyd(
     df: DataFrame,
     params: KMeansParams,
     init_centroids: Sequence[Sequence[float]] | None = None,
+    trace: bool = False,
 ) -> KMeansResult:
     """Iterated {assign, aggregate, converge-test} (Main.java:301-343).
 
@@ -207,6 +208,14 @@ def lloyd(
             else:  # empty cluster: keep old centroid (documented divergence)
                 new_centroids.append(list(centroids[i]))
                 sizes[i] = 0
+        if trace:  # per-iteration dump, mirroring Main.java:249-254,331
+            for i, c in enumerate(new_centroids):
+                moved = _movement(c, centroids[i])
+                print(
+                    f"[iter {n_iter}] C{i} = {','.join(f'{v:.5f}' for v in c)}"
+                    f"  moved={moved:.6f} {'<=' if moved <= params.thresh else '>'}"
+                    f" thresh={params.thresh}"
+                )
         if all(
             _movement(new_centroids[i], centroids[i]) <= params.thresh
             for i in range(params.k)
