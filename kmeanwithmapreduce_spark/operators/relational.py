@@ -1080,6 +1080,72 @@ GROUP BY p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# q33 — statistical aggregates from EXACT integer moments: built-in
+# stddev/corr accumulate doubles in engine-specific order; computing the
+# raw moments (sum x, sum x^2, sum x*y) as exact BIGINTs over the
+# decimal grid and applying the textbook formulas in identical op order
+# makes the results bit-identical across engines.
+def q33_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")  # quantity is integer-grid
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")  # cents
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p).alias("sp"),
+        F.sum(p * p).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sqq = F.col("sqq").cast("double")
+    sp = F.col("sp").cast("double") / 100.0
+    spp = F.col("spp").cast("double") / 10000.0
+    sqp = F.col("sqp").cast("double") / 100.0
+    var_q = (sqq - sq * sq / n) / (n - 1.0)
+    var_p = (spp - sp * sp / n) / (n - 1.0)
+    cov = (sqp - sq * sp / n) / (n - 1.0)
+    corr = cov / (F.sqrt(var_q) * F.sqrt(var_p))
+    return agg.select(
+        "l_returnflag",
+        F.col("n"),
+        (F.floor(F.sqrt(var_q) * 10000.0) / 10000.0).alias("stddev_qty"),
+        (F.floor(F.sqrt(var_p) * 100.0) / 100.0).alias("stddev_price"),
+        (F.floor(corr * 1000000.0) / 1000000.0).alias("corr_qty_price"),
+    )
+
+
+Q33_SQL = """
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       floor(sqrt((sqq - sq * sq / n) / (n - 1.0)) * 10000.0) / 10000.0
+         AS stddev_qty,
+       floor(sqrt((spp - sp * sp / n) / (n - 1.0)) * 100.0) / 100.0
+         AS stddev_price,
+       floor(((sqp - sq * sp / n) / (n - 1.0))
+             / (sqrt((sqq - sq * sq / n) / (n - 1.0))
+                * sqrt((spp - sp * sp / n) / (n - 1.0))) * 1000000.0) / 1000000.0
+         AS corr_qty_price
+FROM (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(q) AS DOUBLE) AS sq,
+         CAST(sum(q * q) AS DOUBLE) AS sqq,
+         CAST(sum(p) AS DOUBLE) / 100.0 AS sp,
+         CAST(sum(p * p) AS DOUBLE) / 10000.0 AS spp,
+         CAST(sum(q * p) AS DOUBLE) / 100.0 AS sqp
+  FROM (
+    SELECT l_returnflag,
+           CAST(round(l_quantity) AS BIGINT) AS q,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+    FROM lineitem
+  )
+  GROUP BY l_returnflag
+)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_region_revenue": (q02_region_revenue, Q02_SQL),
@@ -1113,4 +1179,5 @@ RELATIONAL_QUERIES = {
     "q30_posexplode_embedding_dims": (q30_posexplode_embedding_dims, Q30_SQL),
     "q31_ranking_battery": (q31_ranking_battery, Q31_SQL),
     "q32_correlated_subquery": (q32_correlated_subquery, Q32_SQL),
+    "q33_exact_stats": (q33_exact_stats, Q33_SQL),
 }
