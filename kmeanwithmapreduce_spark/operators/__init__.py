@@ -22,9 +22,11 @@ ALL_QUERIES = {
 
 __all__ = [
     "ALL_QUERIES",
+    "ADVANCED_JOIN_QUERIES",
     "DEDUP_QUERIES",
     "MULTIMODAL_QUERIES",
     "RELATIONAL_QUERIES",
     "SIMILARITY_QUERIES",
     "TEXT_QUERIES",
+    "WINDOW_QUERIES",
 ]

@@ -114,39 +114,6 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
-# q02 — multi-way dim join + group: revenue per region per year.
-# Scale: region/nation/customer are dims -> broadcast chain onto the
-# orders fact; only the final small agg shuffles.
-def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(
-            _gridsum(F.col("o_totalprice"), 100, 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-
-
-Q02_SQL = f"""
-SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
-       {_sql_gridsum("o_totalprice", 100, 2)} AS revenue,
-       count(*)                    AS n_orders
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-GROUP BY r_name, CAST(year(o_orderdate) AS INT)
-"""
-
-
-# --------------------------------------------------------------------------
 # q03 — TPC-H Q3 shape: selective join + agg + total-order top-10.
 # Scale: both filters push to the scans; top-k is TakeOrderedAndProject
 # (no global sort materialization).
@@ -190,39 +157,6 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
-# q04 — EXISTS / left-semi join: orders with a late-shipped lineitem.
-# Scale: semi-join shuffles only the keys of the probe side; counts per
-# priority are a tiny final agg.
-def q04_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    late = li.join(
-        o.select("o_orderkey", "o_orderdate"),
-        li.l_orderkey == F.col("o_orderkey"),
-    ).where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
-    return (
-        o.join(
-            late.select("l_orderkey").distinct(),
-            o.o_orderkey == F.col("l_orderkey"),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-Q04_SQL = """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders
-WHERE EXISTS (
-    SELECT 1 FROM lineitem
-    WHERE l_orderkey = o_orderkey
-      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-)
-GROUP BY o_orderpriority
-"""
-
-
 # --------------------------------------------------------------------------
 # q05 — TPC-H Q5 shape: 6-way join, customer & supplier in same nation.
 # Scale: dims broadcast; lineitem-orders is the only fact-fact shuffle.
@@ -298,16 +232,29 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 
 # --------------------------------------------------------------------------
-# q07 — ROLLUP: revenue per (nation, year) with subtotals + grand total.
-def q07_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+# q07 — multi-way dim join + ROLLUP over the region -> nation -> year
+# hierarchy: revenue at every level of the hierarchy plus grand total.
+# (Absorbs the former q02 region-revenue join chain: same broadcast-dim
+# pipeline, now with subtotal semantics on top.)
+# Scale: region/nation/customer are dims -> broadcast chain onto the
+# orders fact; rollup expands each row 4x but the shuffle still carries
+# only #groups x #tasks partial rows.
+def q07_rollup_region_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select("n_name", F.year("o_orderdate").cast("int").alias("o_year"), "o_totalprice")
-        .rollup("n_name", "o_year")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_totalprice",
+        )
+        .rollup("r_name", "n_name", "o_year")
         .agg(
             _gridsum(F.col("o_totalprice"), 100, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -316,25 +263,29 @@ def q07_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q07_SQL = f"""
-SELECT n_name, o_year,
+SELECT r_name, n_name, o_year,
        {_sql_gridsum("o_totalprice", 100, 2)} AS revenue,
        count(*)                    AS n_orders
 FROM (
-  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+  SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
 )
-GROUP BY ROLLUP (n_name, o_year)
+GROUP BY ROLLUP (r_name, n_name, o_year)
 """
 
 
 # --------------------------------------------------------------------------
-# q08 — CUBE over (mktsegment, orderstatus).
-def q08_cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+# q08 — CUBE over (mktsegment, orderstatus) via the DataFrame .cube API,
+# UNION ALL'd with explicit GROUPING SETS + grouping_id over
+# (orderstatus)/(orderpriority)/() via SQL (the former q26) — one query
+# covering both grouped-analytics surfaces, disambiguated by src + gid.
+def q08_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return (
+    cube_part = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderstatus", "o_totalprice")
         .cube("c_mktsegment", "o_orderstatus")
@@ -342,11 +293,38 @@ def q08_cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             _gridsum(F.col("o_totalprice"), 100, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+        .select(
+            F.lit("cube").alias("src"),
+            "c_mktsegment",
+            "o_orderstatus",
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.lit(None).cast("int").alias("gid"),
+            "revenue",
+            "n_orders",
+        )
     )
+    o.createOrReplaceTempView("_q08_orders")
+    gsets_part = spark.sql(
+        """
+        SELECT 'gsets' AS src,
+               CAST(NULL AS STRING) AS c_mktsegment,
+               o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+                 AS gid,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS revenue,
+               count(*) AS n_orders
+        FROM _q08_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return cube_part.unionByName(gsets_part)
 
 
 Q08_SQL = f"""
-SELECT c_mktsegment, o_orderstatus,
+SELECT 'cube' AS src, c_mktsegment, o_orderstatus,
+       CAST(NULL AS VARCHAR) AS o_orderpriority,
+       CAST(NULL AS INT) AS gid,
        {_sql_gridsum("o_totalprice", 100, 2)} AS revenue,
        count(*)                    AS n_orders
 FROM (
@@ -354,50 +332,81 @@ FROM (
   FROM orders JOIN customer ON o_custkey = c_custkey
 )
 GROUP BY CUBE (c_mktsegment, o_orderstatus)
+UNION ALL
+SELECT 'gsets' AS src, CAST(NULL AS VARCHAR) AS c_mktsegment,
+       o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
 # --------------------------------------------------------------------------
-# q09 — top-k per group via ranking window: 3 priciest parts per brand.
+# q09 — top-k per group via ranking window: 3 priciest parts per brand,
+# annotated with the full ranking-function battery (ntile / percent_rank
+# / cume_dist / dense_rank — the former q31) over the SAME window spec,
+# so the whole battery shares one sort in one WindowExec (one shuffle).
+# The (price DESC, partkey ASC) ordering is total, so every ranking
+# function is deterministic.
 def q09_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(
         F.desc("p_retailprice"), F.asc("p_partkey")
     )
     return (
-        p.withColumn("rk", F.row_number().over(w).cast("int"))
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.row_number().over(w).cast("int").alias("rk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            (F.floor(F.percent_rank().over(w) * 10000.0) / 10000.0).alias("pct_rank"),
+            (F.floor(F.cume_dist().over(w) * 10000.0) / 10000.0).alias("cume"),
+            F.dense_rank().over(w).cast("int").alias("drank"),
+        )
         .where(F.col("rk") <= 3)
-        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
     )
 
 
 Q09_SQL = """
-SELECT p_brand, p_partkey, p_name, p_retailprice, rk
+SELECT p_brand, p_partkey, p_name, p_retailprice, rk, quartile, pct_rank, cume, drank
 FROM (
   SELECT p_brand, p_partkey, p_name, p_retailprice,
-         CAST(row_number() OVER (PARTITION BY p_brand
-                                 ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rk
+         CAST(row_number() OVER w AS INT) AS rk,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         floor(percent_rank() OVER w * 10000.0) / 10000.0 AS pct_rank,
+         floor(cume_dist() OVER w * 10000.0) / 10000.0 AS cume,
+         CAST(dense_rank() OVER w AS INT) AS drank
   FROM part
+  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
 )
 WHERE rk <= 3
 """
 
 
 # --------------------------------------------------------------------------
-# q10 — analytic window frame: per-customer running revenue total.
+# q10 — analytic window-frame + lag/lead battery over one window sort:
+# per-customer running revenue total (UNBOUNDED PRECEDING frame) plus
+# prev/next order price and day gaps (the former q11). Same partition
+# key + ordering for every function -> Catalyst plans ONE Exchange and
+# one sort shared by the frame and the offset functions.
 def q10_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    prev_date = F.lag("o_orderdate").over(wo)
     return o.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
         (F.sum(cents).over(w).cast("double") / 100.0).alias("running_revenue"),
+        F.lag("o_totalprice").over(wo).alias("prev_price"),
+        F.lead("o_totalprice").over(wo).alias("next_price"),
+        F.datediff(F.col("o_orderdate"), prev_date).cast("int").alias("gap_days"),
     )
 
 
@@ -408,28 +417,7 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                   ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            / 100.0
-         AS running_revenue
-FROM orders
-"""
-
-
-# --------------------------------------------------------------------------
-# q11 — lag/lead analytics: days between consecutive orders per customer.
-def q11_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    prev_date = F.lag("o_orderdate").over(w)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-        F.datediff(F.col("o_orderdate"), prev_date).cast("int").alias("gap_days"),
-    )
-
-
-Q11_SQL = """
-SELECT o_custkey, o_orderkey,
+         AS running_revenue,
        lag(o_totalprice)  OVER w AS prev_price,
        lead(o_totalprice) OVER w AS next_price,
        CAST(date_diff('day',
@@ -441,68 +429,141 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 # --------------------------------------------------------------------------
-# q12 — semi + anti join united with a tag: customer activity per nation.
-def q12_semi_anti_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+# q12 — semi/anti-join battery, united with tags: customer activity per
+# nation (semi + anti on customer->orders) AND late-shipment order counts
+# per priority (a correlated-EXISTS semi over lineitem->orders, the
+# former q04). Scale: each semi/anti shuffles only the probe keys; the
+# final aggs are tiny.
+def q12_semi_anti_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = o.select("o_custkey")
     active = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+        c.join(ok, c.c_custkey == ok.o_custkey, "left_semi")
+        .groupBy(F.col("c_nationkey").cast("string").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("status", F.lit("active"))
     )
     inactive = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+        c.join(ok, c.c_custkey == ok.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("string").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("status", F.lit("inactive"))
     )
-    return active.unionByName(inactive)
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+    late_exists = (
+        o.join(
+            late.select("l_orderkey").distinct(),
+            o.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("status", F.lit("late_exists"))
+    )
+    return active.unionByName(inactive).unionByName(late_exists)
 
 
 Q12_SQL = """
-SELECT c_nationkey, count(*) AS n_customers, 'active' AS status
+SELECT CAST(c_nationkey AS VARCHAR) AS grp, count(*) AS n_rows, 'active' AS status
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
 GROUP BY c_nationkey
 UNION ALL
-SELECT c_nationkey, count(*) AS n_customers, 'inactive' AS status
+SELECT CAST(c_nationkey AS VARCHAR) AS grp, count(*) AS n_rows, 'inactive' AS status
 FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 GROUP BY c_nationkey
+UNION ALL
+SELECT o_orderpriority AS grp, count(*) AS n_rows, 'late_exists' AS status
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
 """
 
 
 # --------------------------------------------------------------------------
-# q13 — set operations: nation keys by who has customers vs suppliers.
-def q13_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+# q13 — set-operation battery: DISTINCT set semantics (INTERSECT /
+# EXCEPT: nation keys by who has customers vs suppliers) united with the
+# ALL bag-semantics variants (INTERSECT ALL / EXCEPT ALL multiplicity
+# counts, the former q27), each branch tagged via src. n carries the
+# multiplicity for ALL branches and literal 1 for the distinct branches.
+def q13_setops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    both = c.intersect(s).withColumn("src", F.lit("both"))
-    cust_only = c.distinct().exceptAll(s.distinct()).withColumn("src", F.lit("customer_only"))
-    supp_only = s.distinct().exceptAll(c.distinct()).withColumn("src", F.lit("supplier_only"))
-    return both.unionByName(cust_only).unionByName(supp_only)
+    one = F.lit(1).cast("bigint").alias("n")
+    both = c.intersect(s).select("nationkey", one).withColumn("src", F.lit("both"))
+    cust_only = (
+        c.distinct()
+        .exceptAll(s.distinct())
+        .select("nationkey", one)
+        .withColumn("src", F.lit("customer_only"))
+    )
+    supp_only = (
+        s.distinct()
+        .exceptAll(c.distinct())
+        .select("nationkey", one)
+        .withColumn("src", F.lit("supplier_only"))
+    )
+    inter_all = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("src", F.lit("intersect_all"))
+    )
+    except_all = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("src", F.lit("except_all"))
+    )
+    return (
+        both.unionByName(cust_only)
+        .unionByName(supp_only)
+        .unionByName(inter_all)
+        .unionByName(except_all)
+    )
 
 
 Q13_SQL = """
-SELECT nationkey, 'both' AS src
+SELECT nationkey, CAST(1 AS BIGINT) AS n, 'both' AS src
 FROM (SELECT c_nationkey AS nationkey FROM customer
       INTERSECT
       SELECT s_nationkey FROM supplier)
 UNION ALL
-SELECT nationkey, 'customer_only' AS src
+SELECT nationkey, CAST(1 AS BIGINT) AS n, 'customer_only' AS src
 FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
       EXCEPT
       SELECT DISTINCT s_nationkey FROM supplier)
 UNION ALL
-SELECT nationkey, 'supplier_only' AS src
+SELECT nationkey, CAST(1 AS BIGINT) AS n, 'supplier_only' AS src
 FROM (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
       EXCEPT
       SELECT DISTINCT c_nationkey FROM customer)
+UNION ALL
+SELECT nationkey, count(*) AS n, 'intersect_all' AS src
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier)
+GROUP BY nationkey
+UNION ALL
+SELECT nationkey, count(*) AS n, 'except_all' AS src
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier)
+GROUP BY nationkey
 """
 
 
@@ -526,50 +587,78 @@ GROUP BY l_suppkey
 
 
 # --------------------------------------------------------------------------
-# q15 — conditional aggregation (TPC-H Q12 shape): high/low priority
-# order counts per return flag.
-def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+# q15 — conditional aggregation (TPC-H Q12 shape) + null-semantics
+# battery in one grouped agg over lineitem JOIN orders. The reference
+# has NO null handling at all (SURVEY §1.2 — malformed input kills the
+# task); this pins the engine's ANSI behavior alongside the CASE
+# counting: count(*) vs count(col) (null-skipping), nullif-derived
+# nulls, distinct-over-nullable, coalesce, three-valued CASE logic.
+def q15_conditional_null_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    big_price = F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice"))
+    status_n = F.nullif(F.col("o_orderstatus"), F.lit("P"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_returnflag", "o_orderpriority", big_price.alias("big_price"), status_n.alias("status_n"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+            F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("big_price").alias("n_big"),  # count(col) skips nulls
+            F.countDistinct("status_n").alias("n_status"),  # distinct ignores null
+            F.sum(F.col("big_price").isNull().cast("int")).cast("bigint").alias("n_null_big"),
+            _gridsum(F.coalesce(F.col("big_price"), F.lit(0.0)), 100, 2).alias("total_big"),
         )
     )
 
 
-Q15_SQL = """
+Q15_SQL = f"""
 SELECT l_returnflag,
        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
          AS high_line_count,
        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
-         AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         AS low_line_count,
+       count(*) AS n_rows,
+       count(big_price) AS n_big,
+       count(DISTINCT status_n) AS n_status,
+       CAST(sum(CASE WHEN big_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_big,
+       {_sql_gridsum("coalesce(big_price, 0.0)", 100, 2)} AS total_big
+FROM (
+  SELECT l_returnflag, o_orderpriority,
+         CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END AS big_price,
+         nullif(o_orderstatus, 'P') AS status_n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
 GROUP BY l_returnflag
 """
 
 
 # --------------------------------------------------------------------------
-# q16 — string function battery over part.
-def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# q16 — string + regex function battery over part: upper/substring/
+# length/concat_ws alongside regexp_extract and rlike (the former q25;
+# Java regex and DuckDB's RE2 agree on this pattern class). is_budget
+# joins the grouping keys so the regex result shapes the output groups.
+def q16_string_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
+    brand_num = F.regexp_extract(F.col("p_brand"), "Brand#([0-9]+)", 1).cast("int")
     return (
         p.select(
             F.upper(F.col("p_type")).alias("type_upper"),
             F.substring(F.col("p_name"), 1, 4).alias("name_prefix"),
+            F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_budget"),
             F.length(F.col("p_name")).cast("int").alias("name_len"),
             F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            brand_num.alias("brand_num"),
             F.col("p_retailprice"),
         )
-        .groupBy("type_upper", "name_prefix")
+        .groupBy("type_upper", "name_prefix", "is_budget")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.max("name_len").cast("int").alias("max_name_len"),
             F.countDistinct("brand_type").alias("n_brand_types"),
+            F.max("brand_num").cast("int").alias("max_brand_num"),
             _gridavg(F.col("p_retailprice"), 100, 4).alias("avg_price"),
         )
     )
@@ -578,12 +667,15 @@ def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q16_SQL = f"""
 SELECT upper(p_type)        AS type_upper,
        substr(p_name, 1, 4) AS name_prefix,
+       regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_budget,
        count(*)             AS n,
        CAST(max(length(p_name)) AS INT)            AS max_name_len,
        count(DISTINCT p_brand || '|' || p_type)    AS n_brand_types,
+       CAST(max(CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT)) AS INT)
+         AS max_brand_num,
        {_sql_gridavg("p_retailprice", 100, 4)}     AS avg_price
 FROM part
-GROUP BY upper(p_type), substr(p_name, 1, 4)
+GROUP BY 1, 2, 3
 """
 
 
@@ -684,29 +776,31 @@ GROUP BY n_sessions
 
 
 # --------------------------------------------------------------------------
-# q20 — pivot: daily counts per event type as columns.
+# q20 — pivot + unpivot roundtrip in ONE plan: daily counts per event
+# type widened to columns (pivot), then melted back to long form
+# (unpivot/melt, the former q29) and filtered to observed cells. Both
+# reshaping operators are exercised and the result is oracle-checkable
+# as a plain grouped count.
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
-def q20_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return (
+    wide = (
         e.groupBy(F.to_date(F.col("ts")).alias("day"))
         .pivot("event_type", _EVENT_TYPES)
         .count()
         .na.fill(0, _EVENT_TYPES)
     )
+    return wide.unpivot("day", _EVENT_TYPES, "event_type", "n").where(
+        F.col("n") > 0
+    )
 
 
 Q20_SQL = """
-SELECT CAST(ts AS DATE) AS day,
-       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
-       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
-       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
 FROM events
-GROUP BY CAST(ts AS DATE)
+GROUP BY 1, 2
 """
 
 
@@ -739,10 +833,15 @@ GROUP BY c_count
 
 
 # --------------------------------------------------------------------------
-# q22 — TPC-H Q22 shape: scalar subquery (global average) + anti join.
-# The global avg is exact (grid-decimal sum, see module doc) so the
-# filter boundary is engine-identical.
-def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+# q22 — subquery battery: TPC-H Q22 shape (scalar subquery global
+# average + anti join: wealthy inactive customers per nation) united
+# with a correlated per-group scalar subquery (parts priced above their
+# own brand's average, the former q32 — decorrelated by Catalyst into a
+# join under the hood). Both averages are exact (grid-decimal sums, see
+# module doc) so the filter boundaries are engine-identical. The q22
+# scalar is a driver fetch of ONE double (scale-fine); the correlated
+# branch stays fully declarative to exercise the decorrelation path.
+def q22_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     avg_bal = (
@@ -756,20 +855,37 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .first()["a"]
     )
-    return (
+    wealthy = (
         c.where(F.col("c_acctbal") > avg_bal)
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
+        .groupBy(F.col("c_nationkey").cast("string").alias("grp"))
         .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            _gridsum(F.col("c_acctbal"), 100, 2).alias("totacctbal"),
+            F.count(F.lit(1)).alias("n"),
+            _gridsum(F.col("c_acctbal"), 100, 2).alias("val"),
         )
+        .select(F.lit("wealthy_inactive").alias("src"), "grp", "n", "val")
     )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q22_part")
+    premium = spark.sql(
+        """
+        SELECT 'brand_premium' AS src, p_brand AS grp, count(*) AS n,
+               CAST(NULL AS DOUBLE) AS val
+        FROM _q22_part p
+        WHERE p_retailprice > (
+            SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / count(*)
+            FROM _q22_part p2 WHERE p2.p_brand = p.p_brand
+        )
+        GROUP BY p_brand
+        """
+    )
+    return wealthy.unionByName(premium)
 
 
 Q22_SQL = f"""
-SELECT c_nationkey, count(*) AS numcust,
-       {_sql_gridsum("c_acctbal", 100, 2)} AS totacctbal
+SELECT 'wealthy_inactive' AS src, CAST(c_nationkey AS VARCHAR) AS grp,
+       count(*) AS n,
+       {_sql_gridsum("c_acctbal", 100, 2)} AS val
 FROM customer
 WHERE c_acctbal > (
         SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
@@ -778,163 +894,107 @@ WHERE c_acctbal > (
       )
   AND c_custkey NOT IN (SELECT o_custkey FROM orders)
 GROUP BY c_nationkey
-"""
-
-
-# --------------------------------------------------------------------------
-# q23 — null semantics battery: the reference has NO null handling at all
-# (SURVEY §1.2 — malformed input kills the task); this pins the engine's
-# ANSI behavior: count(*) vs count(col), distinct-with-null, null-safe
-# equality, coalesce, null grouping keys, three-valued WHERE logic.
-def q23_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    with_nulls = o.select(
-        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"),
-        F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice")).alias(
-            "big_price"
-        ),
-        "o_orderpriority",
-    )
-    return with_nulls.groupBy("status_n").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("big_price").alias("n_big"),  # count(col) skips nulls
-        F.countDistinct("o_orderpriority").alias("n_prio"),
-        F.sum(F.col("big_price").isNull().cast("int")).cast("bigint").alias(
-            "n_null_big"
-        ),
-        _gridsum(F.coalesce(F.col("big_price"), F.lit(0.0)), 100, 2).alias(
-            "total_big"
-        ),
-    )
-
-
-Q23_SQL = f"""
-SELECT nullif(o_orderstatus, 'P') AS status_n,
-       count(*) AS n_rows,
-       count(big_price) AS n_big,
-       count(DISTINCT o_orderpriority) AS n_prio,
-       CAST(sum(CASE WHEN big_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_big,
-       {_sql_gridsum("coalesce(big_price, 0.0)", 100, 2)} AS total_big
-FROM (
-  SELECT o_orderstatus, o_orderpriority,
-         CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END AS big_price
-  FROM orders
+UNION ALL
+SELECT 'brand_premium' AS src, p_brand AS grp, count(*) AS n,
+       CAST(NULL AS DOUBLE) AS val
+FROM part p
+WHERE p_retailprice > (
+    SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / count(*)
+    FROM part p2 WHERE p2.p_brand = p.p_brand
 )
-GROUP BY nullif(o_orderstatus, 'P')
+GROUP BY p_brand
 """
 
 
 # --------------------------------------------------------------------------
-# q24 — exact percentiles (linear interpolation — same convention in
-# Spark's percentile() and DuckDB's quantile_cont). Restricted to the
-# integer-valued quantity column so interpolated midpoints are exact
-# binary values (engine-identical without truncation).
-def q24_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+# q24 — quantiles + statistical aggregates in one grouped pass over
+# lineitem:
+# - exact percentiles (linear interpolation — same convention in Spark's
+#   percentile() and DuckDB's quantile_cont), restricted to the
+#   integer-valued quantity column so interpolated midpoints are exact
+#   binary values (engine-identical without truncation);
+# - stddev/corr from EXACT integer moments (the former q33): built-in
+#   stddev/corr accumulate doubles in engine-specific order, so the raw
+#   moments (sum x, sum x^2, sum x*y) are accumulated EXACTLY over the
+#   decimal grid and the textbook formulas applied in identical op order.
+# Moment sums use DECIMAL, not BIGINT: p*p is ~1e14 per row, so BIGINT
+# per-group sums overflow int64 (~9.2e18) around sf~1 — Spark would wrap
+# silently (non-ANSI) while DuckDB promotes to HUGEINT. decimal(12,0)
+# inputs give products decimal(25,0) and sums decimal(35,0) — exact to
+# ~1e35, i.e. past 100 TB scale, matching DuckDB's HUGEINT oracle.
+def q24_quantiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    q = F.round(F.col("l_quantity")).cast("long")  # quantity is integer-grid
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")  # cents
+    qd = q.cast("decimal(12,0)")
+    pd_ = p.cast("decimal(12,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
         F.percentile("l_quantity", 0.5).alias("p50_qty"),
         F.percentile("l_quantity", 0.9).alias("p90_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
+        F.sum(qd).alias("sq_d"),
+        F.sum(qd * qd).alias("sqq_d"),
+        F.sum(pd_).alias("sp_d"),
+        F.sum(pd_ * pd_).alias("spp_d"),
+        F.sum(qd * pd_).alias("sqp_d"),
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq_d").cast("double")
+    sqq = F.col("sqq_d").cast("double")
+    sp = F.col("sp_d").cast("double") / 100.0
+    spp = F.col("spp_d").cast("double") / 10000.0
+    sqp = F.col("sqp_d").cast("double") / 100.0
+    var_q = (sqq - sq * sq / n) / (n - 1.0)
+    var_p = (spp - sp * sp / n) / (n - 1.0)
+    cov = (sqp - sq * sp / n) / (n - 1.0)
+    corr = cov / (F.sqrt(var_q) * F.sqrt(var_p))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "p50_qty",
+        "p90_qty",
+        "min_qty",
+        "max_qty",
+        (F.floor(F.sqrt(var_q) * 10000.0) / 10000.0).alias("stddev_qty"),
+        (F.floor(F.sqrt(var_p) * 100.0) / 100.0).alias("stddev_price"),
+        (F.floor(corr * 1000000.0) / 1000000.0).alias("corr_qty_price"),
     )
 
 
 Q24_SQL = """
-SELECT l_returnflag,
-       quantile_cont(l_quantity, 0.5) AS p50_qty,
-       quantile_cont(l_quantity, 0.9) AS p90_qty,
-       min(l_quantity) AS min_qty,
-       max(l_quantity) AS max_qty
-FROM lineitem
-GROUP BY l_returnflag
-"""
-
-
-# --------------------------------------------------------------------------
-# q25 — regular expressions: extract the Brand number and match part
-# types by pattern (Java regex and RE2 agree on this class of pattern).
-def q25_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
-    brand_num = F.regexp_extract(F.col("p_brand"), "Brand#([0-9]+)", 1).cast("int")
-    return (
-        p.select(
-            brand_num.alias("brand_num"),
-            F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_budget"),
-        )
-        .groupBy("brand_num", "is_budget")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-    )
-
-
-Q25_SQL = """
-SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num,
-       regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_budget,
-       count(*) AS n_parts
-FROM part
-GROUP BY 1, 2
-"""
-
-
-# --------------------------------------------------------------------------
-# q26 — explicit GROUPING SETS with grouping_id (beyond rollup/cube):
-# revenue by (status), by (priority), and overall, tagged.
-def q26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("_q26_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
-                 AS gid,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-                 AS revenue,
-               count(*) AS n_orders
-        FROM _q26_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
-
-
-Q26_SQL = """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
-       count(*) AS n_orders
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-"""
-
-
-# --------------------------------------------------------------------------
-# q27 — set operations, ALL variants (bag semantics).
-def q27_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    inter_all = c.intersectAll(s).groupBy("nationkey").agg(
-        F.count(F.lit(1)).alias("n")
-    ).withColumn("op", F.lit("intersect_all"))
-    except_all = c.exceptAll(s).groupBy("nationkey").agg(
-        F.count(F.lit(1)).alias("n")
-    ).withColumn("op", F.lit("except_all"))
-    return inter_all.unionByName(except_all)
-
-
-Q27_SQL = """
-SELECT nationkey, count(*) AS n, 'intersect_all' AS op
-FROM (SELECT c_nationkey AS nationkey FROM customer
-      INTERSECT ALL
-      SELECT s_nationkey FROM supplier)
-GROUP BY nationkey
-UNION ALL
-SELECT nationkey, count(*) AS n, 'except_all' AS op
-FROM (SELECT c_nationkey AS nationkey FROM customer
-      EXCEPT ALL
-      SELECT s_nationkey FROM supplier)
-GROUP BY nationkey
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       p50_qty, p90_qty, min_qty, max_qty,
+       floor(sqrt((sqq - sq * sq / n) / (n - 1.0)) * 10000.0) / 10000.0
+         AS stddev_qty,
+       floor(sqrt((spp - sp * sp / n) / (n - 1.0)) * 100.0) / 100.0
+         AS stddev_price,
+       floor(((sqp - sq * sp / n) / (n - 1.0))
+             / (sqrt((sqq - sq * sq / n) / (n - 1.0))
+                * sqrt((spp - sp * sp / n) / (n - 1.0))) * 1000000.0) / 1000000.0
+         AS corr_qty_price
+FROM (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         quantile_cont(l_quantity, 0.5) AS p50_qty,
+         quantile_cont(l_quantity, 0.9) AS p90_qty,
+         min(l_quantity) AS min_qty,
+         max(l_quantity) AS max_qty,
+         CAST(sum(q) AS DOUBLE) AS sq,
+         CAST(sum(q * q) AS DOUBLE) AS sqq,
+         CAST(sum(p) AS DOUBLE) / 100.0 AS sp,
+         CAST(sum(p * p) AS DOUBLE) / 10000.0 AS spp,
+         CAST(sum(q * p) AS DOUBLE) / 100.0 AS sqp
+  FROM (
+    SELECT l_returnflag, l_quantity,
+           CAST(round(l_quantity) AS BIGINT) AS q,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+    FROM lineitem
+  )
+  GROUP BY l_returnflag
+)
 """
 
 
@@ -976,22 +1036,6 @@ FULL OUTER JOIN
 
 
 # --------------------------------------------------------------------------
-# q29 — unpivot (melt): the inverse of q20's pivot, back to long form.
-def q29_unpivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wide = q20_pivot_daily_events(spark, sf_dir)
-    return wide.unpivot(
-        "day", _EVENT_TYPES, "event_type", "n"
-    ).where(F.col("n") > 0)
-
-
-Q29_SQL = """
-SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
-FROM events
-GROUP BY 1, 2
-"""
-
-
-# --------------------------------------------------------------------------
 # q30 — posexplode (generator with ordinality): per-position stats over
 # the embedding vectors (mean per dimension across the corpus).
 def q30_posexplode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,163 +1065,32 @@ GROUP BY u.i
 """
 
 
-# --------------------------------------------------------------------------
-# q31 — ranking-function battery: ntile / percent_rank / cume_dist /
-# dense_rank over customer balances per nation.
-def q31_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_nationkey",
-        "c_custkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        (F.floor(F.percent_rank().over(w) * 10000.0) / 10000.0).alias("pct_rank"),
-        (F.floor(F.cume_dist().over(w) * 10000.0) / 10000.0).alias("cume"),
-        F.dense_rank().over(w).cast("int").alias("drank"),
-    )
-
-
-Q31_SQL = """
-SELECT c_nationkey, c_custkey,
-       CAST(ntile(4) OVER w AS INT) AS quartile,
-       floor(percent_rank() OVER w * 10000.0) / 10000.0 AS pct_rank,
-       floor(cume_dist() OVER w * 10000.0) / 10000.0 AS cume,
-       CAST(dense_rank() OVER w AS INT) AS drank
-FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-"""
-
-
-# --------------------------------------------------------------------------
-# q32 — correlated scalar subquery: parts priced above their own brand's
-# average retail price (decorrelated by Catalyst into a join under the
-# hood — the plan to check, not hand-write).
-def q32_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q32_part")
-    return spark.sql(
-        """
-        SELECT p_brand, count(*) AS n_premium
-        FROM _q32_part p
-        WHERE p_retailprice > (
-            SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
-                   / 100.0 / count(*)
-            FROM _q32_part p2 WHERE p2.p_brand = p.p_brand
-        )
-        GROUP BY p_brand
-        """
-    )
-
-
-Q32_SQL = """
-SELECT p_brand, count(*) AS n_premium
-FROM part p
-WHERE p_retailprice > (
-    SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
-           / 100.0 / count(*)
-    FROM part p2 WHERE p2.p_brand = p.p_brand
-)
-GROUP BY p_brand
-"""
-
-
-# --------------------------------------------------------------------------
-# q33 — statistical aggregates from EXACT integer moments: built-in
-# stddev/corr accumulate doubles in engine-specific order; computing the
-# raw moments (sum x, sum x^2, sum x*y) as exact BIGINTs over the
-# decimal grid and applying the textbook formulas in identical op order
-# makes the results bit-identical across engines.
-def q33_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    q = F.round(F.col("l_quantity")).cast("long")  # quantity is integer-grid
-    p = F.round(F.col("l_extendedprice") * 100).cast("long")  # cents
-    agg = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(q).alias("sq"),
-        F.sum(q * q).alias("sqq"),
-        F.sum(p).alias("sp"),
-        F.sum(p * p).alias("spp"),
-        F.sum(q * p).alias("sqp"),
-    )
-    n = F.col("n").cast("double")
-    sq = F.col("sq").cast("double")
-    sqq = F.col("sqq").cast("double")
-    sp = F.col("sp").cast("double") / 100.0
-    spp = F.col("spp").cast("double") / 10000.0
-    sqp = F.col("sqp").cast("double") / 100.0
-    var_q = (sqq - sq * sq / n) / (n - 1.0)
-    var_p = (spp - sp * sp / n) / (n - 1.0)
-    cov = (sqp - sq * sp / n) / (n - 1.0)
-    corr = cov / (F.sqrt(var_q) * F.sqrt(var_p))
-    return agg.select(
-        "l_returnflag",
-        F.col("n"),
-        (F.floor(F.sqrt(var_q) * 10000.0) / 10000.0).alias("stddev_qty"),
-        (F.floor(F.sqrt(var_p) * 100.0) / 100.0).alias("stddev_price"),
-        (F.floor(corr * 1000000.0) / 1000000.0).alias("corr_qty_price"),
-    )
-
-
-Q33_SQL = """
-SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-       floor(sqrt((sqq - sq * sq / n) / (n - 1.0)) * 10000.0) / 10000.0
-         AS stddev_qty,
-       floor(sqrt((spp - sp * sp / n) / (n - 1.0)) * 100.0) / 100.0
-         AS stddev_price,
-       floor(((sqp - sq * sp / n) / (n - 1.0))
-             / (sqrt((sqq - sq * sq / n) / (n - 1.0))
-                * sqrt((spp - sp * sp / n) / (n - 1.0))) * 1000000.0) / 1000000.0
-         AS corr_qty_price
-FROM (
-  SELECT l_returnflag,
-         CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(q) AS DOUBLE) AS sq,
-         CAST(sum(q * q) AS DOUBLE) AS sqq,
-         CAST(sum(p) AS DOUBLE) / 100.0 AS sp,
-         CAST(sum(p * p) AS DOUBLE) / 10000.0 AS spp,
-         CAST(sum(q * p) AS DOUBLE) / 100.0 AS sqp
-  FROM (
-    SELECT l_returnflag,
-           CAST(round(l_quantity) AS BIGINT) AS q,
-           CAST(round(l_extendedprice * 100) AS BIGINT) AS p
-    FROM lineitem
-  )
-  GROUP BY l_returnflag
-)
-"""
-
-
+# The registry is exactly the driver-checked surface: 22 relational
+# entries (11 former standalone queries were merged into batteries in
+# round 2 so the FULL 50-entry registry — including windows, advanced
+# joins and K-Means — fits the driver's CORRECTNESS window; every merged
+# battery still exercises each original operator and oracle).
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q02_region_revenue": (q02_region_revenue, Q02_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
-    "q04_priority_semi": (q04_priority_semi, Q04_SQL),
     "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
     "q06_forecast_revenue": (q06_forecast_revenue, Q06_SQL),
-    "q07_rollup_nation_year": (q07_rollup_nation_year, Q07_SQL),
-    "q08_cube_segment_status": (q08_cube_segment_status, Q08_SQL),
+    "q07_rollup_region_nation_year": (q07_rollup_region_nation_year, Q07_SQL),
+    "q08_cube_grouping_sets": (q08_cube_grouping_sets, Q08_SQL),
     "q09_topk_parts_per_brand": (q09_topk_parts_per_brand, Q09_SQL),
     "q10_running_total": (q10_running_total, Q10_SQL),
-    "q11_order_gaps": (q11_order_gaps, Q11_SQL),
-    "q12_semi_anti_activity": (q12_semi_anti_activity, Q12_SQL),
-    "q13_setops_nations": (q13_setops_nations, Q13_SQL),
+    "q12_semi_anti_battery": (q12_semi_anti_battery, Q12_SQL),
+    "q13_setops_battery": (q13_setops_battery, Q13_SQL),
     "q14_distinct_parts_per_supplier": (q14_distinct_parts_per_supplier, Q14_SQL),
-    "q15_conditional_agg": (q15_conditional_agg, Q15_SQL),
-    "q16_string_funcs": (q16_string_funcs, Q16_SQL),
+    "q15_conditional_null_agg": (q15_conditional_null_agg, Q15_SQL),
+    "q16_string_regex_funcs": (q16_string_regex_funcs, Q16_SQL),
     "q17_monthly_trend": (q17_monthly_trend, Q17_SQL),
     "q18_json_props": (q18_json_props, Q18_SQL),
     "q19_sessionization": (q19_sessionization, Q19_SQL),
-    "q20_pivot_daily_events": (q20_pivot_daily_events, Q20_SQL),
+    "q20_pivot_unpivot": (q20_pivot_unpivot, Q20_SQL),
     "q21_custdist": (q21_custdist, Q21_SQL),
-    "q22_wealthy_inactive": (q22_wealthy_inactive, Q22_SQL),
-    "q23_null_semantics": (q23_null_semantics, Q23_SQL),
-    "q24_quantiles": (q24_quantiles, Q24_SQL),
-    "q25_regex": (q25_regex, Q25_SQL),
-    "q26_grouping_sets": (q26_grouping_sets, Q26_SQL),
-    "q27_setops_all": (q27_setops_all, Q27_SQL),
+    "q22_correlated_subqueries": (q22_correlated_subqueries, Q22_SQL),
+    "q24_quantiles_stats": (q24_quantiles_stats, Q24_SQL),
     "q28_full_outer": (q28_full_outer, Q28_SQL),
-    "q29_unpivot_daily_events": (q29_unpivot_daily_events, Q29_SQL),
     "q30_posexplode_embedding_dims": (q30_posexplode_embedding_dims, Q30_SQL),
-    "q31_ranking_battery": (q31_ranking_battery, Q31_SQL),
-    "q32_correlated_subquery": (q32_correlated_subquery, Q32_SQL),
-    "q33_exact_stats": (q33_exact_stats, Q33_SQL),
 }

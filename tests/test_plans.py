@@ -32,10 +32,19 @@ def test_q01_partial_aggregation(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
 
 
-def test_q02_broadcasts_all_dims(spark, sf_dir):
-    plan = explain_str(R.q02_region_revenue(spark, sf_dir))
+def test_q07_broadcasts_all_dims(spark, sf_dir):
+    plan = explain_str(R.q07_rollup_region_nation_year(spark, sf_dir))
     assert count_nodes(plan, "BroadcastHashJoin") == 3  # customer, nation, region
     assert "SortMergeJoin" not in plan
+    assert "Expand" in plan  # rollup grouping-set expansion
+
+
+def test_q10_battery_single_window_exchange(spark, sf_dir):
+    # running-total frame + lag/lead share one partitioning: one Exchange,
+    # one Window node — merging q11 into q10 must not add a shuffle.
+    plan = explain_str(R.q10_running_total(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 1
 
 
 def test_q05_single_fact_shuffle(spark, sf_dir):
