@@ -352,24 +352,51 @@ D04_SQL = _d04_sql()
 _COSINE_DUP_THRESHOLD = 0.5
 
 
+# Block grid for the all-pairs GEMM: each side is split into _GEMM_BLOCKS
+# hash blocks and every (left-block, right-block) combination becomes one
+# cogroup — the classic communication-optimal distributed all-pairs
+# layout. Replication factor is _GEMM_BLOCKS per side; at 100 TB you size
+# it so one block pair (2 * N/B * d doubles) fits an executor's memory.
+_GEMM_BLOCKS = 4
+
+
 def d05_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine via blocked GEMM: each Arrow batch of rows
-    is multiplied against a broadcast of the (normalized) full matrix in
-    one NumPy matmul — the vectorized formulation of the N^2 pair space.
-    ~25x faster than a per-pair expression join at sf0.1; at larger N
-    you block BOTH sides (outer loop over broadcast chunks) or prefilter
-    with s02's LSH buckets. This is the sanctioned Pandas-UDF case:
-    built-in operators cannot express a GEMM."""
+    """Exact all-pairs cosine via a block-pair cogrouped GEMM — fully
+    distributed, NOTHING reaches the driver (round 1 collected the whole
+    corpus driver-side; a 100 TB corpus would OOM the driver).
+
+    Layout: left rows are replicated across all right-block ids, right
+    rows across all left-block ids; cogrouping on (bi, bj) hands each
+    task one (left block x right block) pair, multiplied in a single
+    NumPy matmul per Arrow group. Each unordered pair (u, v), u < v,
+    appears in exactly one group — (u % B, v % B) with u on the left —
+    so emitting only left_id < right_id yields each pair once. This is
+    the sanctioned Pandas-UDF case: built-in operators cannot express a
+    GEMM. Cost: both sides shuffle B-fold replicated (B^2 tasks of
+    (N/B)^2 work); exactness over the full N^2 space is inherent to the
+    operator — the sub-quadratic scale path is s02's LSH prefilter."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     e = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
-    rows = e.select("vec_id", "embedding").collect()  # corpus block: N x d
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    base = e.select("vec_id", "embedding")
+    blocks = F.sequence(F.lit(0), F.lit(_GEMM_BLOCKS - 1))
+    left = base.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(_GEMM_BLOCKS)).cast("int").alias("bi"),
+        F.explode(blocks).alias("bj"),
+    )
+    # distinct right-side names: a self-cogroup reuses the left plan's
+    # attribute ids, and Spark then delivers the duplicated columns only
+    # on the left pdf — aliasing forces fresh attributes on the right.
+    right = base.select(
+        F.col("vec_id").alias("r_vec_id"),
+        F.col("embedding").alias("r_embedding"),
+        F.explode(blocks).alias("bi"),
+        F.pmod(F.col("vec_id"), F.lit(_GEMM_BLOCKS)).cast("int").alias("bj"),
+    )
 
     out_schema = T.StructType(
         [
@@ -378,26 +405,34 @@ def d05_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
 
-    def block(batches):
-        bids, bmat, bnorms = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            a_norms = np.sqrt((a * a).sum(1))
-            sims = (a @ bmat.T) / (a_norms[:, None] * bnorms[None, :])
-            sims = np.floor(sims * 10000.0) / 10000.0
-            ii, jj = np.where(sims >= _COSINE_DUP_THRESHOLD)
-            keep = a_ids[ii] < bids[jj]  # upper triangle only
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ii][keep],
-                    "id_b": bids[jj][keep],
-                    "cosine": sims[ii, jj][keep],
-                }
-            )
+    def gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return empty
+        a_ids = lpdf["vec_id"].to_numpy(dtype=np.int64)
+        a = np.asarray(lpdf["embedding"].tolist(), dtype=np.float64)
+        b_ids = rpdf["r_vec_id"].to_numpy(dtype=np.int64)
+        b = np.asarray(rpdf["r_embedding"].tolist(), dtype=np.float64)
+        a_norms = np.sqrt((a * a).sum(1))
+        b_norms = np.sqrt((b * b).sum(1))
+        sims = (a @ b.T) / (a_norms[:, None] * b_norms[None, :])
+        sims = np.floor(sims * 10000.0) / 10000.0
+        ii, jj = np.where(sims >= _COSINE_DUP_THRESHOLD)
+        keep = a_ids[ii] < b_ids[jj]  # upper triangle only, no self-pairs
+        return pd.DataFrame(
+            {
+                "id_a": a_ids[ii][keep],
+                "id_b": b_ids[jj][keep],
+                "cosine": sims[ii, jj][keep],
+            }
+        )
 
-    return e.select("vec_id", "embedding").mapInPandas(block, out_schema)
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gemm, out_schema)
+    )
 
 
 D05_SQL = f"""

@@ -90,6 +90,21 @@ def test_kmeans_iteration_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # no Python in the hot path
 
 
+def test_d05_distributed_no_driver_collect(spark, sf_dir):
+    """d05 is a block-pair cogrouped GEMM: the corpus must never
+    materialize on the driver (round-1 regression), and the plan must be
+    the cogroup shape with both sides shuffled by block id."""
+    import inspect
+
+    from kmeanwithmapreduce_spark.operators import dedup as D
+
+    src = inspect.getsource(D.d05_embedding_neardup_pairs)
+    assert ".collect()" not in src and "toPandas" not in src
+    plan = explain_str(D.d05_embedding_neardup_pairs(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan  # no full-corpus broadcast either
+
+
 def test_no_python_udfs_in_relational_plans(spark, sf_dir):
     for name, (fn, _sql) in R.RELATIONAL_QUERIES.items():
         plan = explain_str(fn(spark, sf_dir))
