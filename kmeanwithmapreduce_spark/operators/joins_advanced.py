@@ -141,10 +141,15 @@ GROUP BY event_type
 
 # --------------------------------------------------------------------------
 # j04 — as-of join via per-group pandas merge_asof (applyInPandas).
-# Same semantics as j01; this is the formulation for when the two sides
-# are DIFFERENT tables sharing a partition key (the window trick needs
-# one table). Scale: one shuffle on user_id, then per-group sorted
-# merge in Arrow batches.
+# Near-j01 semantics (merge_asof matches on ts only: a purchase at the
+# click's exact timestamp counts regardless of event_id order; among
+# equal-ts purchases the last after the stable (ts, event_id) sort —
+# i.e. the highest event_id — wins); this is the formulation for when
+# the two sides are DIFFERENT tables sharing a partition key (the
+# window trick needs one table). Scale: one shuffle on user_id, then
+# per-group sorted merge in Arrow batches. Oracle: correlated
+# latest-purchase scalar subquery with the same (ts DESC, event_id
+# DESC) tie-break.
 def j04_asof_merge_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
@@ -180,9 +185,23 @@ def j04_asof_merge_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+J04_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       (SELECT p.value
+        FROM events p
+        WHERE p.user_id = c.user_id
+          AND p.event_type = 'purchase'
+          AND p.ts <= c.ts
+        ORDER BY p.ts DESC, p.event_id DESC
+        LIMIT 1) AS last_purchase_value
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+
 ADVANCED_JOIN_QUERIES = {
     "j01_asof_last_purchase": (j01_asof_last_purchase, J01_SQL),
     "j02_range_join_campaigns": (j02_range_join_campaigns, J02_SQL),
     "j03_approx_distinct": (j03_approx_distinct, J03_SQL),
-    "j04_asof_merge_grouped": (j04_asof_merge_grouped, None),
+    "j04_asof_merge_grouped": (j04_asof_merge_grouped, J04_SQL),
 }

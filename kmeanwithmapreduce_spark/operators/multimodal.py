@@ -112,17 +112,44 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
-# m02 — decoded features via the mapInPandas stub (rows-only: the fake
-# decoder is Python-side, deliberately not mirrored in SQL).
+# m02 — decoded features via the mapInPandas stub, oracle-checked: the
+# fake decoder is deterministic arithmetic on byte lengths/prefixes
+# (octet_length + char-code sums — all documents are ASCII), so DuckDB
+# reproduces it exactly. Per-document output (no cross-row float
+# summation: each intensity is one identical fp op chain in both
+# engines, floor-truncated at 1e-6). The mapInPandas plumbing under
+# test here is exactly what a real PIL/ffmpeg decoder would ride.
 def m02_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     decoded = decode_batch(with_binary_payload(d))
-    return decoded.groupBy("channels").agg(
-        F.count(F.lit(1)).alias("n_images"),
-        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
-        F.max("width").cast("int").alias("max_width"),
-        F.max("height").cast("int").alias("max_height"),
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        (F.floor(F.col("mean_intensity") * 1000000.0) / 1000000.0).alias(
+            "intensity_t"
+        ),
     )
+
+
+M02_SQL = """
+SELECT doc_id,
+       CAST(n AS INT) AS n_bytes,
+       CAST(16 + n % 64 AS INT) AS width,
+       CAST(16 + (n // 64) % 64 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       floor((CAST(bytesum AS DOUBLE) / greatest(least(n, 256), 1) / 255.0)
+             * 1000000.0) / 1000000.0 AS intensity_t
+FROM (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         list_sum(list_transform(string_split(substr(text, 1, 256), ''),
+                                 c -> unicode(c))) AS bytesum
+  FROM documents
+)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -209,6 +236,6 @@ def m03_cluster_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_QUERIES = {
     "m01_payload_meta": (m01_payload_meta, M01_SQL),
-    "m02_decoded_features": (m02_decoded_features, None),
+    "m02_decoded_features": (m02_decoded_features, M02_SQL),
     "m03_cluster_decoded": (m03_cluster_decoded, None),
 }

@@ -7,9 +7,12 @@
 - s02: random-hyperplane LSH (SimHash for vectors): 16 deterministic
   hyperplanes -> 16-bit bucket; candidate pairs share a bucket. This is
   the 100 TB path: the N x N pair space collapses to per-bucket blocks.
-  Hyperplane components are seeded NumPy, folded into the plan as
-  literals — no oracle (not SQL-expressible without replicating the
-  PRNG), driver records the rows-only check.
+  Hyperplane components are +-1 Rademacher signs derived from md5 (the
+  d03 affine-permutation trick) and folded into BOTH the Spark plan and
+  the DuckDB oracle as literals; dot products are computed over the
+  1e6 integer grid so the sign — hence the bucket — is exact in any
+  engine and any accumulation order (hash-matched oracle, not
+  rows-only as in round 1).
 - s03: IVF-style coarse quantization using K-Means centroids as the
   inverted index: assign every vector to its nearest centroid cell, then
   search only the probe cell(s). Composes the engine's own kmeans.core.
@@ -17,7 +20,8 @@
 
 from __future__ import annotations
 
-import numpy as np
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -27,7 +31,8 @@ from ..sources.readers import load_table
 _TOP_K = 10
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _LSH_PLANES = 16
-_LSH_SEED = 42
+_EMB_DIM = 64  # embeddings table arity (TESTDATA.md); oracle SQL is static
+_EMB_SCALE = 1_000_000  # integer grid: dot signs exact across engines
 
 
 # --------------------------------------------------------------------------
@@ -75,34 +80,71 @@ WHERE rk <= {_TOP_K}
 
 
 # --------------------------------------------------------------------------
-# s02 — random-hyperplane LSH bucketing (rows-only check; PRNG-seeded
-# hyperplanes are not portable to the SQL oracle).
-def _hyperplanes(dim: int) -> np.ndarray:
-    rng = np.random.default_rng(_LSH_SEED)
-    return rng.standard_normal((_LSH_PLANES, dim))
+# s02 — random-hyperplane LSH bucketing, oracle-checked bit-for-bit.
+# Plane components are +-1 signs from md5 of "s02:<plane>:<dim>" —
+# deterministic public arithmetic both engines reproduce from the same
+# literals. The projection sign uses round(x * 1e6) BIGINT terms, so the
+# sum is exact integer arithmetic: no accumulation-order ulp can flip a
+# bucket bit. Scale: one pass, no shuffle until the tiny bucket count.
+def _plane_signs() -> list[list[int]]:
+    planes = []
+    for p in range(_LSH_PLANES):
+        row = []
+        for d in range(_EMB_DIM):
+            byte = hashlib.md5(f"s02:{p}:{d}".encode()).digest()[0]
+            row.append(1 if byte % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _plane_signs()
+
+
+def _plane_dot(signs: list[int]):
+    """Exact integer-grid projection of the embedding onto one +-1 plane
+    (factory function: keeps the HOF lambdas from capturing loop vars)."""
+    lit_plane = F.array(*[F.lit(s) for s in signs])
+    scaled = F.zip_with(
+        F.col("embedding"),
+        lit_plane,
+        lambda x, y: F.round(x.cast("double") * _EMB_SCALE).cast("long")
+        * y.cast("long"),
+    )
+    return F.aggregate(scaled, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    planes = _hyperplanes(dim)
-    bits = []
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), lit_plane, lambda x, y: x.cast("double") * y
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    bits = [
+        F.when(_plane_dot(signs) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        for p, signs in enumerate(_PLANES)
+    ]
     bucket = sum(bits[1:], bits[0]).cast("bigint")
     return (
         e.select("vec_id", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def _s02_sql() -> str:
+    dots = []
+    for p, signs in enumerate(_PLANES):
+        lit = ", ".join(f"{s}.0" for s in signs)
+        dots.append(
+            f"CASE WHEN list_dot_product(list_transform("
+            f"CAST(embedding AS DOUBLE[]), x -> round(x * {_EMB_SCALE})), "
+            f"[{lit}]) >= 0 THEN {2**p} ELSE 0 END"
+        )
+    total = " + ".join(dots)
+    return f"""
+SELECT CAST({total} AS BIGINT) AS bucket, count(*) AS n_vectors
+FROM embeddings
+GROUP BY 1
+"""
+
+
+S02_SQL = _s02_sql()
 
 
 # --------------------------------------------------------------------------
@@ -144,6 +186,6 @@ def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFr
 
 SIMILARITY_QUERIES = {
     "s01_knn_bruteforce": (s01_knn_bruteforce, S01_SQL),
-    "s02_lsh_buckets": (s02_lsh_buckets, None),
+    "s02_lsh_buckets": (s02_lsh_buckets, S02_SQL),
     "s03_ivf_search": (s03_ivf_search, None),
 }

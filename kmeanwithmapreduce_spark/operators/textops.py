@@ -281,19 +281,20 @@ T05_SQL = _t05_sql()
 
 
 # --------------------------------------------------------------------------
-# t06 — document clustering: TF-IDF -> feature hashing (md5-bucketed
-# hashing trick, 32 dims) -> the engine's own K-Means. The composition
-# the reference exists for (clustering), applied to the text pipeline.
-# Rows-only (iterative). Scale: one extra groupBy to assemble the
-# hashed vectors; everything else is the K-Means core path.
+# t07 — TF-IDF -> feature hashing (md5-bucketed hashing trick, 32 dims):
+# the oracle-checked feature-assembly stage of the t06 pipeline, in long
+# form (doc_id, bucket, w). Per-term tf-idf weights are floor-truncated
+# onto the 1e-6 grid and summed as exact BIGINTs per bucket, so the
+# bucket weights are accumulation-order independent (same strategy as
+# relational._gridsum; ln() ulp caveat as in t05). Scale: two grouped
+# aggs + one broadcast-size df join — linear, map-side combined.
 _HASH_DIMS = 32
 
 
-def t06_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..kmeans import core
-
+def _bucket_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, wi) grid-integer weight rows shared by t07/t06."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = d.count()  # tiny scalar, exact in both engines
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
     doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -302,19 +303,65 @@ def t06_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
         % _HASH_DIMS
     ).cast("int")
-    scored = (
+    wi = F.floor(
+        (F.col("tc") * 1.0 / F.col("dl"))
+        * F.log(F.lit(float(n_docs)) / F.col("df"))
+        * 1000000.0
+    ).cast("long")
+    return (
         tf.join(doc_len, "doc_id")
         .join(df_, "term")
-        .select(
-            "doc_id",
-            bucket.alias("bucket"),
-            (
-                (F.col("tc") * 1.0 / F.col("dl"))
-                * F.log(F.lit(float(n_docs)) / F.col("df"))
-            ).alias("w"),
-        )
+        .select("doc_id", bucket.alias("bucket"), wi.alias("wi"))
         .groupBy("doc_id", "bucket")
-        .agg(F.sum("w").alias("w"))
+        .agg(F.sum("wi").alias("wi"))
+    )
+
+
+def t07_tfidf_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucket_weights(spark, sf_dir).select(
+        "doc_id",
+        "bucket",
+        (F.col("wi").cast("double") / 1000000.0).alias("w"),
+    )
+
+
+T07_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CAST(sum(wi) AS DOUBLE) / 1000000.0 AS w
+FROM (
+  SELECT tf.doc_id,
+         CAST(('0x' || substr(md5(tf.term), 1, 8)) AS BIGINT) % {_HASH_DIMS}
+           AS bucket,
+         CAST(floor((tf.tc * 1.0 / doc_len.dl)
+                    * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000.0) AS BIGINT)
+           AS wi
+  FROM tf JOIN doc_len ON tf.doc_id = doc_len.doc_id
+          JOIN df ON tf.term = df.term
+          CROSS JOIN n
+)
+GROUP BY doc_id, bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# t06 — document clustering: the t07 hashed-feature assembly -> dense
+# 32-dim vectors -> the engine's own K-Means. The composition the
+# reference exists for (clustering), applied to the text pipeline.
+# Rows-only (iterative tail; the feature stage is oracle-checked as
+# t07). Scale: one extra groupBy to assemble the vectors; everything
+# else is the K-Means core path.
+def t06_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..kmeans import core
+
+    scored = _bucket_weights(spark, sf_dir).select(
+        "doc_id", "bucket", (F.col("wi").cast("double") / 1000000.0).alias("w")
     )
     # assemble dense vectors: map buckets into a fixed-arity array
     vec = scored.groupBy("doc_id").agg(
@@ -346,5 +393,6 @@ TEXT_QUERIES = {
     "t03_language_id": (t03_language_id, T03_SQL),
     "t04_fingerprint": (t04_fingerprint, T04_SQL),
     "t05_tfidf_top_terms": (t05_tfidf_top_terms, T05_SQL),
+    "t07_tfidf_hashed_features": (t07_tfidf_hashed_features, T07_SQL),
     "t06_tfidf_kmeans": (t06_tfidf_kmeans, None),
 }
