@@ -16,9 +16,11 @@ Conventions for oracle hash-matching:
   BIGINT (exact, accumulation-order independent), then divided once.
   Rounding a plain double sum instead is fragile: grid data lands sums
   exactly on rounding half-boundaries, where cross-engine
-  accumulation-order ulp noise flips the last digit. (At extreme scale
-  the scaled sums need DECIMAL(38) instead of BIGINT — overflow past
-  ~9e18 scaled units; noted for the 100 TB config.)
+  accumulation-order ulp noise flips the last digit. At extreme scale
+  (scaled sums past ~9e18 units, e.g. sum_charge near SF 100k) switch
+  the affected aggregate to ``_gridsum_dec`` — the DECIMAL(38,0)
+  accumulator with the same oracle text (tests/test_decimal_gridsum.py
+  pins the overflow boundary); q24's moment sums already use DECIMAL.
 - DuckDB sum(BIGINT) returns HUGEINT -> always CAST to BIGINT;
 - year()/datediff results cast to INT on both sides;
 - date_trunc cast to DATE on both sides (Spark returns TIMESTAMP,
@@ -50,6 +52,24 @@ def _gridsum(expr, scale: int, out_dec: int = 0):
     conceptual boundaries: Spark rounds the exact binary value via
     BigDecimal HALF_UP, DuckDB multiplies in fp first.)"""
     s = F.sum(F.round(expr * scale).cast("long")).cast("double")
+    return s / F.lit(float(scale))
+
+
+def _gridsum_dec(expr, scale: int):
+    """DECIMAL(38,0) variant of _gridsum for extreme-scale sums: BIGINT
+    scaled units overflow int64 past ~9.2e18 (q01 sum_charge lands there
+    around SF 100k — the 100 TB configuration). Under Spark 4's default
+    ANSI mode the BIGINT sum then KILLS the job (arithmetic overflow);
+    under legacy mode it wraps silently while DuckDB promotes to
+    HUGEINT. Either way the query stops matching its oracle.
+    decimal(38,0) accumulation is exact to 1e38; the final cast to
+    double is round-to-nearest from the exact integer — identical to
+    casting DuckDB's HUGEINT, so the same _sql_gridsum oracle text
+    matches both variants. Use for any gridsum whose worst-case scaled
+    sum can exceed ~9e18 at the deployed scale factor; costs ~2x the
+    BIGINT sum, so the BIGINT form stays the default below that bound
+    (see SCALE.md)."""
+    s = F.sum(F.round(expr * scale).cast("decimal(38,0)")).cast("double")
     return s / F.lit(float(scale))
 
 
