@@ -15,6 +15,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# join types for which salting preserves exact semantics: every row of
+# ``big`` carries exactly one salt, so big-side multiplicity is exact;
+# right/full outer would emit each UNMATCHED small row once per salt
+# replica (matched rows are fine) — n_salts-fold duplication.
+_SALT_SAFE_HOW = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -27,8 +34,16 @@ def salted_join(
 
     ``small`` is replicated n_salts times (explode of a literal range) —
     acceptable when small is dimension-sized. Result equals
-    ``big.join(small, on, how)`` exactly.
+    ``big.join(small, on, how)`` exactly for the big-side-preserving
+    join types (inner/left/left_semi/left_anti); right/full outer are
+    rejected because unmatched ``small`` rows would be emitted once per
+    salt replica.
     """
+    if how not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_HOW)}; got how={how!r} "
+            "(unmatched small-side rows would duplicate n_salts times)"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
     big_salted = big.withColumn(

@@ -76,7 +76,13 @@ def main(argv: list[str] | None = None) -> int:
         dbi = core.davies_bouldin_index(labeled, centroids)
 
     os.makedirs(args.out, exist_ok=True)
-    core.write_centroids_text(centroids, os.path.join(args.out, args.result))
+    # compat mode: shortest-float32 formatting, matching the reference's
+    # Float.toString sink output textually
+    core.write_centroids_text(
+        centroids,
+        os.path.join(args.out, args.result),
+        float32=(args.mode == "compat"),
+    )
     print(f"Loop: {n_iter}")
     print(f"Time: {seconds * 1000.0:.0f}")
     print(f"DBI: {dbi}")

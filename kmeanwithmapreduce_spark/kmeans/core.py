@@ -179,52 +179,58 @@ def lloyd(
     from ..sources.readers import ensure_min_parallelism
 
     df = ensure_min_parallelism(df.select(feats)).cache()
-    dim = int(df.select(F.size(F.col(feats))).first()[0])
+    try:
+        dim = int(df.select(F.size(F.col(feats))).first()[0])
 
-    if init_centroids is None:
-        centroids = init_random_centroids(df, params.k, params.seed, feats)
-    else:
-        centroids = [[float(v) for v in c] for c in init_centroids]
-    init_snapshot = [list(c) for c in centroids]  # copyCentroids, Main.java:239-245
+        if init_centroids is None:
+            centroids = init_random_centroids(df, params.k, params.seed, feats)
+        else:
+            centroids = [[float(v) for v in c] for c in init_centroids]
+        init_snapshot = [list(c) for c in centroids]  # copyCentroids, Main.java:239-245
 
-    max_rounds = params.max_loop - 1 if compat else params.max_loop
-    t0 = time.monotonic()
-    n_iter = 0
-    converged = False
-    sizes: dict[int, int] = {}
-    while n_iter < max_rounds:
-        n_iter += 1
-        assigned = assign(df, centroids, feats)
-        stats = _update_centroids(assigned, params.k, dim, feats)
-        new_centroids: list[list[float]] = []
-        sizes = {}
-        for i in range(params.k):
-            if i in stats:
-                mean, n = stats[i]
-                if compat:
-                    mean = [_round5_float32(v) for v in mean]
-                new_centroids.append(mean)
-                sizes[i] = n
-            else:  # empty cluster: keep old centroid (documented divergence)
-                new_centroids.append(list(centroids[i]))
-                sizes[i] = 0
-        if trace:  # per-iteration dump, mirroring Main.java:249-254,331
-            for i, c in enumerate(new_centroids):
-                moved = _movement(c, centroids[i])
-                print(
-                    f"[iter {n_iter}] C{i} = {','.join(f'{v:.5f}' for v in c)}"
-                    f"  moved={moved:.6f} {'<=' if moved <= params.thresh else '>'}"
-                    f" thresh={params.thresh}"
-                )
-        if all(
-            _movement(new_centroids[i], centroids[i]) <= params.thresh
-            for i in range(params.k)
-        ):
+        max_rounds = params.max_loop - 1 if compat else params.max_loop
+        t0 = time.monotonic()
+        n_iter = 0
+        converged = False
+        sizes: dict[int, int] = {}
+        while n_iter < max_rounds:
+            n_iter += 1
+            assigned = assign(df, centroids, feats)
+            stats = _update_centroids(assigned, params.k, dim, feats)
+            new_centroids: list[list[float]] = []
+            sizes = {}
+            for i in range(params.k):
+                if i in stats:
+                    mean, n = stats[i]
+                    if compat:
+                        mean = [_round5_float32(v) for v in mean]
+                    new_centroids.append(mean)
+                    sizes[i] = n
+                else:  # empty cluster: keep old centroid (documented divergence)
+                    new_centroids.append(list(centroids[i]))
+                    sizes[i] = 0
+            if trace:  # per-iteration dump, mirroring Main.java:249-254,331
+                for i, c in enumerate(new_centroids):
+                    moved = _movement(c, centroids[i])
+                    print(
+                        f"[iter {n_iter}] C{i} = {','.join(f'{v:.5f}' for v in c)}"
+                        f"  moved={moved:.6f} {'<=' if moved <= params.thresh else '>'}"
+                        f" thresh={params.thresh}"
+                    )
+            if all(
+                _movement(new_centroids[i], centroids[i]) <= params.thresh
+                for i in range(params.k)
+            ):
+                centroids = new_centroids
+                converged = True
+                break
             centroids = new_centroids
-            converged = True
-            break
-        centroids = new_centroids
-    seconds = time.monotonic() - t0
+        seconds = time.monotonic() - t0
+    finally:
+        # composed pipelines (s03, t06, m03, k-queries, bench) call lloyd
+        # inside a long-lived session: leaving the per-fit cache behind
+        # accumulates executor storage across queries
+        df.unpersist()
     return KMeansResult(
         centroids=centroids,
         init_centroids=init_snapshot,
@@ -255,7 +261,11 @@ def davies_bouldin_index(
 
     One distributed aggregation (distance to own centroid via an indexed
     literal array-of-arrays) + a local k x k loop; nothing O(N) on the
-    driver. Empty cluster => NaN, as in the reference (Main.java:93).
+    driver. Empty cluster => NaN here — a DELIBERATE divergence from the
+    reference: its ``if (db > max)`` comparison is always false for NaN
+    ratios, leaving max at NEGATIVE_INFINITY, so Main.java:93-111 yields
+    -Infinity for an empty cluster; NaN is the honest "undefined" answer
+    and is what sklearn-style implementations return.
     """
     k = len(centroids)
     cent_lit = F.array(
@@ -287,11 +297,19 @@ def davies_bouldin_index(
 
 
 def write_centroids_text(
-    centroids: Sequence[Sequence[float]], path: str
+    centroids: Sequence[Sequence[float]], path: str, float32: bool = False
 ) -> None:
     """Result sink (Main.java:222-236): one comma-joined centroid per
     line, in centroid-id order (SURVEY §8 Q7). k x d is driver-tiny, so a
-    plain local write — no distributed job for a k-row file."""
+    plain local write — no distributed job for a k-row file.
+
+    float32=True formats each value as the shortest decimal that
+    round-trips a float32 — the Java ``Float.toString`` behavior of the
+    reference sink (PointWritable.toString), so compat-mode output is
+    textually parity-matched ('0.1', not '0.10000000149011612')."""
     with open(path, "w", encoding="utf-8") as f:
         for c in centroids:
-            f.write(",".join(repr(float(v)) for v in c) + "\n")
+            if float32:
+                f.write(",".join(repr(np.float32(v)) for v in c) + "\n")
+            else:
+                f.write(",".join(repr(float(v)) for v in c) + "\n")

@@ -73,14 +73,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition only when the scan produced fewer partitions than the
-    cluster has cores — the local-testdata case (single-row-group
+    """Repartition only when the scan cannot produce enough splits to
+    keep the cluster busy — the local-testdata case (single-row-group
     parquet files scan as one task, serializing CPU-heavy operators).
     On a real multi-file 100 TB layout the input is already split and
-    this is a no-op, so no shuffle is paid at scale."""
+    this is a no-op, so no shuffle is paid at scale.
+
+    The probe is ``df.inputFiles()`` — a plan-side file listing, NOT an
+    RDD conversion (round 1 probed the RDD partition count, forcing
+    Python-RDD conversion of the analyzed plan on the driver per
+    call). File count over-estimates scan partitions when Spark
+    coalesces tiny files into shared splits, but for the CPU-heavy
+    operators this guards, a too-low estimate only risks a redundant
+    repartition of a small input — never a lost split on a big one. A
+    non-file source (in-memory test frames) reports no files and is
+    left untouched (its parallelism already tracks defaultParallelism).
+    """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

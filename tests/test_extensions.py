@@ -76,3 +76,70 @@ def test_udf_udtf_surface(spark, sf_dir):
         "SELECT * FROM shingles('a b c d')"
     ).collect()
     assert [(r["pos"], r["shingle"]) for r in rows] == [(0, "a b c"), (1, "b c d")]
+
+
+def test_salted_join_rejects_small_side_duplicating_how(spark):
+    import pytest
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, on="k", how=how)
+
+
+def test_salted_join_left_variants_match_plain(spark):
+    from pyspark.sql import functions as F
+
+    big = spark.range(20).select((F.col("id") % 7).alias("k"), "id")
+    small = spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    for how in ("left", "left_semi", "left_anti"):
+        got = sorted(map(tuple, salted_join(big, small, "k", 4, how).collect()))
+        want = sorted(map(tuple, big.join(small, "k", how).collect()))
+        assert got == want, how
+
+
+def test_lloyd_unpersists_cache(spark):
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.kmeans import core
+
+    df = spark.range(200).select(
+        F.array((F.col("id") % 10).cast("float"), F.lit(1.0).cast("float")).alias(
+            "features"
+        )
+    )
+    core.lloyd(df, core.KMeansParams(k=2, seed=3, max_loop=3))
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_write_centroids_float32_shortest_repr(tmp_path):
+    from kmeanwithmapreduce_spark.kmeans import core
+
+    path = str(tmp_path / "result.txt")
+    # 0.1 is not exactly representable: the float64 repr of float32(0.1)
+    # is 0.10000000149011612, but the reference's Float.toString prints
+    # the shortest round-tripping decimal: 0.1
+    core.write_centroids_text([[0.1, 0.25]], path, float32=True)
+    assert open(path).read() == "0.1,0.25\n"
+    core.write_centroids_text([[float(__import__("numpy").float32(0.1))]], path)
+    assert open(path).read() == "0.10000000149011612\n"
+
+
+def test_ensure_min_parallelism_no_rdd_probe(spark, sf_dir):
+    import inspect
+
+    from kmeanwithmapreduce_spark.sources import readers
+
+    # the probe must stay plan-side: .rdd conversion per query-setup call
+    # was a round-1 defect
+    assert ".rdd" not in inspect.getsource(readers.ensure_min_parallelism)
+    li = readers.load_table(spark, sf_dir, "lineitem")
+    target = spark.sparkContext.defaultParallelism
+    out = readers.ensure_min_parallelism(li)
+    # single local parquet file -> repartitioned up to the core count
+    assert out.rdd.getNumPartitions() >= min(target, 2)
+    # in-memory frames (no files) are left untouched
+    mem = spark.range(10)
+    assert readers.ensure_min_parallelism(mem) is mem
