@@ -44,6 +44,12 @@ def main() -> int:
         "w03_session",
         "j01_asof_last_purchase",
         "q21_custdist",
+        # round-2 additions: one heavy query per previously-unguarded
+        # family (rollup, range join, stats battery, distributed GEMM)
+        "q07_rollup_region_nation_year",
+        "j02_range_join_campaigns",
+        "q24_quantiles_stats",
+        "d05_embedding_neardup_pairs",
     ]
 
     # JVM/codegen warmup (untimed): one scan+agg so the first timed query
