@@ -20,7 +20,7 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import ensure_min_parallelism, load_table
 
 
 # --------------------------------------------------------------------------
@@ -75,7 +75,9 @@ def j02_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast interval join (build side: 10 rows). For a large build
     side, bucketize ts to days, equi-join on day, then filter the exact
     interval — same results, shuffle-bounded."""
-    e = load_table(spark, sf_dir, "events")
+    # the nested-loop probe side must be split: a single-file local scan
+    # would run the whole interval comparison in ONE task
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "events"))
     camp = spark.createDataFrame(
         _CAMPAIGNS, "campaign_id int, start_ts timestamp, end_ts timestamp"
     )
