@@ -5,10 +5,13 @@
   lineitem at sf0.001, returning the centroid table.
 - ``queries()``: every implemented operator from SURVEY §2 (relational
   Part B + training-data-pipeline extensions + windowed events +
-  K-Means itself).
+  K-Means itself). Exactly 50 entries — the driver verifies the first
+  50, so the whole registry is inside its CORRECTNESS window.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible
-  query. K-Means (iterative), PRNG-seeded LSH and the Pandas-UDF decode
-  stub are rows-only by design.
+  query (44 of 50). The 6 rows-only entries are all iterative
+  compositions by nature: s03/t06/m03 (pipelines ending in Lloyd
+  iterations — their feature stages are oracle-checked as s02/t07/m02)
+  and k01-k03 (K-Means itself).
 """
 
 from __future__ import annotations
