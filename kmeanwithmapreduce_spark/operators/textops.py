@@ -29,7 +29,14 @@ _LANG_MARKERS = {
 
 
 # --------------------------------------------------------------------------
-# t01 — token / char statistics per source.
+# t01 — token / char statistics per source: whitespace tokens AND a
+# BPE-ish regex pre-tokenization (the GPT-2-style letter-run / digit-run
+# / punct-run split, restricted to ASCII classes so Java regex and
+# DuckDB's RE2 agree) — the two token-counting conventions a training
+# pipeline budgets with.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def t01_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -39,6 +46,9 @@ def t01_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.size(toks).cast("bigint").alias("n_tokens"),
             F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0))
+            .cast("bigint")
+            .alias("n_bpe"),
         )
         .groupBy("source")
         .agg(
@@ -54,6 +64,10 @@ def t01_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 100.0
             ).alias("avg_tokens"),
             (
+                F.floor(F.sum("n_bpe").cast("double") * 100.0 / F.count(F.lit(1)))
+                / 100.0
+            ).alias("avg_bpe_pieces"),
+            (
                 F.floor(
                     F.sum(F.col("n_uniq_tokens") / F.col("n_tokens")) * 10000.0
                     / F.count(F.lit(1))
@@ -64,17 +78,19 @@ def t01_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T01_SQL = """
+T01_SQL = f"""
 SELECT source,
        count(*) AS n_docs,
        floor(CAST(sum(n_chars) AS DOUBLE) * 100.0 / count(*)) / 100.0  AS avg_chars,
        floor(CAST(sum(n_tokens) AS DOUBLE) * 100.0 / count(*)) / 100.0 AS avg_tokens,
+       floor(CAST(sum(n_bpe) AS DOUBLE) * 100.0 / count(*)) / 100.0 AS avg_bpe_pieces,
        floor(sum(n_uniq_tokens * 1.0 / n_tokens) * 10000.0 / count(*)) / 10000.0
          AS avg_uniq_ratio
 FROM (
   SELECT source, n_chars,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+         CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_bpe
   FROM documents
 )
 GROUP BY source
