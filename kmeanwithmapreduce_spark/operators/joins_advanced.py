@@ -145,19 +145,23 @@ GROUP BY event_type
 # j04 — as-of join via per-group pandas merge_asof (applyInPandas).
 # Near-j01 semantics (merge_asof matches on ts only: a purchase at the
 # click's exact timestamp counts regardless of event_id order; among
-# equal-ts purchases the last after the stable (ts, event_id) sort —
-# i.e. the highest event_id — wins); this is the formulation for when
-# the two sides are DIFFERENT tables sharing a partition key (the
-# window trick needs one table). Scale: one shuffle on user_id, then
-# per-group sorted merge in Arrow batches. Oracle: correlated
+# equal-ts purchases the highest event_id wins); this is the
+# formulation for when the two sides are DIFFERENT tables sharing a
+# partition key (the window trick needs one table). Oracle: correlated
 # latest-purchase scalar subquery with the same (ts DESC, event_id
 # DESC) tie-break.
-def j04_asof_merge_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+#
+# Tie-break contract: the group pdf is sorted ONCE by (ts, event_id);
+# the click/purchase sub-frames are row-filtered from it, which
+# preserves that order, so no re-sort happens before merge_asof (a
+# re-sort by ts alone with pandas' default unstable quicksort could
+# reorder equal-ts purchases and break highest-event-id-wins).
+
+
+def _asof_out_schema():
     from pyspark.sql import types as T
 
-    e = load_table(spark, sf_dir, "events")
-    out_schema = T.StructType(
+    return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
             T.StructField("user_id", T.LongType()),
@@ -166,24 +170,102 @@ def j04_asof_merge_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        c = pdf[pdf["event_type"] == "click"][["event_id", "user_id", "ts"]]
-        p = pdf[pdf["event_type"] == "purchase"][["ts", "value"]]
-        if c.empty:
-            return pd.DataFrame(columns=["event_id", "user_id", "ts", "last_purchase_value"])
-        merged = pd.merge_asof(
-            c.sort_values("ts"),
-            p.sort_values("ts").rename(columns={"value": "last_purchase_value"}),
-            on="ts",
-            direction="backward",
-        )
-        return merged[["event_id", "user_id", "ts", "last_purchase_value"]]
 
+def _asof_merge_one_group(pdf):
+    """merge_asof one already-grouped frame; assumes nothing about input
+    order (sorts stably by (ts, event_id) itself)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    c = pdf[pdf["event_type"] == "click"][["event_id", "user_id", "ts"]]
+    # keep event_id in p: row-filtering preserves the stable sort, so
+    # among equal-ts purchases the LAST row (picked by backward
+    # merge_asof) is the highest event_id — the oracle's tie-break.
+    p = pdf[pdf["event_type"] == "purchase"][["ts", "value"]]
+    if c.empty:
+        return pd.DataFrame(columns=["event_id", "user_id", "ts", "last_purchase_value"])
+    merged = pd.merge_asof(
+        c,
+        p.rename(columns={"value": "last_purchase_value"}),
+        on="ts",
+        direction="backward",
+    )
+    return merged[["event_id", "user_id", "ts", "last_purchase_value"]]
+
+
+def j04_asof_merge_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One group per user_id. Simple, but a whale user's entire history
+    lands in a single Python group — use the chunked form at scale."""
+    e = load_table(spark, sf_dir, "events")
     return (
         e.select("event_id", "user_id", "ts", "event_type", "value")
         .groupBy("user_id")
-        .applyInPandas(per_user, out_schema)
+        .applyInPandas(_asof_merge_one_group, _asof_out_schema())
+    )
+
+
+def j04_asof_merge_grouped(
+    spark: SparkSession, sf_dir: str, chunk_days: int = 7
+) -> DataFrame:
+    """Whale-safe as-of merge: group by (user_id, time-chunk) so no
+    single Python group holds a whale user's full history, then repair
+    chunk boundaries with a JVM-side carry-in window.
+
+    Stages (mirrors operators/sessionize.py:63's salted two-level shape):
+      1. chunk id = floor(epoch / chunk_days) — deterministic salt that
+         preserves as-of locality (all candidates for a click are in its
+         own chunk or earlier chunks).
+      2. applyInPandas over (user_id, chunk): per-chunk merge_asof.
+         Clicks preceding every purchase in their chunk get NULL.
+      3. boundary fix-up, all JVM-side: per-(user_id, chunk) last
+         purchase via max_by(value, struct(ts, event_id)) — same
+         tie-break — then last_value IGNORE NULLS over preceding chunks
+         gives each chunk its carry-in; coalesce fills the NULLs.
+    Work per group is bounded by chunk width, so a 10^9-event whale
+    becomes many bounded groups instead of one task-killing group.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    chunk_sec = chunk_days * 86400
+    e = e.withColumn("chunk", (F.unix_timestamp("ts") / chunk_sec).cast("long"))
+
+    merged = e.groupBy("user_id", "chunk").applyInPandas(
+        lambda keys, pdf: _asof_merge_one_group(pdf).assign(chunk=keys[1]),
+        _asof_out_schema().add("chunk", "long"),
+    )
+
+    purchases = e.where(F.col("event_type") == "purchase")
+    chunk_last = purchases.groupBy("user_id", "chunk").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("chunk_last_value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # every chunk that appears in merged needs a carry-in row, including
+    # chunks with no purchases — build the frame over ALL chunk ids.
+    carry = (
+        e.select("user_id", "chunk")
+        .distinct()
+        .join(chunk_last, ["user_id", "chunk"], "left")
+        .withColumn(
+            "carry_in_value",
+            F.last("chunk_last_value", ignorenulls=True).over(w),
+        )
+        .select("user_id", "chunk", "carry_in_value")
+    )
+    return (
+        merged.join(carry, ["user_id", "chunk"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce("last_purchase_value", "carry_in_value").alias(
+                "last_purchase_value"
+            ),
+        )
     )
 
 

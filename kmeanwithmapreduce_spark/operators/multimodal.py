@@ -57,25 +57,34 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 
 
 def decode_batch(df: DataFrame) -> DataFrame:
-    """mapInPandas decode: Arrow batches in, metadata rows out."""
+    """mapInPandas decode: Arrow batches in, metadata rows out.
+
+    The fake-decode arithmetic is vectorized over the whole Arrow batch
+    (NumPy on concatenated byte prefixes — no per-row Python loop); a
+    real PIL/ffmpeg decoder is inherently per-item, but the *plumbing*
+    should advertise the batch-vectorized pattern. Matches
+    ``_fake_decode`` element-wise (pinned in tests)."""
+    import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                w, h, c, mi = _fake_decode(b)
-                out.append((doc_id, len(b), w, h, c, mi))
+            pay = pdf["payload"].map(bytes)
+            lens = pay.str.len().to_numpy(dtype=np.int64)
+            plens = np.minimum(lens, 256)
+            # concatenated prefixes -> one cumsum -> per-row segment sums
+            cat = np.frombuffer(b"".join(pay.str.slice(0, 256)), dtype=np.uint8)
+            cs = np.concatenate(([0], np.cumsum(cat, dtype=np.int64)))
+            ends = np.cumsum(plens)
+            bytesum = cs[ends] - cs[ends - plens]
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "n_bytes",
-                    "width",
-                    "height",
-                    "channels",
-                    "mean_intensity",
-                ],
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": lens,
+                    "width": 16 + lens % 64,
+                    "height": 16 + (lens // 64) % 64,
+                    "channels": 3,
+                    "mean_intensity": bytesum / np.maximum(plens, 1) / 255.0,
+                }
             )
 
     return df.select("doc_id", "payload").mapInPandas(fn, DECODED_SCHEMA)
@@ -113,12 +122,13 @@ GROUP BY source
 
 # --------------------------------------------------------------------------
 # m02 — decoded features via the mapInPandas stub, oracle-checked: the
-# fake decoder is deterministic arithmetic on byte lengths/prefixes
-# (octet_length + char-code sums — all documents are ASCII), so DuckDB
-# reproduces it exactly. Per-document output (no cross-row float
-# summation: each intensity is one identical fp op chain in both
-# engines, floor-truncated at 1e-6). The mapInPandas plumbing under
-# test here is exactly what a real PIL/ffmpeg decoder would ride.
+# fake decoder is deterministic arithmetic on byte lengths/prefixes, and
+# the oracle iterates the OCTETS of encode(text) (hex-pair parsing of
+# the blob), so the equivalence holds for any corpus — ASCII or not —
+# byte-for-byte. Per-document output (no cross-row float summation:
+# each intensity is one identical fp op chain in both engines,
+# floor-truncated at 1e-6). The mapInPandas plumbing under test here is
+# exactly what a real PIL/ffmpeg decoder would ride.
 def m02_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     decoded = decode_batch(with_binary_payload(d))
@@ -145,8 +155,13 @@ SELECT doc_id,
 FROM (
   SELECT doc_id,
          octet_length(encode(text)) AS n,
-         list_sum(list_transform(string_split(substr(text, 1, 256), ''),
-                                 c -> unicode(c))) AS bytesum
+         -- sum the first 256 OCTETS of the utf-8 blob (hex-pair parse),
+         -- not code points of the first 256 characters: byte-exact for
+         -- non-ASCII corpora too
+         coalesce(list_sum(list_transform(
+           range(0, least(octet_length(encode(text)), 256)),
+           i -> CAST(('0x' || substr(hex(encode(text)), 1 + 2*i, 2)) AS INT)
+         )), 0) AS bytesum
   FROM documents
 )
 """

@@ -72,29 +72,52 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    try:
+        return int(spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    except Exception:  # pragma: no cover - JVM helper always present in practice
+        return int(str(raw).lower().rstrip("b") or 134217728)
+
+
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition only when the scan cannot produce enough splits to
-    keep the cluster busy — the local-testdata case (single-row-group
-    parquet files scan as one task, serializing CPU-heavy operators).
-    On a real multi-file 100 TB layout the input is already split and
-    this is a no-op, so no shuffle is paid at scale.
+    keep the cluster busy — the local-testdata case (single small
+    parquet file scans as one task, serializing CPU-heavy operators).
+    On a real multi-file or large-file 100 TB layout the input already
+    splits and this is a no-op, so no shuffle is paid at scale.
 
     The probe is ``df.inputFiles()`` — a plan-side file listing, NOT an
     RDD conversion (round 1 probed the RDD partition count, forcing
-    Python-RDD conversion of the analyzed plan on the driver per
-    call). File count over-estimates scan partitions when Spark
-    coalesces tiny files into shared splits, but for the CPU-heavy
-    operators this guards, a too-low estimate only risks a redundant
-    repartition of a small input — never a lost split on a big one. A
-    non-file source (in-memory test frames) reports no files and is
-    left untouched (its parallelism already tracks defaultParallelism).
+    Python-RDD conversion of the analyzed plan on the driver per call).
+    File count alone UNDER-counts splits for few-but-large splittable
+    files (8 multi-GB parquet files on 64 cores still scan as hundreds
+    of partitions via maxPartitionBytes), so when the count looks low
+    the split estimate is refined with actual file sizes:
+    ``sum(max(1, ceil(size / maxPartitionBytes)))``. Only when even
+    that estimate falls short is the shuffle paid — i.e. only for
+    genuinely small inputs. A non-file source (in-memory test frames)
+    reports no files and is left untouched (its parallelism already
+    tracks defaultParallelism).
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    # few files: check whether Spark's size-based splitting already
+    # yields enough scan partitions before forcing a shuffle.
+    mpb = _max_partition_bytes(spark)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    est_splits = 0
+    for uri in files:
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+        est_splits += max(1, -(-size // mpb))
+        if est_splits >= target:
+            return df
+    return df.repartition(target)
 
 
 def load_points_csv(

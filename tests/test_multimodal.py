@@ -44,6 +44,47 @@ def test_frame_sample_stub(spark, sf_dir):
     assert len(per_doc) == 10
 
 
+def test_decode_vectorized_matches_scalar_spec(spark, sf_dir):
+    """The batch-vectorized decode must equal the scalar _fake_decode
+    spec element-wise, including multi-byte utf-8 and empty payloads."""
+    texts = ["héllo wörld", "日本語のテキスト", "", "a" * 300, "naïve—café"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["width"], r["height"], r["channels"], r["mean_intensity"])
+        for r in mm.decode_batch(mm.with_binary_payload(d)).collect()
+    }
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        w, h, c, mi = mm._fake_decode(b)
+        assert got[i] == (len(b), w, h, c, mi)
+
+
+def test_m02_oracle_holds_for_non_ascii(spark, tmp_path):
+    """ADVICE r2: the old oracle summed code points of the first 256
+    CHARACTERS; the byte-based oracle must match the stub on multi-byte
+    utf-8 corpora too."""
+    import duckdb
+
+    texts = ["héllo wörld", "日本語のテキスト" * 40, "", "ascii only", "naïve—café é" * 30]
+    d = spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    fx = str(tmp_path / "documents.parquet")
+    d.write.parquet(fx)
+    got = mm.m02_decoded_features(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{fx}/*.parquet'")
+    want = con.execute(mm.M02_SQL).fetchdf()
+    con.close()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    for col in ("n_bytes", "width", "height", "channels", "intensity_t"):
+        assert list(got[col]) == list(want[col]), col
+
+
 def test_m03_pipeline(spark, sf_dir):
     out = mm.m03_cluster_decoded(spark, sf_dir)
     rows = out.collect()
