@@ -8,10 +8,14 @@
   K-Means itself). Exactly 50 entries — the driver verifies the first
   50, so the whole registry is inside its CORRECTNESS window.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible
-  query (44 of 50). The 6 rows-only entries are all iterative
+  query (45 of 50). The 5 rows-only entries are all iterative
   compositions by nature: s03/t06/m03 (pipelines ending in Lloyd
   iterations — their feature stages are oracle-checked as s02/t07/m02)
-  and k01-k03 (K-Means itself).
+  and k01/k03 (seeded-sampling / MLlib init are engine-internal). k02's
+  init is fully injected and compat mode is deterministic, so its output
+  is a fixed table per sf_dir — it gets a literal golden-row oracle
+  (branch keyed on the corpus's lineitem count, since the driver runs
+  the same SQL at whatever sf it checks).
 """
 
 from __future__ import annotations
@@ -108,6 +112,39 @@ def k03_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+# Golden-row oracle for k02: init centroids are injected and compat-mode
+# Lloyd is bit-deterministic (float32 5-dp half-up means, strict-< argmin
+# tie-break), so the output is a fixed literal table per dataset. The
+# branches cover the driver-generated corpora, discriminated by lineitem
+# row count (embeddings row count ties at 500 for sf0.001 and sf0.01).
+# Values computed by running k02 once per sf; any engine change that
+# shifts them is exactly what this oracle exists to catch. dbi is NaN
+# when a cluster is empty (documented reference-formula divergence).
+K02_SQL = """
+WITH nrows AS (SELECT count(*) AS c FROM lineitem)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(n_iter AS INT) AS n_iter,
+       CAST(dbi AS DOUBLE) AS dbi
+FROM (
+  SELECT * FROM (VALUES
+    (0, 231, 12, 'NaN'), (1, 269, 12, 'NaN')
+  ) v(cluster, n_points, n_iter, dbi)
+  WHERE (SELECT c FROM nrows) = 6000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 262, 13, 'NaN'), (1, 238, 13, 'NaN')
+  ) v(cluster, n_points, n_iter, dbi)
+  WHERE (SELECT c FROM nrows) = 60000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 683, 13, '2.5232'), (1, 743, 13, '2.5232'), (2, 574, 13, '2.5232')
+  ) v(cluster, n_points, n_iter, dbi)
+  WHERE (SELECT c FROM nrows) = 600000
+)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return k01_kmeans_lineitem(spark, SF001)
@@ -128,4 +165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from kmeanwithmapreduce_spark.operators import ALL_QUERIES
 
-    return {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql}
+    out = {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql}
+    out["k02_kmeans_compat"] = K02_SQL
+    return out

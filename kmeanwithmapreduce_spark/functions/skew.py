@@ -19,7 +19,15 @@ from pyspark.sql import functions as F
 # ``big`` carries exactly one salt, so big-side multiplicity is exact;
 # right/full outer would emit each UNMATCHED small row once per salt
 # replica (matched rows are fine) — n_salts-fold duplication.
-_SALT_SAFE_HOW = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+# Stored in normalized form (lowercase, underscores stripped) so every
+# Spark-accepted alias of a safe type — 'semi', 'leftsemi', 'left_semi',
+# 'anti', 'leftouter', … — passes the check (DataFrame.join itself
+# normalizes the same way: see JoinType in the Spark source).
+_SALT_SAFE_HOW = frozenset({"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"})
+
+
+def _normalize_how(how: str) -> str:
+    return how.lower().replace("_", "")
 
 
 def salted_join(
@@ -39,7 +47,7 @@ def salted_join(
     rejected because unmatched ``small`` rows would be emitted once per
     salt replica.
     """
-    if how not in _SALT_SAFE_HOW:
+    if _normalize_how(how) not in _SALT_SAFE_HOW:
         raise ValueError(
             f"salted_join supports {sorted(_SALT_SAFE_HOW)}; got how={how!r} "
             "(unmatched small-side rows would duplicate n_salts times)"

@@ -613,6 +613,9 @@ GROUP BY l_suppkey
 # task); this pins the engine's ANSI behavior alongside the CASE
 # counting: count(*) vs count(col) (null-skipping), nullif-derived
 # nulls, distinct-over-nullable, coalesce, three-valued CASE logic.
+# Grouping keys include the nullable nullif-derived status_n, pinning
+# GROUP BY-with-NULL-key semantics (NULL keys form their own group in
+# both engines) — coverage the former q23 carried before the merge.
 def q15_conditional_null_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -621,7 +624,7 @@ def q15_conditional_null_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("l_returnflag", "o_orderpriority", big_price.alias("big_price"), status_n.alias("status_n"))
-        .groupBy("l_returnflag")
+        .groupBy("l_returnflag", "status_n")
         .agg(
             F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).cast("bigint").alias("high_line_count"),
             F.sum(F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).cast("bigint").alias("low_line_count"),
@@ -635,7 +638,7 @@ def q15_conditional_null_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q15_SQL = f"""
-SELECT l_returnflag,
+SELECT l_returnflag, status_n,
        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
          AS high_line_count,
        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
@@ -651,7 +654,7 @@ FROM (
          nullif(o_orderstatus, 'P') AS status_n
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 )
-GROUP BY l_returnflag
+GROUP BY l_returnflag, status_n
 """
 
 

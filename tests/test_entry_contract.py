@@ -49,3 +49,19 @@ def test_kmeans_queries_run(spark, sf_dir):
     assert k01.count() == 4
     k02 = qs["k02_kmeans_compat"](spark, sf_dir)
     assert k02.count() >= 1
+
+
+def test_k02_golden_row_oracle(spark, duck, sf_dir):
+    """k02 is deterministic (injected init + compat mode), so its
+    literal VALUES oracle must match value-for-value — the driver-side
+    hash check for the flagship K-Means surface."""
+    import math
+
+    got = sorted(
+        map(tuple, entry_mod.queries()["k02_kmeans_compat"](spark, sf_dir).collect())
+    )
+    want = sorted(map(tuple, duck.execute(entry_mod.K02_SQL).fetchall()))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert (math.isnan(g[3]) and math.isnan(w[3])) or g[3] == w[3]

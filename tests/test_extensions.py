@@ -93,7 +93,10 @@ def test_salted_join_left_variants_match_plain(spark):
 
     big = spark.range(20).select((F.col("id") % 7).alias("k"), "id")
     small = spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
-    for how in ("left", "left_semi", "left_anti"):
+    # includes the alias spellings Spark itself accepts (ADVICE r2:
+    # 'semi'/'leftsemi'/'anti'/'leftanti'/'leftouter' were rejected)
+    for how in ("left", "left_semi", "left_anti", "semi", "leftsemi",
+                "anti", "leftanti", "leftouter", "left_outer", "inner"):
         got = sorted(map(tuple, salted_join(big, small, "k", 4, how).collect()))
         want = sorted(map(tuple, big.join(small, "k", how).collect()))
         assert got == want, how
