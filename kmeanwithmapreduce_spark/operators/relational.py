@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import load_table, load_table_via
 
 
 def _gridsum(expr, scale: int, out_dec: int = 0):
@@ -454,9 +454,14 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 # per priority (a correlated-EXISTS semi over lineitem->orders, the
 # former q04). Scale: each semi/anti shuffles only the probe keys; the
 # final aggs are tiny.
+# Source routing: customer arrives through the ORC reader and orders
+# through the schema'd JSON reader (load_table_via) while the oracle
+# reads the original parquet — this registry row is the driver-level
+# correctness check for the non-parquet scan paths (round-trip unit
+# tests alone don't hash-compare against an independent engine).
 def q12_semi_anti_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    c = load_table_via(spark, sf_dir, "customer", "orc")
+    o = load_table_via(spark, sf_dir, "orders", "json")
     li = load_table(spark, sf_dir, "lineitem")
     ok = o.select("o_custkey")
     active = (

@@ -62,6 +62,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_FMT_CACHE_ROOT = "/tmp/spark_graft_fmtcache"
+
+
+def load_table_via(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str
+) -> DataFrame:
+    """Load a star-schema table THROUGH a non-parquet reader: materialize
+    an ORC/JSON/CSV copy once (idempotent ``_SUCCESS``-guarded cache under
+    /tmp) and read it back with that format's source.
+
+    This exists so the driver's oracle harness exercises the non-parquet
+    scan paths end-to-end: the oracle reads the original parquet while
+    the Spark side reads the format copy, so any reader bug (type
+    round-trip, schema application, date/timestamp parsing) surfaces as
+    a value mismatch. At 100 TB one would read native ORC/JSON data
+    directly — the reader invocation here is exactly that code path; only
+    the materialization step is a test-harness device. Schemaless text
+    formats (json/csv) are read with the parquet-derived schema — the
+    scale-sane pattern (no inference pass over the corpus).
+    """
+    base = load_table(spark, sf_dir, name)
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{name}_{fmt}"
+    path = os.path.join(_FMT_CACHE_ROOT, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base.write.mode("overwrite").format(fmt).save(path)
+    reader = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        reader = reader.schema(base.schema)
+    if fmt == "csv":
+        reader = reader.option("header", "false")
+    return reader.load(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
