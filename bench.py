@@ -90,6 +90,17 @@ def main() -> int:
     )
     timings["kmeans_5iter_k8"] = round(time.monotonic() - t0, 3)
 
+    # warm per-iteration cost: second identical run (JVM + codegen +
+    # input cache paths fully warm) divided by iteration count — the
+    # number the 100x scale-up argument in SCALE.md extrapolates from;
+    # cold-run sampling/caching overhead is excluded by construction.
+    t0 = time.monotonic()
+    core.lloyd(
+        feats,
+        core.KMeansParams(k=8, seed=42, thresh=0.0, max_loop=5),
+    )
+    timings["kmeans_warm_sec_per_iter"] = round((time.monotonic() - t0) / 5, 3)
+
     from kmeanwithmapreduce_spark.kmeans.mllib import mllib_kmeans
 
     t0 = time.monotonic()
