@@ -8,14 +8,16 @@
   K-Means itself). Exactly 50 entries — the driver verifies the first
   50, so the whole registry is inside its CORRECTNESS window.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible
-  query (45 of 50). The 5 rows-only entries are all iterative
-  compositions by nature: s03/t06/m03 (pipelines ending in Lloyd
-  iterations — their feature stages are oracle-checked as s02/t07/m02)
-  and k01/k03 (seeded-sampling / MLlib init are engine-internal). k02's
-  init is fully injected and compat mode is deterministic, so its output
-  is a fixed table per sf_dir — it gets a literal golden-row oracle
+  query, plus golden-row VALUES oracles for the deterministic iterative
+  pipelines — 48 of 50. k02/t06/m03/s03 all use the same recipe: fully
+  injected init + compat-mode Lloyd (5-dp float32 mean rounding absorbs
+  aggregation-merge-order ulp noise), so each output is a fixed table
+  per sf_dir and is hash-checked against a literal VALUES oracle
   (branch keyed on the corpus's lineitem count, since the driver runs
-  the same SQL at whatever sf it checks).
+  the same SQL at whatever sf it checks; values double-run
+  determinism-verified at sf0.001/0.01/0.1). The 2 remaining rows-only
+  entries are k01/k03, whose seeded-sampling / MLlib k-means|| init is
+  engine-internal randomness no cross-engine oracle can reproduce.
 """
 
 from __future__ import annotations

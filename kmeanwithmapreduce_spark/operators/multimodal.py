@@ -226,7 +226,13 @@ def frame_sample_batch(df: DataFrame, every_n_bytes: int = 256, max_frames: int 
 
 # --------------------------------------------------------------------------
 # m03 — end-to-end multimodal pipeline: payload -> decode -> numeric
-# features -> the engine's own K-Means (composition check; rows-only).
+# features -> the engine's own K-Means (composition check).
+# Deterministic by construction (the k02 golden-row recipe): init
+# centroids are the decoded feature vectors of the 3 lowest doc_ids and
+# the Lloyd tail runs in compat mode (5-dp float32 mean rounding absorbs
+# merge-order ulp noise), so the output is a fixed table per corpus and
+# carries a literal VALUES oracle (M03_SQL). The decode stage is
+# independently oracle-checked as m02.
 def m03_cluster_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F2
 
@@ -235,22 +241,54 @@ def m03_cluster_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     decoded = decode_batch(with_binary_payload(d))
     feats = decoded.select(
+        "doc_id",
         F2.array(
             F2.col("width").cast("float"),
             F2.col("height").cast("float"),
             (F2.col("n_bytes") / 1000.0).cast("float"),
             F2.col("mean_intensity").cast("float"),
-        ).alias("features")
+        ).alias("features"),
     )
+    init = [
+        [float(v) for v in r["features"]]
+        for r in feats.orderBy("doc_id").limit(3).collect()
+    ]
     res = core.lloyd(
-        feats, core.KMeansParams(k=3, seed=11, thresh=1e-3, max_loop=10)
+        feats,
+        core.KMeansParams(k=3, thresh=1e-3, max_loop=10, mode="compat"),
+        init_centroids=init,
     )
     labeled = core.label(feats, res.centroids)
     return labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+# Golden-row oracle (see m03 docstring): literal VALUES per corpus,
+# discriminated by lineitem count; double-run determinism-checked.
+M03_SQL = """
+WITH nrows AS (SELECT count(*) AS c FROM lineitem)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+  SELECT * FROM (VALUES
+    (0, 152), (1, 175), (2, 173)
+  ) v(cluster, n_docs)
+  WHERE (SELECT c FROM nrows) = 6000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 168), (1, 166), (2, 166)
+  ) v(cluster, n_docs)
+  WHERE (SELECT c FROM nrows) = 60000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 1698), (1, 1679), (2, 1623)
+  ) v(cluster, n_docs)
+  WHERE (SELECT c FROM nrows) = 600000
+)
+"""
+
+
 MULTIMODAL_QUERIES = {
     "m01_payload_meta": (m01_payload_meta, M01_SQL),
     "m02_decoded_features": (m02_decoded_features, M02_SQL),
-    "m03_cluster_decoded": (m03_cluster_decoded, None),
+    "m03_cluster_decoded": (m03_cluster_decoded, M03_SQL),
 }

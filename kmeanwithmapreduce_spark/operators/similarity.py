@@ -149,6 +149,12 @@ S02_SQL = _s02_sql()
 
 # --------------------------------------------------------------------------
 # s03 — IVF coarse index: cells from our own K-Means, probe-cell search.
+# Deterministic by construction (the k02 golden-row recipe): the coarse
+# quantizer is trained from injected init (embeddings of the n_cells
+# lowest vec_ids) in compat mode (5-dp float32 mean rounding absorbs
+# merge-order ulp noise); ranking then has a total order (cosine desc,
+# vec_id asc), so the result is a fixed table per corpus and carries a
+# literal VALUES oracle (S03_SQL) instead of a rows-only check.
 def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame:
     from ..kmeans import core
 
@@ -156,11 +162,16 @@ def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFr
     feats = e.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("features")
     )
+    init = [
+        [float(v) for v in r["features"]]
+        for r in feats.orderBy("vec_id").limit(n_cells).collect()
+    ]
     res = core.lloyd(
         feats,
         # few iterations: cell quality barely moves after 4 and the cells
         # only gate the candidate set, not correctness of ranking
-        core.KMeansParams(k=n_cells, seed=7, thresh=1e-2, max_loop=4),
+        core.KMeansParams(k=n_cells, thresh=1e-2, max_loop=4, mode="compat"),
+        init_centroids=init,
     )
     cells = core.assign(feats, res.centroids)  # vec_id -> cell
     q = cells.where(F.col("vec_id") < _N_QUERIES).select(
@@ -184,8 +195,85 @@ def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFr
     )
 
 
+# Golden-row oracle (see s03 docstring): literal VALUES per corpus,
+# discriminated by lineitem count; double-run determinism-checked. The
+# 4-dp floored cosine doubles round-trip exactly (floor(x*1e4)/1e4 ==
+# the correctly-rounded parse of the printed literal).
+S03_SQL = """
+WITH nrows AS (SELECT count(*) AS c FROM lineitem)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cosine AS DOUBLE) AS cosine,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT * FROM (VALUES
+    (0, 12, 0.311, 3), (0, 17, 0.3344, 1), (0, 73, 0.2972, 5), (0, 212,
+    0.2813, 6), (0, 225, 0.3151, 2), (0, 232, 0.2673, 10), (0, 299,
+    0.2687, 9), (0, 347, 0.2745, 7), (0, 402, 0.2744, 8), (0, 483,
+    0.3004, 4), (1, 75, 0.2899, 4), (1, 129, 0.3514, 2), (1, 208,
+    0.2362, 10), (1, 247, 0.2614, 7), (1, 248, 0.2479, 9), (1, 257,
+    0.3917, 1), (1, 260, 0.2553, 8), (1, 376, 0.3048, 3), (1, 455,
+    0.2824, 5), (1, 479, 0.2689, 6), (2, 91, 0.2789, 4), (2, 132,
+    0.2466, 8), (2, 183, 0.2506, 7), (2, 185, 0.2829, 3), (2, 246,
+    0.2897, 2), (2, 309, 0.2523, 6), (2, 388, 0.2293, 10), (2, 441,
+    0.2539, 5), (2, 443, 0.3575, 1), (2, 488, 0.2386, 9), (3, 32,
+    0.2281, 8), (3, 72, 0.3089, 6), (3, 84, 0.3196, 3), (3, 108, 0.2198,
+    9), (3, 156, 0.311, 5), (3, 205, 0.3365, 2), (3, 223, 0.3409, 1),
+    (3, 278, 0.2693, 7), (3, 380, 0.219, 10), (3, 426, 0.315, 4), (4,
+    98, 0.3397, 2), (4, 100, 0.26, 8), (4, 143, 0.3297, 3), (4, 195,
+    0.2547, 9), (4, 229, 0.2677, 6), (4, 271, 0.2545, 10), (4, 343,
+    0.3124, 4), (4, 345, 0.3749, 1), (4, 357, 0.2954, 5), (4, 472,
+    0.2663, 7)
+  ) v(query_id, vec_id, cosine, rk)
+  WHERE (SELECT c FROM nrows) = 6000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 73, 0.2954, 4), (0, 190, 0.2817, 6), (0, 320, 0.2878, 5), (0,
+    344, 0.2524, 9), (0, 365, 0.3699, 1), (0, 387, 0.3311, 2), (0, 388,
+    0.2763, 7), (0, 423, 0.2969, 3), (0, 483, 0.2567, 8), (0, 498,
+    0.2507, 10), (1, 27, 0.3482, 2), (1, 64, 0.3163, 5), (1, 124,
+    0.3027, 6), (1, 195, 0.3227, 4), (1, 203, 0.2681, 10), (1, 220,
+    0.2897, 9), (1, 386, 0.3714, 1), (1, 402, 0.2923, 7), (1, 407,
+    0.327, 3), (1, 472, 0.2921, 8), (2, 97, 0.225, 10), (2, 112, 0.2453,
+    6), (2, 117, 0.3181, 1), (2, 172, 0.2398, 7), (2, 188, 0.2632, 3),
+    (2, 197, 0.2331, 8), (2, 418, 0.254, 4), (2, 440, 0.2313, 9), (2,
+    450, 0.2663, 2), (2, 471, 0.2471, 5), (3, 130, 0.3998, 1), (3, 149,
+    0.3299, 2), (3, 174, 0.3035, 4), (3, 192, 0.2908, 7), (3, 207,
+    0.2917, 6), (3, 231, 0.2987, 5), (3, 343, 0.3084, 3), (3, 396,
+    0.2609, 10), (3, 437, 0.2805, 8), (3, 474, 0.2767, 9), (4, 89,
+    0.2659, 7), (4, 114, 0.3985, 1), (4, 249, 0.2796, 6), (4, 280,
+    0.2798, 5), (4, 346, 0.2315, 10), (4, 384, 0.2404, 9), (4, 408,
+    0.3227, 3), (4, 470, 0.2525, 8), (4, 482, 0.3138, 4), (4, 496,
+    0.3412, 2)
+  ) v(query_id, vec_id, cosine, rk)
+  WHERE (SELECT c FROM nrows) = 60000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 142, 0.3112, 9), (0, 144, 0.3243, 6), (0, 291, 0.3919, 2), (0,
+    510, 0.3444, 4), (0, 794, 0.3108, 10), (0, 1020, 0.3759, 3), (0,
+    1204, 0.4064, 1), (0, 1407, 0.3191, 8), (0, 1511, 0.3287, 5), (0,
+    1978, 0.3192, 7), (1, 134, 0.3064, 9), (1, 173, 0.3108, 7), (1, 260,
+    0.3466, 4), (1, 665, 0.3065, 8), (1, 986, 0.3064, 10), (1, 1175,
+    0.3703, 2), (1, 1580, 0.3667, 3), (1, 1832, 0.3312, 6), (1, 1843,
+    0.3399, 5), (1, 1950, 0.3861, 1), (2, 123, 0.3172, 8), (2, 315,
+    0.3117, 10), (2, 337, 0.3574, 3), (2, 798, 0.35, 6), (2, 953,
+    0.3691, 2), (2, 990, 0.3336, 7), (2, 1053, 0.356, 4), (2, 1196,
+    0.3168, 9), (2, 1303, 0.394, 1), (2, 1912, 0.3519, 5), (3, 263,
+    0.3979, 1), (3, 650, 0.3157, 7), (3, 720, 0.3655, 3), (3, 859,
+    0.3627, 4), (3, 930, 0.3416, 5), (3, 965, 0.3023, 10), (3, 1542,
+    0.3242, 6), (3, 1567, 0.3112, 8), (3, 1617, 0.3028, 9), (3, 1701,
+    0.388, 2), (4, 76, 0.3595, 3), (4, 174, 0.3113, 10), (4, 524, 0.419,
+    1), (4, 825, 0.3367, 6), (4, 913, 0.3195, 8), (4, 995, 0.3588, 4),
+    (4, 1166, 0.3786, 2), (4, 1423, 0.316, 9), (4, 1645, 0.3265, 7), (4,
+    1653, 0.3372, 5)
+  ) v(query_id, vec_id, cosine, rk)
+  WHERE (SELECT c FROM nrows) = 600000
+)
+"""
+
+
 SIMILARITY_QUERIES = {
     "s01_knn_bruteforce": (s01_knn_bruteforce, S01_SQL),
     "s02_lsh_buckets": (s02_lsh_buckets, S02_SQL),
-    "s03_ivf_search": (s03_ivf_search, None),
+    "s03_ivf_search": (s03_ivf_search, S03_SQL),
 }

@@ -370,9 +370,14 @@ GROUP BY doc_id, bucket
 # t06 — document clustering: the t07 hashed-feature assembly -> dense
 # 32-dim vectors -> the engine's own K-Means. The composition the
 # reference exists for (clustering), applied to the text pipeline.
-# Rows-only (iterative tail; the feature stage is oracle-checked as
-# t07). Scale: one extra groupBy to assemble the vectors; everything
-# else is the K-Means core path.
+# Deterministic by construction (the k02 golden-row recipe): init
+# centroids are the feature vectors of the k lowest doc_ids (one tiny
+# ordered collect) and the Lloyd tail runs in compat mode, whose 5-dp
+# float32 mean rounding absorbs aggregation-merge-order ulp noise — so
+# the output is a fixed table per corpus and carries a literal VALUES
+# oracle (T06_SQL) instead of a rows-only check. The feature stage is
+# independently oracle-checked as t07. Scale: one extra groupBy to
+# assemble the vectors; everything else is the K-Means core path.
 def t06_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kmeans import core
 
@@ -396,11 +401,44 @@ def t06_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("array<float>")
         .alias("features"),
     )
+    init = [
+        [float(v) for v in r["features"]]
+        for r in feats.orderBy("doc_id").limit(5).collect()
+    ]
     res = core.lloyd(
-        feats, core.KMeansParams(k=5, seed=13, thresh=1e-2, max_loop=5)
+        feats,
+        core.KMeansParams(k=5, thresh=1e-2, max_loop=5, mode="compat"),
+        init_centroids=init,
     )
     labeled = core.label(feats, res.centroids)
     return labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# Golden-row oracle (see t06 docstring): literal VALUES per corpus,
+# discriminated by lineitem count; values computed by running t06 once
+# per sf (double-run determinism-checked). Any engine change that
+# shifts assignment or mean arithmetic is exactly what this catches.
+T06_SQL = """
+WITH nrows AS (SELECT count(*) AS c FROM lineitem)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+  SELECT * FROM (VALUES
+    (0, 9), (1, 145), (2, 119), (3, 139), (4, 88)
+  ) v(cluster, n_docs)
+  WHERE (SELECT c FROM nrows) = 6000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 15), (1, 148), (2, 97), (3, 115), (4, 125)
+  ) v(cluster, n_docs)
+  WHERE (SELECT c FROM nrows) = 60000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 1647), (1, 222), (2, 880), (3, 786), (4, 1465)
+  ) v(cluster, n_docs)
+  WHERE (SELECT c FROM nrows) = 600000
+)
+"""
 
 
 TEXT_QUERIES = {
@@ -410,5 +448,5 @@ TEXT_QUERIES = {
     "t04_fingerprint": (t04_fingerprint, T04_SQL),
     "t05_tfidf_top_terms": (t05_tfidf_top_terms, T05_SQL),
     "t07_tfidf_hashed_features": (t07_tfidf_hashed_features, T07_SQL),
-    "t06_tfidf_kmeans": (t06_tfidf_kmeans, None),
+    "t06_tfidf_kmeans": (t06_tfidf_kmeans, T06_SQL),
 }
