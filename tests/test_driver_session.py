@@ -42,6 +42,31 @@ for name in ["w01_tumbling", "q17_monthly_trend", "q19_sessionization",
 got = {(r[0].isoformat(), r[1]): r[2] for r in qs["w01_tumbling"](spark, sf).select("window_start","event_type","n").collect()}
 want = {(r[0].isoformat(), r[1]): r[2] for r in con.execute("SELECT window_start, event_type, n FROM (" + osql["w01_tumbling"] + ")").fetchall()}
 assert got == want, "timestamp values diverge under hostile timezone"
+
+# the golden-row VALUES oracles assert bit-determinism of the compat
+# K-Means tails; a vanilla session (different core count, 200 shuffle
+# partitions) changes aggregation merge order, so full-value parity
+# here proves the 5-dp rounding really does absorb it
+def canon(rows):
+    out = []
+    for r in rows:
+        t = []
+        for v in r:
+            if isinstance(v, float):
+                t.append("nan" if v != v else repr(float(v)))
+            else:
+                t.append(repr(int(v)) if isinstance(v, int) else repr(v))
+        out.append(tuple(t))
+    return sorted(out)
+
+for name in ["k02_kmeans_compat", "t06_tfidf_kmeans",
+             "m03_cluster_decoded", "s03_ivf_search"]:
+    cols = qs[name](spark, sf).columns
+    got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
+    want = canon(con.execute(
+        "SELECT " + ", ".join(sorted(cols)) + " FROM (" + osql[name] + ")"
+    ).fetchall())
+    assert got == want, (name, got[:3], want[:3])
 print("DRIVER-SESSION-OK")
 """
 
