@@ -80,3 +80,59 @@ def test_asof_chunked_boundary_fixture(spark, tmp_path):
     _assert_same(plain, chunked)
     expected = {2: 10.0, 3: 10.0, 7: 22.0, 8: 22.0, 9: None, 11: 30.0, 13: 40.0}
     assert chunked == expected
+
+
+# --------------------------------------------------------------------------
+# Randomized sweep: chunked == plain == an independent O(n^2) Python
+# reference on adversarial streams (dense ts collisions, few users, ts
+# spanning several 1-day chunks). The reference recomputes the as-of
+# contract from its definition — it shares no code with merge_asof or
+# the carry-in window — so agreement is three-way independent.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _reference_asof(rows):
+    out = {}
+    for eid, uid, ts, etype, _val in rows:
+        if etype != "click":
+            continue
+        cands = [
+            (p_ts, p_eid, p_val)
+            for p_eid, p_uid, p_ts, p_type, p_val in rows
+            if p_uid == uid and p_type == "purchase" and p_ts <= ts
+        ]
+        out[eid] = max(cands)[2] if cands else None
+    return out
+
+
+_event = st.tuples(
+    st.integers(min_value=1, max_value=4),          # user_id
+    st.integers(min_value=0, max_value=3 * 86400),  # offset secs, 3 days
+    st.sampled_from(["click", "purchase"]),
+)
+
+
+# no unique=: duplicate (user, ts, type) draws are exactly the equal-ts
+# purchase collisions the tie-break contract exists for
+@given(st.lists(_event, min_size=1, max_size=30))
+@settings(max_examples=6, deadline=None, derandomize=True)
+def test_asof_chunked_random_streams(spark, tmp_path_factory, events):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, uid, t0 + datetime.timedelta(seconds=secs), etype,
+         float(100 * i) if etype == "purchase" else None)
+        for i, (uid, secs, etype) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    d = str(tmp_path_factory.mktemp("asof_rand"))
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    want = _reference_asof(rows)
+    plain = _rows(j04_asof_merge_plain(spark, d))
+    chunked = _rows(j04_asof_merge_grouped(spark, d, chunk_days=1))
+    _assert_same(plain, want)
+    _assert_same(chunked, want)
