@@ -1,10 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "queries_warm": {name: sec}, "sf": ...}.
 
 Execution is measured with the noop sink (full distributed execution, no
 driver-side row transfer), matching how a cluster job would be bounded.
+"queries" are first executions (cold codegen — comparable to the frozen
+BASELINE targets, which were measured the same way); "queries_warm" is a
+second pass with compilation amortized — the steady-state cost a
+long-lived cluster session pays.
 """
 
 from __future__ import annotations
@@ -65,6 +69,17 @@ def main() -> int:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # second pass: steady-state cost with codegen/classloading amortized —
+    # the number that scales to a long-lived cluster session. Reported as
+    # a separate key; the headline "queries" stay cold-run for
+    # comparability with the frozen BASELINE §C/§D/§E targets.
+    timings_warm: dict[str, float] = {}
+    for name in headline:
+        fn = ALL_QUERIES[name][0]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings_warm[name] = round(time.monotonic() - t0, 3)
+
     # K-Means: fixed 5 iterations on the lineitem projection (per-iter
     # cost is the metric; convergence depends on init).
     from pyspark.sql import functions as F
@@ -115,6 +130,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": timings_warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
