@@ -110,3 +110,22 @@ def test_no_python_udfs_in_relational_plans(spark, sf_dir):
         plan = explain_str(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_j04_chunked_plan(spark, sf_dir):
+    """Whale-safe as-of merge: purchase filter pushed into the parquet
+    scan of the carry branch, exactly one bounded-group applyInPandas,
+    one carry-in window, and no broadcast of the (potentially huge)
+    events relation."""
+    from kmeanwithmapreduce_spark.operators.joins_advanced import (
+        j04_asof_merge_grouped,
+    )
+
+    plan = explain_str(j04_asof_merge_grouped(spark, sf_dir))
+    assert "EqualTo(event_type,purchase)" in plan  # pushed to scan
+    assert count_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert count_nodes(plan, "Window") == 1
+    # the carry joins are keyed equi-joins on (user_id, chunk) — any
+    # nested-loop/cartesian shape here would be quadratic in events
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
