@@ -95,11 +95,13 @@ def read_kafka_stream(
 
 
 def to_kafka_wire(events: DataFrame, topic: str = "events", n_partitions: int = 4) -> DataFrame:
-    """Shape typed event rows into Kafka's wire schema, exactly as a
-    keyed JSON producer would publish them: key = utf-8 user id, value =
-    utf-8 JSON of the full event, partition = hash(key) % n_partitions,
-    offset = a per-partition monotone cursor (event_id stands in —
-    unique and replay-stable)."""
+    """Shape typed event rows into Kafka's wire schema as a keyed JSON
+    producer would publish them: key = utf-8 user id, value = utf-8 JSON
+    of the full event, partition = pmod(user_id, n_partitions) — a
+    deterministic stand-in for the producer's murmur2(keyBytes) %
+    n_partitions with the same property that matters downstream (a key
+    always lands in one partition), offset = a per-partition monotone
+    cursor (event_id stands in — unique and replay-stable)."""
     return events.select(
         F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
         F.encode(
