@@ -191,3 +191,23 @@ def test_lloyd_on_lineitem_projection(spark, sf_dir):
     labeled = core.label(df, res.centroids)
     dbi = core.davies_bouldin_index(labeled, res.centroids)
     assert math.isfinite(dbi)
+
+
+def test_sweep_selects_lowest_dbi(spark):
+    """The reference's docx §4.3 experiment shape: sweep k, fit per k,
+    pick lowest DBI. Small range + loop cap keeps it fast; the selection
+    contract (argmin over non-NaN DBIs) is what's pinned."""
+    import math
+
+    from kmeanwithmapreduce_spark.kmeans.sweep import sweep
+    from kmeanwithmapreduce_spark.sources.readers import load_points_csv
+
+    df = load_points_csv(spark, "/root/reference/Data/CustomerData.txt", dim=7)
+    out = sweep(df, [2, 3, 4], thresh=0.01, max_loop=8, seed=42, mode="compat")
+    assert set(out["results"]) == {2, 3, 4}
+    for r in out["results"].values():
+        assert r["loop"] >= 1 and r["ms"] > 0
+    valid = {k: r["dbi"] for k, r in out["results"].items()
+             if not math.isnan(r["dbi"])}
+    assert valid, "every k produced an empty cluster?"
+    assert out["best_k"] == min(valid, key=valid.get)
