@@ -33,6 +33,14 @@ def get_spark(
     executors; every other setting below is cluster-appropriate as-is.
     """
     cpus = cpu_count()
+    # Spark tasks are the parallelism axis: a BLAS thread pool inside
+    # every Python worker (NumPy matmul in the GEMM/pandas-UDF paths)
+    # oversubscribes the cores (workers x MAX_THREADS) and collapses
+    # under any co-tenant CPU pressure. Pin BLAS/OpenMP to one thread
+    # per worker — set BEFORE the JVM launches so forked python workers
+    # inherit it; setdefault respects an operator's explicit override.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -61,6 +69,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # on a real cluster executors do NOT inherit the driver env —
+        # carry the BLAS pinning to executor python workers explicitly
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     if extra_conf:
         for k, v in extra_conf.items():
