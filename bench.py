@@ -9,6 +9,10 @@ driver-side row transfer), matching how a cluster job would be bounded.
 BASELINE targets, which were measured the same way); "queries_warm" is a
 second pass with compilation amortized — the steady-state cost a
 long-lived cluster session pays.
+
+Fault-isolated: a query that raises is recorded under "errors" and the
+run continues — the JSON line is always printed (round 3's bench died at
+one broken query and produced no numbers at all).
 """
 
 from __future__ import annotations
@@ -17,6 +21,21 @@ import json
 import os
 import sys
 import time
+import traceback
+
+
+def _timed(timings: dict, errors: dict, name: str, fn, err_key: str | None = None) -> None:
+    """Fault-isolated timing: one broken query records an error and the
+    run continues — a benchmark harness should degrade, not die (round 3
+    produced NO numbers because one query raised before the print)."""
+    t0 = time.monotonic()
+    try:
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+    except Exception:
+        errors[err_key or name] = (
+            traceback.format_exc(limit=3).strip().splitlines()[-1]
+        )
 
 
 def main() -> int:
@@ -56,18 +75,22 @@ def main() -> int:
         "d05_embedding_neardup_pairs",
     ]
 
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
     # JVM/codegen warmup (untimed): one scan+agg so the first timed query
     # doesn't absorb classloading.
     from kmeanwithmapreduce_spark.sources.readers import load_table as _lt
 
-    _lt(spark, sf_dir, "lineitem").agg({"l_quantity": "sum"}).collect()
+    _timed({}, errors, "warmup", lambda: _lt(spark, sf_dir, "lineitem").agg({"l_quantity": "sum"}).collect())
 
-    timings: dict[str, float] = {}
+    def _run_query(name: str) -> None:
+        ALL_QUERIES[name][0](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     for name in headline:
-        fn = ALL_QUERIES[name][0]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        _timed(timings, errors, name, lambda: _run_query(name))
 
     # second pass: steady-state cost with codegen/classloading amortized —
     # the number that scales to a long-lived cluster session. Reported as
@@ -75,10 +98,10 @@ def main() -> int:
     # comparability with the frozen BASELINE §C/§D/§E targets.
     timings_warm: dict[str, float] = {}
     for name in headline:
-        fn = ALL_QUERIES[name][0]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings_warm[name] = round(time.monotonic() - t0, 3)
+        _timed(
+            timings_warm, errors, name, lambda: _run_query(name),
+            err_key=f"warm:{name}",
+        )
 
     # K-Means: fixed 5 iterations on the lineitem projection (per-iter
     # cost is the metric; convergence depends on init).
@@ -87,54 +110,63 @@ def main() -> int:
     from kmeanwithmapreduce_spark.kmeans import core
     from kmeanwithmapreduce_spark.sources.readers import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
-    feats = li.select(
-        F.array(
-            F.col("l_quantity"),
-            F.col("l_extendedprice") / 1000.0,
-            F.col("l_discount"),
-            F.col("l_tax"),
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        feats = li.select(
+            F.array(
+                F.col("l_quantity"),
+                F.col("l_extendedprice") / 1000.0,
+                F.col("l_discount"),
+                F.col("l_tax"),
+            )
+            .cast("array<float>")
+            .alias("features")
         )
-        .cast("array<float>")
-        .alias("features")
-    )
-    t0 = time.monotonic()
-    core.lloyd(
-        feats,
-        core.KMeansParams(k=8, seed=42, thresh=0.0, max_loop=5),
-    )
-    timings["kmeans_5iter_k8"] = round(time.monotonic() - t0, 3)
+    except Exception:
+        errors["kmeans_setup"] = (
+            traceback.format_exc(limit=3).strip().splitlines()[-1]
+        )
+        feats = None
 
-    # warm per-iteration cost: second identical run (JVM + codegen +
-    # input cache paths fully warm) divided by iteration count — the
-    # number the 100x scale-up argument in SCALE.md extrapolates from;
-    # cold-run sampling/caching overhead is excluded by construction.
-    t0 = time.monotonic()
-    core.lloyd(
-        feats,
-        core.KMeansParams(k=8, seed=42, thresh=0.0, max_loop=5),
-    )
-    timings["kmeans_warm_sec_per_iter"] = round((time.monotonic() - t0) / 5, 3)
+    def _lloyd_5iter() -> None:
+        core.lloyd(
+            feats,
+            core.KMeansParams(k=8, seed=42, thresh=0.0, max_loop=5),
+        )
 
-    from kmeanwithmapreduce_spark.kmeans.mllib import mllib_kmeans
+    if feats is not None:
+        _timed(timings, errors, "kmeans_5iter_k8", _lloyd_5iter)
 
-    t0 = time.monotonic()
-    mllib_kmeans(feats, k=8, seed=42, max_iter=5, init_mode="random")
-    timings["kmeans_mllib_5iter_k8"] = round(time.monotonic() - t0, 3)
+        # warm per-iteration cost: second identical run (JVM + codegen +
+        # input cache paths fully warm) divided by iteration count — the
+        # number the 100x scale-up argument in SCALE.md extrapolates
+        # from; cold-run sampling/caching overhead is excluded by
+        # construction.
+        _timed(timings, errors, "kmeans_warm_sec_per_iter", _lloyd_5iter)
+        if "kmeans_warm_sec_per_iter" in timings:
+            timings["kmeans_warm_sec_per_iter"] = round(
+                timings["kmeans_warm_sec_per_iter"] / 5, 3
+            )
+
+        from kmeanwithmapreduce_spark.kmeans.mllib import mllib_kmeans
+
+        _timed(
+            timings, errors, "kmeans_mllib_5iter_k8",
+            lambda: mllib_kmeans(feats, k=8, seed=42, max_iter=5, init_mode="random"),
+        )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": timings_warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": timings_warm,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

@@ -763,7 +763,11 @@ GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS INT) % 10
 def q19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp, not cast("long"): valid on TIMESTAMP and
+    # TIMESTAMP_NTZ alike (Spark 4 refuses NTZ -> BIGINT casts), so the
+    # gap math holds even for a frame that bypassed reader normalization
+    ts_s = F.unix_timestamp(F.col("ts"))
+    gap = ts_s - F.lag(ts_s).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = e.select(
         "user_id",

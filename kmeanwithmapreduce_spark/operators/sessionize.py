@@ -23,13 +23,19 @@ from pyspark.sql import functions as F
 
 _GAP_S = 1800
 
+# seconds-since-epoch via unix_timestamp, NOT cast("long"): works on
+# TIMESTAMP and TIMESTAMP_NTZ alike (Spark 4 refuses NTZ -> BIGINT),
+# so these operators accept an events frame in either type.
+def _ts_s(col: str):
+    return F.unix_timestamp(F.col(col))
+
 
 def sessionize_plain(events: DataFrame, gap_s: int = _GAP_S) -> DataFrame:
     """Baseline: lag+cumsum over (user_id) — one partition per user.
     Returns one row per session: user_id, session_start, session_end,
     n_events."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = _ts_s("ts") - F.lag(_ts_s("ts")).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
     sess = events.select(
         "user_id",
@@ -54,9 +60,9 @@ def sessionize_salted(
 ) -> DataFrame:
     """Two-level sessionization; result rows equal sessionize_plain's
     (same sessions, same bounds, same counts)."""
-    chunk = (F.col("ts").cast("long") / chunk_s).cast("long").alias("chunk")
+    chunk = (_ts_s("ts") / chunk_s).cast("long").alias("chunk")
     w = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = _ts_s("ts") - F.lag(_ts_s("ts")).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
     local = (
         events.select("user_id", "ts", "event_id", chunk)
@@ -78,9 +84,7 @@ def sessionize_salted(
     # merge pass over per-session rows (tiny): a session merges with the
     # previous one (any chunk) when the cross gap <= gap_s
     wm = Window.partitionBy("user_id").orderBy("s_start", "s_end")
-    cross_gap = F.col("s_start").cast("long") - F.lag(
-        F.col("s_end").cast("long")
-    ).over(wm)
+    cross_gap = _ts_s("s_start") - F.lag(_ts_s("s_end")).over(wm)
     starts_new = F.when(cross_gap.isNull() | (cross_gap > gap_s), 1).otherwise(0)
     merged = local.withColumn(
         "merged_sid",

@@ -25,7 +25,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity_expr
+from ..functions.vector import dot_expr, l2_norm_expr
 from ..sources.readers import load_table
 
 _TOP_K = 10
@@ -39,14 +39,26 @@ _EMB_SCALE = 1_000_000  # integer grid: dot signs exact across engines
 # s01 — brute-force cosine top-k, query vectors vs the rest.
 def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # norms are projected ONCE per row BEFORE the join, so each base
+    # vector's norm is computed once instead of once per query pair
+    # (cosine_similarity_expr inlined per-pair recomputes it Q times).
+    # dot/(qnorm*bnorm) is the IDENTICAL fp expression tree as
+    # cosine_similarity_expr(qvec, emb) — same ops, same order — so the
+    # 4dp floor matches the oracle bit-for-bit.
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        l2_norm_expr(F.col("embedding")).alias("qnorm"),
     )
-    base = e.where(F.col("vec_id") >= _N_QUERIES)
+    base = e.where(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", "embedding", l2_norm_expr(F.col("embedding")).alias("bnorm")
+    )
     # floor-truncate at 4dp (engine-identical on identical doubles)
     sim = (
         F.floor(
-            cosine_similarity_expr(F.col("qvec"), F.col("embedding")) * 10000.0
+            dot_expr(F.col("qvec"), F.col("embedding"))
+            / (F.col("qnorm") * F.col("bnorm"))
+            * 10000.0
         )
         / 10000.0
     ).alias("cosine")
@@ -178,11 +190,17 @@ def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFr
         F.col("vec_id").alias("query_id"),
         F.col("features").alias("qvec"),
         F.col("cluster").alias("qcell"),
+        l2_norm_expr(F.col("features")).alias("qnorm"),
     )
-    base = cells.where(F.col("vec_id") >= _N_QUERIES)
+    # pre-join norm projection, same bit-identical factoring as s01
+    base = cells.where(F.col("vec_id") >= _N_QUERIES).withColumn(
+        "bnorm", l2_norm_expr(F.col("features"))
+    )
     sim = (
         F.floor(
-            cosine_similarity_expr(F.col("qvec"), F.col("features")) * 10000.0
+            dot_expr(F.col("qvec"), F.col("features"))
+            / (F.col("qnorm") * F.col("bnorm"))
+            * 10000.0
         )
         / 10000.0
     ).alias("cosine")

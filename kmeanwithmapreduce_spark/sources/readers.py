@@ -44,22 +44,44 @@ def ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to session-tz ``TIMESTAMP`` whatever
+    physical layout the parquet writer chose. Every ts consumer (batch
+    and streaming) MUST go through this ONE helper — round 3 shipped two
+    independent layout assumptions and both broke when the upstream
+    writer switched layouts.
 
-    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark only reads as a nanosecond long (spark.sql.legacy.parquet
-    .nanosAsLong); convert to a microsecond timestamp to match what
-    DuckDB exposes for the same file.
+    Layouts handled:
+
+    - parquet TIMESTAMP(NANOS): Spark reads it as a nanosecond ``long``
+      (``spark.sql.legacy.parquet.nanosAsLong``) -> integer-divide to
+      micros (float division loses precision: ns since epoch > 2^53)
+      and rebuild the timestamp;
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — what pandas /
+      pyarrow write by default: Spark 4 reads it as ``TIMESTAMP_NTZ``
+      -> cast to ``TIMESTAMP``, which under the UTC session timezone
+      (ensure_session_conf) keeps the wall-clock values identical to
+      what a naive reader (DuckDB) sees;
+    - already ``TIMESTAMP``: untouched.
     """
+    for field in df.schema.fields:
+        if field.name != col:
+            continue
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet``,
+    normalizing the events ``ts`` column to session-tz ``TIMESTAMP``
+    regardless of the file's physical timestamp layout (see
+    normalize_ts)."""
     ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            # integer division: float division loses precision (ns since
-            # epoch exceeds 2^53)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_ts(df)
 
 
 _FMT_CACHE_ROOT = "/tmp/spark_graft_fmtcache"

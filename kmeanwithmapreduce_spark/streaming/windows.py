@@ -16,36 +16,41 @@ plan; file-source streaming here exercises identical state management.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts -> micros,
-    same conversion as the batch reader)."""
+def events_batch_schema(spark: SparkSession, sf_dir: str):
+    """The schema the BATCH parquet reader sees for this events file —
+    probed, not hardcoded. Round 3 hardcoded ``ts: LongType`` (the
+    TIMESTAMP(NANOS)-as-long layout) here; when the upstream writer
+    switched to TIMESTAMP(MICROS) the stream silently read micros as if
+    they were nanos and produced 1970-era timestamps. Probing the footer
+    once per stream start (driver-side, O(1)) makes the stream layout
+    assumption identical to the batch reader's by construction."""
     from ..sources.readers import ensure_session_conf
 
     ensure_session_conf(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet; ``ts`` normalized to
+    session-tz TIMESTAMP by the SAME helper as the batch reader
+    (sources.readers.normalize_ts), so batch and streaming can never
+    disagree about the file layout."""
+    from ..sources.readers import normalize_ts
+
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_batch_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         # file stream source requires a directory; select just events
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_ts(raw)
 
 
 def streaming_tumbling_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

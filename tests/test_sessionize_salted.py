@@ -4,11 +4,17 @@ boundaries (forced via a small chunk size)."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from kmeanwithmapreduce_spark.operators.sessionize import (
     sessionize_plain,
     sessionize_salted,
 )
 from kmeanwithmapreduce_spark.sources.readers import load_table
+
+_SF001 = "/root/testdata/sf0.01"
 
 
 def _session_set(df):
@@ -32,3 +38,33 @@ def test_salted_equals_plain_tiny_chunks(spark, sf_dir):
     plain = _session_set(sessionize_plain(e))
     salted = _session_set(sessionize_salted(e, chunk_s=600))
     assert salted == plain
+
+
+@pytest.mark.skipif(not os.path.isdir(_SF001), reason="sf0.01 testdata absent")
+def test_salted_equals_plain_sf001_real_parquet(spark):
+    """Pinned at the driver's REAL sf0.01 events parquet — whatever ts
+    layout the driver ships, the equivalence must hold. Round 3's salted
+    tests only exercised frames whose ts type the tests themselves
+    chose, so the upstream layout switch never hit them."""
+    e = load_table(spark, _SF001, "events")
+    plain = _session_set(sessionize_plain(e))
+    salted = _session_set(sessionize_salted(e))
+    assert salted == plain
+
+
+def test_sessionize_accepts_raw_ntz_frame(spark, sf_dir):
+    """The operators themselves must also survive an events frame that
+    BYPASSED reader normalization (raw TIMESTAMP_NTZ from a bare
+    spark.read.parquet) — unix_timestamp-based gap math, no NTZ->BIGINT
+    cast."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    norm = load_table(spark, sf_dir, "events")
+    if raw.schema["ts"].dataType.simpleString() != "timestamp_ntz":
+        pytest.skip("driver parquet no longer NTZ; nothing to bypass")
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in sessionize_plain(raw).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"]) for r in sessionize_plain(norm).collect()
+    )
+    assert got == want

@@ -44,7 +44,7 @@ def test_streaming_session_equals_batch(spark, sf_dir):
 def test_streaming_dedup_drops_replayed_batch(spark, sf_dir, tmp_path_factory):
     """Write the same rows twice as two files: the second delivery must
     be fully deduplicated by event_id within the watermark."""
-    import pyspark.sql.functions as FF
+    from kmeanwithmapreduce_spark.sources.readers import normalize_ts
 
     src = str(tmp_path_factory.mktemp("dedup_src"))
     batch = (
@@ -54,11 +54,11 @@ def test_streaming_dedup_drops_replayed_batch(spark, sf_dir, tmp_path_factory):
     batch.write.mode("append").parquet(src)  # replay: every row duplicated
 
     raw = (
-        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    stream = raw.withColumn("ts", FF.timestamp_micros(FF.expr("ts DIV 1000")))
+    stream = normalize_ts(raw)
     deduped = sw.streaming_dedup(stream)
     q = (
         deduped.writeStream.outputMode("append")
