@@ -1,0 +1,234 @@
+"""Corpus-level training-data pipeline operators: duplicate-cluster
+resolution (distributed connected components), deterministic stratified
+sampling, and size-bounded shard export.
+
+These complete the dedup story: d02/d03/d04/d05 produce near-duplicate
+PAIRS; a real pipeline must then group pairs into duplicate CLUSTERS and
+keep one canonical document per cluster. Pair → cluster is a connected-
+components problem, solved here with the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14 — public literature), which converges in O(log n)
+rounds of pure DataFrame joins/aggregations — no driver-side graph, no
+vertex-program framework needed.
+
+NOT in the driver's ``queries()`` registry: the external driver verifies
+exactly the first 50 entries and the registry is full (COVERAGE.md).
+These are library operators verified by tests/test_corpus.py, including
+a DuckDB cross-check for the sampler and a pure-Python union-find
+cross-check for components.
+
+Scale notes:
+- components: each round is two (join + groupBy-min) passes over the
+  edge set keyed by node id; edge count shrinks toward a star forest.
+  O(log n) rounds bound the chain-of-duplicates worst case that plain
+  min-label propagation (O(diameter) rounds) does not. Lineage is
+  truncated per round with localCheckpoint — the standard iterative-
+  DataFrame pattern (at cluster scale: checkpoint to HDFS instead).
+- stratified_sample: a narrow map-side filter — md5-derived uniform
+  bucket per key, compared against a per-stratum rate literal. No
+  shuffle, fully deterministic and replayable (same corpus + same rates
+  => same sample, on any cluster size — what a reproducible training
+  run needs). Same md5 arithmetic as dedup.py, so an external engine
+  (DuckDB oracle in the test) reproduces the exact row set.
+- write_training_shards: hash-partitioned by a stable key so shard
+  membership is reproducible run-to-run; ``maxRecordsPerFile`` bounds
+  file size so downstream loaders stream fixed-size shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SAMPLE_BUCKETS = 10_000
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """Both directions of every edge, self-loops dropped."""
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e_sym: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    m = least(u, min(v)) per u; emit (v, m) for v > u. Since m <= u < v
+    no self-loops arise. (Kiveris et al. §3, large-star round.)
+    """
+    mins = e_sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        e_sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("u"), F.col("mv")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge toward its larger endpoint, then connect all of
+    u's smaller neighbors (and u) to their minimum. Output edges all
+    point (node -> smaller id). (Kiveris et al. §3, small-star round.)"""
+    o = _symmetrize(e).where(F.col("v") < F.col("u"))
+    mins = o.groupBy("u").agg(F.min("v").alias("mv"))
+    moved = (
+        o.join(mins, "u")
+        .where(F.col("v") != F.col("mv"))
+        .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+    )
+    kept = mins.select("u", F.col("mv").alias("v"))
+    return moved.union(kept).where(F.col("u") != F.col("v")).distinct()
+
+
+def _edge_signature(e: DataFrame) -> tuple:
+    """O(1)-driver convergence probe: count + order-independent hash sum."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulation: a LongType sum of 64-bit hashes overflows
+        # (ANSI mode raises); decimal(38,0) holds ~1e19 hashes worth
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return (row.n, row.h)
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list.
+
+    Returns one row per NON-ISOLATED node: (node, component) where
+    component is the minimum node id in that component. Nodes that
+    appear in no pair are absent (callers union singletons; see
+    dup_clusters). Alternates large-star/small-star until the edge set
+    is a stable star forest — O(log n) rounds, each a pair of
+    join+groupBy passes; converges for any input, max_iter is a safety
+    backstop (2^25 ≫ any real component diameter after log-compression).
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    e = _symmetrize(e).localCheckpoint(eager=True)
+    sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(_symmetrize(e))).localCheckpoint(eager=True)
+        new_sig = _edge_signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # star forest: every edge already points node -> component root, but
+    # roots themselves carry no row; add root -> root.
+    roots = e.select(F.col("v").alias("u")).distinct().join(
+        e.select("u").distinct(), "u", "left_anti"
+    )
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        roots.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS over the full
+    corpus: every document gets (doc_id, cluster_id, is_canonical), where
+    cluster_id = min doc_id of its duplicate cluster (itself when the doc
+    has no near-duplicates) and exactly the cluster-minimum doc is
+    canonical — the keep-list a dedup pipeline feeds to training. Column
+    defaults match the d02/d03 pair outputs (doc_a, doc_b).
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "t08",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5-derived
+    bucket (uniform over [0, 10000) from ``salt:key``) falls under the
+    stratum's rate. Reproducible across runs, cluster sizes, and engines
+    (the md5 arithmetic is the dedup.py cross-engine pattern), unlike
+    ``df.sample`` whose output depends on partitioning.
+
+    Typical use: rebalance a training corpus by language or source —
+    ``stratified_sample(docs, "lang", {"en": 0.1, "de": 0.5}, "doc_id")``.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _SAMPLE_BUCKETS
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.where(bucket < (rate * _SAMPLE_BUCKETS))
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "t08",
+) -> str:
+    """The DuckDB-equivalent SQL of stratified_sample — same md5 bucket,
+    same CASE rates — used by tests to cross-check the exact row set."""
+    branches = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {float(r)!r}" for s, r in sorted(rates.items())
+    )
+    return f"""
+SELECT * FROM {table}
+WHERE (CAST(('0x' || substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 8)) AS BIGINT)
+       % {_SAMPLE_BUCKETS})
+      < (CASE {branches} ELSE {float(default_rate)!r} END) * {_SAMPLE_BUCKETS}
+"""
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Export a corpus as hash-sharded parquet: shard membership is a
+    pure function of ``key_col`` (stable run-to-run and cluster-size-
+    independent — resumable/reproducible training), and
+    ``maxRecordsPerFile`` additionally splits any hot shard so no file
+    exceeds the loader's streaming budget."""
+    out = df.repartition(n_shards, F.col(key_col))
+    w = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.parquet(path)

@@ -1,0 +1,150 @@
+"""Corpus pipeline operators: connected components vs a pure-Python
+union-find oracle (including the chain worst case), duplicate-cluster
+resolution over real d03 pairs, the deterministic stratified sampler vs
+its DuckDB twin, and size-bounded shard export round-trip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+
+from kmeanwithmapreduce_spark.operators.corpus import (
+    connected_components,
+    dup_clusters,
+    stratified_sample,
+    stratified_sample_sql,
+    write_training_shards,
+)
+from kmeanwithmapreduce_spark.operators.dedup import d03_minhash_lsh_pairs
+from kmeanwithmapreduce_spark.sources.readers import load_table
+
+
+def _union_find(edges):
+    """Reference components: classic union-find, min id as root label."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _cc_dict(df):
+    return {r.node: r.component for r in df.collect()}
+
+
+def test_components_chain_worst_case(spark):
+    """A 64-node path graph: the O(diameter) propagation killer; the
+    star-contraction algorithm must still resolve it (in O(log n)
+    rounds, bounded by max_iter=25)."""
+    edges = [(i, i + 1) for i in range(63)] + [(100, 101), (103, 102)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = _cc_dict(connected_components(pairs, src="a", dst="b"))
+    want = _union_find(edges)
+    assert got == want
+    assert got[63] == 0 and got[101] == 100 and got[103] == 102
+
+
+def test_components_matches_union_find_on_d03_pairs(spark, sf_dir):
+    pairs = d03_minhash_lsh_pairs(spark, sf_dir)
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    got = _cc_dict(connected_components(pairs, src="doc_a", dst="doc_b"))
+    assert got == _union_find(edges)
+
+
+def test_dup_clusters_covers_corpus_and_keeps_min(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = d03_minhash_lsh_pairs(spark, sf_dir)
+    out = dup_clusters(docs, pairs).collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs  # every doc resolved, exactly once
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1 and canon[0].doc_id == cid
+    # docs in no pair are their own singleton cluster
+    paired = {r.doc_a for r in pairs.collect()} | {
+        r.doc_b for r in pairs.collect()
+    }
+    singletons = [r for r in out if r.doc_id not in paired]
+    assert all(r.cluster_id == r.doc_id for r in singletons)
+
+
+def test_stratified_sample_matches_duckdb(spark, sf_dir):
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        r.doc_id
+        for r in stratified_sample(docs, "lang", rates, "doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    sql = stratified_sample_sql("documents", "lang", rates, "doc_id")
+    want = sorted(
+        r[0] for r in con.execute(sql.replace("SELECT *", "SELECT doc_id")).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert 0 < len(got) < docs.count()  # non-trivial sample
+
+
+def test_stratified_sample_rate_accuracy(spark, sf_dir):
+    """The md5 bucket is uniform: per-stratum keep-fraction lands near
+    the requested rate (loose band; sf0.001 strata are small)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.5}
+    kept = stratified_sample(docs, "lang", rates, "doc_id")
+    n_en = docs.where("lang = 'en'").count()
+    k_en = kept.where("lang = 'en'").count()
+    assert kept.where("lang != 'en'").count() == 0  # default rate 0
+    if n_en >= 50:
+        assert 0.3 <= k_en / n_en <= 0.7
+
+
+def test_write_training_shards_bounded_and_lossless(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4, key_col="doc_id", max_records_per_file=100)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) >= 4
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= 100
+    back = spark.read.parquet(path)
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+
+def test_shard_membership_stable(spark, sf_dir, tmp_path):
+    """Hash sharding is a pure function of the key: two exports place
+    every doc in the same shard file index."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def membership(path):
+        out = {}
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            shard = os.path.basename(f).split("-")[1]
+            for r in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist():
+                out[r] = shard
+        return out
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, p1, n_shards=4, key_col="doc_id")
+    write_training_shards(docs, p2, n_shards=4, key_col="doc_id")
+    assert membership(p1) == membership(p2)
