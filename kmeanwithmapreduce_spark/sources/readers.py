@@ -105,7 +105,15 @@ def load_table_via(
     scale-sane pattern (no inference pass over the corpus).
     """
     base = load_table(spark, sf_dir, name)
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{name}_{fmt}"
+    # cache key includes the source file's mtime+size: the upstream
+    # testdata is regenerated between driver rounds, and a stale /tmp
+    # copy would silently diverge from the fresh parquet the oracle reads
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(src)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{name}_{fmt}"
+        f"_{int(st.st_mtime)}_{st.st_size}"
+    )
     path = os.path.join(_FMT_CACHE_ROOT, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base.write.mode("overwrite").format(fmt).save(path)
@@ -114,7 +122,9 @@ def load_table_via(
         reader = reader.schema(base.schema)
     if fmt == "csv":
         reader = reader.option("header", "false")
-    return reader.load(path)
+    # normalize_ts: a pre-existing cache written from an older ts layout
+    # (e.g. NTZ) must come back in the same normalized type as load_table
+    return normalize_ts(reader.load(path))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

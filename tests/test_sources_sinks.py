@@ -3,6 +3,8 @@ partitioned writes with partition pruning, and the SQL catalog surface."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -89,6 +91,32 @@ def test_load_table_via_formats_roundtrip(spark, sf_dir):
         got_df = load_table_via(spark, sf_dir, "nation", fmt)
         assert got_df.schema == base.schema, fmt
         assert sorted(map(tuple, got_df.collect())) == want, fmt
+
+
+def test_load_table_via_cache_invalidates_on_source_change(spark, sf_dir, tmp_path):
+    """The /tmp format cache must key on the SOURCE file's identity:
+    upstream testdata is regenerated between driver rounds, and a stale
+    cached copy would silently diverge from the fresh parquet."""
+    import shutil
+
+    from kmeanwithmapreduce_spark.sources.readers import load_table_via
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    src = str(d / "nation.parquet")
+    shutil.copyfile(f"{sf_dir}/nation.parquet", src)
+    n1 = load_table_via(spark, str(d), "nation", "json").count()
+    # simulate a driver regeneration: same path, new mtime
+    os.utime(src, (os.path.getmtime(src) + 1000, os.path.getmtime(src) + 1000))
+    import glob as _glob
+
+    from kmeanwithmapreduce_spark.sources.readers import _FMT_CACHE_ROOT
+
+    before = set(_glob.glob(os.path.join(_FMT_CACHE_ROOT, "sfx_nation_json_*")))
+    n2 = load_table_via(spark, str(d), "nation", "json").count()
+    after = set(_glob.glob(os.path.join(_FMT_CACHE_ROOT, "sfx_nation_json_*")))
+    assert n1 == n2
+    assert len(after) > len(before)  # a fresh cache entry was materialized
 
 
 def test_load_table_via_dates_and_doubles(spark, sf_dir):
