@@ -118,7 +118,12 @@ def connected_components(
     e = _symmetrize(e).localCheckpoint(eager=True)
     sig = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(_symmetrize(e))).localCheckpoint(eager=True)
+        # materialize BOTH half-rounds: _small_star references its input
+        # in three union/join branches, so an unmaterialized large-star
+        # plan would be recomputed ~6x per round (measured 29 Exchanges
+        # per round without this checkpoint vs 9 with it)
+        l = _large_star(_symmetrize(e)).localCheckpoint(eager=True)
+        e = _small_star(l).localCheckpoint(eager=True)
         new_sig = _edge_signature(e)
         if new_sig == sig:
             break
