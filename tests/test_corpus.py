@@ -148,3 +148,24 @@ def test_shard_membership_stable(spark, sf_dir, tmp_path):
     write_training_shards(docs, p1, n_shards=4, key_col="doc_id")
     write_training_shards(docs, p2, n_shards=4, key_col="doc_id")
     assert membership(p1) == membership(p2)
+
+
+def test_components_random_graphs_property(spark):
+    """Randomized sweep: components over arbitrary small graphs always
+    equal union-find (Spark-free reference). Deterministic seed set —
+    hypothesis-style coverage without per-example Spark job overhead."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n_nodes = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = _cc_dict(connected_components(pairs, src="a", dst="b"))
+        # union-find over non-self-loop edges (components drops loops)
+        want = _union_find([e for e in edges if e[0] != e[1]])
+        assert got == want, f"trial {trial}: {sorted(edges)}"
