@@ -29,7 +29,12 @@ centers relabels >99% of points correctly).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _NOISE = 0.04  # stddev of the per-dimension Gaussian around each center
 
@@ -42,9 +47,50 @@ def blob_centers(k: int, dim: int, seed: int) -> np.ndarray:
     return 0.1 + 0.8 * rs.random_sample((k, dim))
 
 
+_U64 = np.uint64
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain PRNG mix)."""
+    z = (z + _U64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _hash_normal(keys: np.ndarray) -> np.ndarray:
+    """Standard-normal noise as a PURE FUNCTION of each key (counter-
+    based RNG): two splitmix64 streams -> uniforms -> Box-Muller. This
+    is what makes the source partition- AND batch-invariant: row i's
+    value never depends on which split generated it."""
+    u1 = (_splitmix64(keys) >> _U64(11)).astype(np.float64) * 2.0**-53
+    u2 = (_splitmix64(keys ^ _U64(0xDEADBEEFCAFEF00D)) >> _U64(11)).astype(
+        np.float64
+    ) * 2.0**-53
+    u1 = np.maximum(u1, 1e-300)  # log(0) guard
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
+def _gen_rows(lo: int, hi: int, k: int, dim: int, seed: int):
+    """Deterministic row range [lo, hi): ids, float32 points, clusters.
+    Noise is counter-based per (seed, point_id, dimension), so ANY
+    split/batching of the id space yields bit-identical values."""
+    ids = np.arange(lo, hi, dtype=np.int64)
+    cluster = (ids % k).astype(np.int32)
+    centers = blob_centers(k, dim, seed)
+    keys = (
+        ids[:, None].astype(np.uint64) * _U64(dim)
+        + np.arange(dim, dtype=np.uint64)[None, :]
+        + _splitmix64(np.array([seed], dtype=np.uint64))
+    )
+    pts = centers[cluster] + _NOISE * _hash_normal(keys)
+    return ids, np.clip(pts, 0.0, 1.0).astype(np.float32), cluster
+
+
 class BlobsDataSource(DataSource):
     """``format("kmeans_blobs")`` — options: n (rows, default 1000),
-    k (centers, 3), dim (7), seed (42), partitions (8)."""
+    k (centers, 3), dim (7), seed (42), partitions (8); streaming adds
+    rows_per_batch (500)."""
 
     @classmethod
     def name(cls) -> str:
@@ -55,6 +101,9 @@ class BlobsDataSource(DataSource):
 
     def reader(self, schema) -> "BlobsReader":
         return BlobsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "BlobsStreamReader":
+        return BlobsStreamReader(self.options)
 
 
 class BlobsReader(DataSourceReader):
@@ -76,20 +125,13 @@ class BlobsReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        """Executor-side: generate [lo, hi) as ONE Arrow RecordBatch.
-        Noise is seeded by (seed, lo) so partitioning does not change
-        values; the center assignment is point_id % k so ground truth is
-        derivable without the RNG."""
+        """Executor-side: generate [lo, hi) as ONE Arrow RecordBatch
+        (the vectorized fast path; the center assignment is point_id % k
+        so ground truth is derivable without the RNG)."""
         import pyarrow as pa
 
         lo, hi = partition.value
-        m = hi - lo
-        ids = np.arange(lo, hi, dtype=np.int64)
-        cluster = (ids % self.k).astype(np.int32)
-        centers = blob_centers(self.k, self.dim, self.seed)
-        rs = np.random.RandomState((self.seed * 1_000_003 + lo) % (2**32))
-        pts = centers[cluster] + _NOISE * rs.standard_normal((m, self.dim))
-        pts = np.clip(pts, 0.0, 1.0).astype(np.float32)
+        ids, pts, cluster = _gen_rows(lo, hi, self.k, self.dim, self.seed)
         batch = pa.record_batch(
             {
                 "point_id": pa.array(ids, pa.int64()),
@@ -100,6 +142,40 @@ class BlobsReader(DataSourceReader):
             }
         )
         yield batch
+
+
+class BlobsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream of the same deterministic corpus: batch i is
+    rows [i*rows_per_batch, (i+1)*rows_per_batch), capped at n. The
+    offset is just the next row id, so `readBetweenOffsets` replay after
+    a failure regenerates bit-identical rows — exactly-once by
+    determinism (the property a Kafka offset gives you, here from the
+    generator itself)."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.k = int(options.get("k", 3))
+        self.dim = int(options.get("dim", 7))
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rows_per_batch", 500))
+
+    def initialOffset(self) -> dict:
+        return {"next_row": 0}
+
+    def _rows(self, lo: int, hi: int):
+        ids, pts, cluster = _gen_rows(lo, hi, self.k, self.dim, self.seed)
+        return [
+            (int(i), [float(x) for x in p], int(c))
+            for i, p, c in zip(ids, pts, cluster)
+        ]
+
+    def read(self, start: dict):
+        lo = start["next_row"]
+        hi = min(lo + self.rows_per_batch, self.n)
+        return iter(self._rows(lo, hi)), {"next_row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["next_row"], end["next_row"]))
 
 
 def register(spark) -> None:

@@ -82,3 +82,65 @@ def test_kmeans_on_blobs_recovers_ground_truth(spark):
     labeled = core.assign(df.select("point_id", "features", "true_cluster"), res.centroids)
     agree = labeled.where(F.col("cluster") == F.col("true_cluster")).count()
     assert agree / 6_000 >= 0.99
+
+
+def test_blobs_stream_equals_batch(spark):
+    """readStream over the generator must deliver exactly the batch
+    rows (same ids, same values) across micro-batches."""
+    opts = dict(n=2_000, k=3, dim=4, seed=21)
+    batch = _blobs(spark, **opts, partitions=4)
+    register(spark)
+    r = spark.readStream.format("kmeans_blobs")
+    for k, v in {**opts, "rows_per_batch": 300}.items():
+        r = r.option(k, v)
+    q = (
+        r.load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("blobs_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("blobs_stream").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+
+def test_streaming_kmeans_on_blobs_stream(spark):
+    """The engine's foreachBatch streaming K-Means over the generated
+    stream moves its centroids toward the generator's true centers."""
+    import numpy as np
+
+    from kmeanwithmapreduce_spark.streaming.windows import (
+        streaming_kmeans_foreachbatch,
+    )
+
+    k, dim, seed = 3, 5, 33
+    register(spark)
+    r = spark.readStream.format("kmeans_blobs")
+    for kk, v in dict(n=4_000, k=k, dim=dim, seed=seed, rows_per_batch=800).items():
+        r = r.option(kk, v)
+    stream = r.load().select("features")
+    true = blob_centers(k, dim, seed)
+    # start displaced from the true centers; the incremental updates
+    # must pull each centroid (most of the way) back onto its blob
+    off = 0.08
+    init = [[float(v) + off * (1 if j % 2 else -1) for j, v in enumerate(c)] for c in true]
+    cents = streaming_kmeans_foreachbatch(
+        spark, stream, k=k, dim=dim, init_centroids=init, decay=0.1
+    )
+    for i, c in enumerate(cents):
+        d0 = np.abs(true[i] - np.asarray(init[i])).max()
+        d1 = np.abs(true[i] - np.asarray(c)).max()
+        assert d1 < d0 and d1 < 0.04, (i, d0, d1)
+
+
+def test_blobs_partition_count_invariance(spark):
+    """The corpus is a pure function of (n, k, dim, seed): changing the
+    partition count must not change a single value."""
+    a = _blobs(spark, n=2_000, k=3, dim=4, seed=21, partitions=4)
+    b = _blobs(spark, n=2_000, k=3, dim=4, seed=21, partitions=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
