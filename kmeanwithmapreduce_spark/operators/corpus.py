@@ -220,6 +220,72 @@ WHERE (CAST(('0x' || substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 8))
 """
 
 
+def prepare_training_corpus(
+    spark,
+    sf_dir: str,
+    out_path: str,
+    lang_rates: dict[str, float] | None = None,
+    quality_threshold: float = 0.5,
+    n_shards: int = 8,
+    max_records_per_file: int | None = None,
+    collect_stats: bool = True,
+) -> dict[str, int]:
+    """The whole training-data preparation pipeline as ONE composition of
+    the engine's operators, documents table in → sharded parquet out:
+
+    1. near-dup clustering (MinHash-LSH pairs → connected components)
+       and canonical-doc selection (dup_clusters);
+    2. quality filter (the t02 score, threshold default 0.5);
+    3. optional deterministic per-language downsampling
+       (stratified_sample; strata absent from ``lang_rates`` keep rate
+       1.0);
+    4. reproducible hash-sharded export (write_training_shards).
+
+    Returns per-stage row counts when ``collect_stats`` (each count is
+    an extra pass — at 100 TB call with False and read counts off the
+    final write's metrics instead). Every stage is deterministic, so
+    the exported corpus is a pure function of (input, options).
+    """
+    from .dedup import d03_minhash_lsh_pairs
+    from .textops import t02_quality_score
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats: dict[str, int] = {}
+    if collect_stats:
+        stats["input"] = docs.count()
+
+    canon = (
+        dup_clusters(docs, d03_minhash_lsh_pairs(spark, sf_dir))
+        .where("is_canonical")
+        .select("doc_id")
+    )
+    kept = docs.join(canon, "doc_id", "left_semi")
+    if collect_stats:
+        stats["after_dedup"] = kept.count()
+
+    good = t02_quality_score(spark, sf_dir).where(
+        F.col("quality_score") >= quality_threshold
+    ).select("doc_id")
+    kept = kept.join(good, "doc_id", "left_semi")
+    if collect_stats:
+        stats["after_quality"] = kept.count()
+
+    if lang_rates:
+        kept = stratified_sample(
+            kept, "lang", lang_rates, "doc_id", default_rate=1.0
+        )
+        if collect_stats:
+            stats["after_sample"] = kept.count()
+
+    write_training_shards(
+        kept, out_path, n_shards, "doc_id", max_records_per_file
+    )
+    if collect_stats:
+        stats["exported"] = spark.read.parquet(out_path).count()
+    return stats
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -169,3 +169,41 @@ def test_components_random_graphs_property(spark):
         # union-find over non-self-loop edges (components drops loops)
         want = _union_find([e for e in edges if e[0] != e[1]])
         assert got == want, f"trial {trial}: {sorted(edges)}"
+
+
+def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    from kmeanwithmapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    stats = prepare_training_corpus(
+        spark,
+        sf_dir,
+        out,
+        lang_rates={"en": 0.5},
+        n_shards=4,
+        max_records_per_file=200,
+    )
+    # monotonic funnel, nothing lost silently
+    assert (
+        stats["input"]
+        >= stats["after_dedup"]
+        >= stats["after_quality"]
+        >= stats["after_sample"]
+        == stats["exported"]
+        > 0
+    )
+    back = spark.read.parquet(out)
+    # exported docs are canonical, high-quality, and sample-selected:
+    # re-running the pipeline reproduces the exact same doc set
+    out2 = str(tmp_path / "corpus2")
+    stats2 = prepare_training_corpus(
+        spark, sf_dir, out2, lang_rates={"en": 0.5}, n_shards=4,
+        max_records_per_file=200, collect_stats=False,
+    )
+    ids1 = sorted(r.doc_id for r in back.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()
+    )
+    assert ids1 == ids2 and stats2 == {}
