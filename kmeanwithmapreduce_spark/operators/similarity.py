@@ -167,7 +167,10 @@ S02_SQL = _s02_sql()
 # merge-order ulp noise); ranking then has a total order (cosine desc,
 # vec_id asc), so the result is a fixed table per corpus and carries a
 # literal VALUES oracle (S03_SQL) instead of a rows-only check.
-def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame:
+def _train_ivf(spark: SparkSession, sf_dir: str, n_cells: int):
+    """Deterministic coarse quantizer shared by s03 and the multi-probe
+    variant: injected init (lowest vec_ids), compat-mode Lloyd. Returns
+    (cells frame with vec_id/features/cluster, centroid list)."""
     from ..kmeans import core
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -185,7 +188,11 @@ def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFr
         core.KMeansParams(k=n_cells, thresh=1e-2, max_loop=4, mode="compat"),
         init_centroids=init,
     )
-    cells = core.assign(feats, res.centroids)  # vec_id -> cell
+    return core.assign(feats, res.centroids), res.centroids
+
+
+def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame:
+    cells, _centroids = _train_ivf(spark, sf_dir, n_cells)  # vec_id -> cell
     q = cells.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("features").alias("qvec"),
@@ -210,6 +217,69 @@ def s03_ivf_search(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFr
         .select("query_id", "vec_id", sim)
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= _TOP_K)
+    )
+
+
+def ivf_search_multiprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """IVF with multi-probe: search the ``n_probe`` NEAREST cells per
+    query instead of only the query's own cell — the standard recall
+    knob of an inverted-file ANN index (recall grows monotonically in
+    n_probe; n_probe == n_cells degenerates to exact brute force, which
+    the test pins against s01). Library variant of s03 (the registry is
+    capped at 50 entries).
+
+    Scale: probe selection is a per-query argsort over the k-cell
+    distance array (centroids are plan literals — no join); the
+    candidate join still touches only n_probe/n_cells of the corpus,
+    and the probe list (Q x n_probe rows) is broadcast.
+    """
+    from ..functions.vector import distance_array_expr
+
+    cells, centroids = _train_ivf(spark, sf_dir, n_cells)
+    qbase = cells.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("features").alias("qvec"),
+        l2_norm_expr(F.col("features")).alias("qnorm"),
+    )
+    # n_probe nearest cells per query: explode the literal-centroid
+    # distance array, rank by (distance, cell id)
+    dq = qbase.select(
+        "query_id",
+        "qvec",
+        "qnorm",
+        F.posexplode(distance_array_expr(F.col("qvec"), centroids)).alias(
+            "cell", "d2"
+        ),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        dq.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell")
+    )
+    base = cells.where(F.col("vec_id") >= _N_QUERIES).withColumn(
+        "bnorm", l2_norm_expr(F.col("features"))
+    )
+    sim = (
+        F.floor(
+            dot_expr(F.col("qvec"), F.col("features"))
+            / (F.col("qnorm") * F.col("bnorm"))
+            * 10000.0
+        )
+        / 10000.0
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        base.join(F.broadcast(probes), base.cluster == probes.cell)
+        .select("query_id", "vec_id", sim)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= top_k)
     )
 
 
