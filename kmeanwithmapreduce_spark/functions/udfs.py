@@ -26,6 +26,24 @@ def cosine_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+@pandas_udf("double")
+def gini_udaf(v: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF — PySpark's UDAF form (Series in,
+    ONE scalar out per group; Arrow-batched, usable in groupBy().agg()
+    and over windows): Gini concentration of a numeric column, a
+    distribution-shape statistic Spark has no built-in for.
+
+    Spark constraint (INVALID_PANDAS_UDF_PLACEMENT): a grouped-agg
+    pandas UDF cannot share one agg/SELECT with built-in aggregates —
+    compute built-ins in a separate aggregation and join on the keys."""
+    x = np.sort(v.to_numpy(np.float64))
+    n = x.size
+    s = x.sum()
+    if n == 0 or s == 0.0:
+        return 0.0
+    return float(((2.0 * np.arange(1, n + 1) - n - 1).dot(x)) / (n * s))
+
+
 @udtf(returnType="pos: int, shingle: string")
 class ShingleUDTF:
     """Set-returning word-3-gram generator (one row per shingle)."""
@@ -41,4 +59,5 @@ class ShingleUDTF:
 def register_extensions(spark: SparkSession) -> None:
     """Make the extension functions callable from spark.sql."""
     spark.udf.register("cosine_sim", cosine_sim_udf)
+    spark.udf.register("gini", gini_udaf)
     spark.udtf.register("shingles", ShingleUDTF)

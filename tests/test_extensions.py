@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from kmeanwithmapreduce_spark.functions.skew import salted_join
@@ -146,3 +147,42 @@ def test_ensure_min_parallelism_no_rdd_probe(spark, sf_dir):
     # in-memory frames (no files) are left untouched
     mem = spark.range(10)
     assert readers.ensure_min_parallelism(mem) is mem
+
+
+def test_gini_udaf_matches_numpy(spark, sf_dir):
+    """Grouped-agg pandas UDF (the UDAF form): per-language Gini of doc
+    lengths equals the NumPy definition, via BOTH the DataFrame agg and
+    the registered SQL function."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.functions.udfs import (
+        gini_udaf,
+        register_extensions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.lang: r.g
+        for r in docs.groupBy("lang").agg(gini_udaf("n_chars").alias("g")).collect()
+    }
+
+    def ref_gini(x):
+        x = np.sort(np.asarray(x, dtype=np.float64))
+        n = x.size
+        return float(((2 * np.arange(1, n + 1) - n - 1).dot(x)) / (n * x.sum()))
+
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        assert got[lang] == pytest.approx(ref_gini(grp.n_chars), rel=1e-12)
+        assert 0.0 <= got[lang] < 1.0
+
+    register_extensions(spark)
+    docs.createOrReplaceTempView("docs_v")
+    sql_got = {
+        r.lang: r.g
+        for r in spark.sql(
+            "SELECT lang, gini(n_chars) AS g FROM docs_v GROUP BY lang"
+        ).collect()
+    }
+    assert sql_got == got
