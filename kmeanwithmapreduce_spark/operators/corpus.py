@@ -241,49 +241,51 @@ def prepare_training_corpus(
        1.0);
     4. reproducible hash-sharded export (write_training_shards).
 
-    Returns per-stage row counts when ``collect_stats`` (each count is
-    an extra pass — at 100 TB call with False and read counts off the
-    final write's metrics instead). Every stage is deterministic, so
-    the exported corpus is a pure function of (input, options).
+    When ``collect_stats``, per-stage funnel counts come back via
+    ``DataFrame.observe`` metrics — collected DURING the single export
+    pass, zero extra jobs, so the stats are free at any scale (this is
+    the Spark-native answer to "count each stage without re-running the
+    chain"). Every stage is deterministic, so the exported corpus is a
+    pure function of (input, options).
     """
+    from pyspark.sql import Observation
+
     from .dedup import d03_minhash_lsh_pairs
     from .textops import t02_quality_score
     from ..sources.readers import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    stats: dict[str, int] = {}
-    if collect_stats:
-        stats["input"] = docs.count()
+    obs: dict[str, Observation] = {}
+
+    def _tap(df: DataFrame, stage: str) -> DataFrame:
+        if not collect_stats:
+            return df
+        obs[stage] = Observation(f"corpus_{stage}")
+        return df.observe(obs[stage], F.count(F.lit(1)).alias("n"))
+
+    docs = _tap(load_table(spark, sf_dir, "documents"), "input")
 
     canon = (
         dup_clusters(docs, d03_minhash_lsh_pairs(spark, sf_dir))
         .where("is_canonical")
         .select("doc_id")
     )
-    kept = docs.join(canon, "doc_id", "left_semi")
-    if collect_stats:
-        stats["after_dedup"] = kept.count()
+    kept = _tap(docs.join(canon, "doc_id", "left_semi"), "after_dedup")
 
     good = t02_quality_score(spark, sf_dir).where(
         F.col("quality_score") >= quality_threshold
     ).select("doc_id")
-    kept = kept.join(good, "doc_id", "left_semi")
-    if collect_stats:
-        stats["after_quality"] = kept.count()
+    kept = _tap(kept.join(good, "doc_id", "left_semi"), "after_quality")
 
     if lang_rates:
-        kept = stratified_sample(
-            kept, "lang", lang_rates, "doc_id", default_rate=1.0
+        kept = _tap(
+            stratified_sample(kept, "lang", lang_rates, "doc_id", default_rate=1.0),
+            "after_sample",
         )
-        if collect_stats:
-            stats["after_sample"] = kept.count()
 
     write_training_shards(
         kept, out_path, n_shards, "doc_id", max_records_per_file
     )
-    if collect_stats:
-        stats["exported"] = spark.read.parquet(out_path).count()
-    return stats
+    return {stage: o.get["n"] for stage, o in obs.items()}
 
 
 def write_training_shards(

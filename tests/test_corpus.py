@@ -185,16 +185,17 @@ def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
         n_shards=4,
         max_records_per_file=200,
     )
-    # monotonic funnel, nothing lost silently
+    # monotonic funnel, nothing lost silently; counts are observe-based
+    # (collected during the single export pass, no extra jobs)
     assert (
         stats["input"]
         >= stats["after_dedup"]
         >= stats["after_quality"]
         >= stats["after_sample"]
-        == stats["exported"]
         > 0
     )
     back = spark.read.parquet(out)
+    assert back.count() == stats["after_sample"]
     # exported docs are canonical, high-quality, and sample-selected:
     # re-running the pipeline reproduces the exact same doc set
     out2 = str(tmp_path / "corpus2")
