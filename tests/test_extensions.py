@@ -186,3 +186,64 @@ def test_gini_udaf_matches_numpy(spark, sf_dir):
         ).collect()
     }
     assert sql_got == got
+
+
+def test_stateful_tws_equals_applyinpandaswithstate(spark, sf_dir):
+    """The transformWithStateInPandas twin produces the same final
+    per-user stats as the applyInPandasWithState form and the batch
+    ground truth (RocksDB state store, as a large deployment runs).
+    Skips while google.protobuf (the tWS wire dependency, absent from
+    this container) cannot be imported; plan construction is still
+    exercised below either way."""
+    from kmeanwithmapreduce_spark.streaming import windows as sw
+    from kmeanwithmapreduce_spark.streaming.stateful import (
+        streaming_user_stats_tws,
+        tws_available,
+    )
+
+    # plan construction (analysis) must succeed regardless of protobuf
+    plan_df = streaming_user_stats_tws(
+        sw.read_events_stream(spark, sf_dir)
+    )
+    assert [f.name for f in plan_df.schema.fields] == [
+        "user_id", "n_events", "total_value", "max_ts",
+    ]
+    if not tws_available():
+        pytest.skip("google.protobuf absent: tWS execution unavailable here")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = sw.read_events_stream(spark, sf_dir)
+        agg = streaming_user_stats_tws(stream)
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("user_stats_tws")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    got = spark.sql(
+        "SELECT user_id, max(n_events) n, max(total_value) v "
+        "FROM user_stats_tws GROUP BY user_id"
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    g = {r["user_id"]: (r["n"], round(r["v"], 6)) for r in got.collect()}
+    w = {r["user_id"]: (r["n"], round(r["v"], 6)) for r in want.collect()}
+    assert g == w
