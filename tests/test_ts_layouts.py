@@ -68,6 +68,16 @@ def _write_layout(tmp_path_factory, layout: str) -> str:
     elif layout == "nanos":
         # parquet 2.6 TIMESTAMP(NANOS) — needs nanosAsLong on the Spark side
         pq.write_table(_arrow_events("ns"), path, version="2.6", coerce_timestamps=None)
+    elif layout == "micros_utc":
+        # instant semantics: TIMESTAMP(MICROS, isAdjustedToUTC=true) —
+        # Spark reads session-tz TIMESTAMP directly (UTC session => same
+        # wall clock); normalize_ts must pass it through untouched
+        t = _arrow_events("us")
+        i = t.schema.get_field_index("ts")
+        t = t.set_column(
+            i, "ts", t.column("ts").cast(pa.timestamp("us", tz="UTC"))
+        )
+        pq.write_table(t, path)
     else:  # pragma: no cover
         raise ValueError(layout)
     return str(d)
@@ -86,7 +96,7 @@ def _fmt(df):
     ]
 
 
-@pytest.mark.parametrize("layout", ["micros_ntz", "nanos"])
+@pytest.mark.parametrize("layout", ["micros_ntz", "nanos", "micros_utc"])
 def test_batch_reader_recovers_wall_clock(spark, tmp_path_factory, layout):
     d = _write_layout(tmp_path_factory, layout)
     df = load_table(spark, d, "events")
@@ -95,7 +105,7 @@ def test_batch_reader_recovers_wall_clock(spark, tmp_path_factory, layout):
     assert _fmt(df) == _WANT
 
 
-@pytest.mark.parametrize("layout", ["micros_ntz", "nanos"])
+@pytest.mark.parametrize("layout", ["micros_ntz", "nanos", "micros_utc"])
 def test_streaming_reader_matches_batch(spark, tmp_path_factory, layout):
     d = _write_layout(tmp_path_factory, layout)
     stream = read_events_stream(spark, d)
