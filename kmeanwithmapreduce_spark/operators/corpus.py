@@ -85,6 +85,29 @@ def _small_star(e: DataFrame) -> DataFrame:
     return moved.union(kept).where(F.col("u") != F.col("v")).distinct()
 
 
+def _release_checkpoint(ckpt_df: DataFrame) -> None:
+    """Free a localCheckpoint's materialized blocks NOW (best-effort):
+    the checkpointed Dataset's analyzed plan is a LogicalRDD whose RDD
+    holds the only copy — unpersist it once the checkpoint is
+    superseded. Without this, every round of an iterative loop leaks
+    one persisted RDD until the JVM garbage-collects the frame; a
+    long-lived session running many pipelines accumulates dead blocks."""
+    try:
+        ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # non-LogicalRDD / already released: GC handles it
+        pass
+
+
+def release_components(df: DataFrame) -> None:
+    """Free the materialized state backing a connected_components /
+    dup_clusters result. Call after the result has been consumed (its
+    LAST action) — the data is not recomputable afterwards (checkpoint
+    truncated the lineage). The same contract as df.unpersist() for a
+    frame you persisted."""
+    for ckpt in getattr(df, "_spark_graft_ckpts", ()):  # noqa: SLF001
+        _release_checkpoint(ckpt)
+
+
 def _edge_signature(e: DataFrame) -> tuple:
     """O(1)-driver convergence probe: count + order-independent hash sum."""
     row = e.agg(
@@ -111,6 +134,12 @@ def connected_components(
     is a stable star forest — O(log n) rounds, each a pair of
     join+groupBy passes; converges for any input, max_iter is a safety
     backstop (2^25 ≫ any real component diameter after log-compression).
+
+    Lifecycle: the result reads from one materialized checkpoint (all
+    intermediate rounds are freed as they are superseded). Call
+    release_components(result) after the LAST action on the result to
+    free it deterministically — same contract as unpersisting a frame
+    you persisted; otherwise the JVM GC reclaims it eventually.
     """
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -121,9 +150,14 @@ def connected_components(
         # materialize BOTH half-rounds: _small_star references its input
         # in three union/join branches, so an unmaterialized large-star
         # plan would be recomputed ~6x per round (measured 29 Exchanges
-        # per round without this checkpoint vs 9 with it)
+        # per round without this checkpoint vs 9 with it). Superseded
+        # checkpoints are released IMMEDIATELY — exactly one round's
+        # edge set is ever materialized, not O(rounds) of them.
         l = _large_star(_symmetrize(e)).localCheckpoint(eager=True)
-        e = _small_star(l).localCheckpoint(eager=True)
+        new_e = _small_star(l).localCheckpoint(eager=True)
+        _release_checkpoint(l)
+        _release_checkpoint(e)
+        e = new_e
         new_sig = _edge_signature(e)
         if new_sig == sig:
             break
@@ -133,9 +167,13 @@ def connected_components(
     roots = e.select(F.col("v").alias("u")).distinct().join(
         e.select("u").distinct(), "u", "left_anti"
     )
-    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+    out = e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
         roots.select(F.col("u").alias("node"), F.col("u").alias("component"))
     )
+    # the result reads from the final checkpoint; hand its lifetime to
+    # the caller (release_components after the last action on `out`)
+    out._spark_graft_ckpts = (e,)
+    return out
 
 
 def dup_clusters(
@@ -153,7 +191,7 @@ def dup_clusters(
     defaults match the d02/d03 pair outputs (doc_a, doc_b).
     """
     comp = connected_components(pairs, src=src, dst=dst)
-    return (
+    out = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"))
         .join(comp, F.col("doc_id") == F.col("node"), "left")
         .select(
@@ -162,6 +200,8 @@ def dup_clusters(
         )
         .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")))
     )
+    out._spark_graft_ckpts = getattr(comp, "_spark_graft_ckpts", ())
+    return out
 
 
 def stratified_sample(
@@ -264,11 +304,8 @@ def prepare_training_corpus(
 
     docs = _tap(load_table(spark, sf_dir, "documents"), "input")
 
-    canon = (
-        dup_clusters(docs, d03_minhash_lsh_pairs(spark, sf_dir))
-        .where("is_canonical")
-        .select("doc_id")
-    )
+    clusters = dup_clusters(docs, d03_minhash_lsh_pairs(spark, sf_dir))
+    canon = clusters.where("is_canonical").select("doc_id")
     kept = _tap(docs.join(canon, "doc_id", "left_semi"), "after_dedup")
 
     good = t02_quality_score(spark, sf_dir).where(
@@ -282,9 +319,14 @@ def prepare_training_corpus(
             "after_sample",
         )
 
-    write_training_shards(
-        kept, out_path, n_shards, "doc_id", max_records_per_file
-    )
+    try:
+        write_training_shards(
+            kept, out_path, n_shards, "doc_id", max_records_per_file
+        )
+    finally:
+        # the export was the last action over the components state —
+        # free its materialized checkpoint (no session-lifetime leak)
+        release_components(clusters)
     return {stage: o.get["n"] for stage, o in obs.items()}
 
 

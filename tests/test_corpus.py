@@ -14,6 +14,7 @@ import pyarrow.parquet as pq
 from kmeanwithmapreduce_spark.operators.corpus import (
     connected_components,
     dup_clusters,
+    release_components,
     stratified_sample,
     stratified_sample_sql,
     write_training_shards,
@@ -41,7 +42,9 @@ def _union_find(edges):
 
 
 def _cc_dict(df):
-    return {r.node: r.component for r in df.collect()}
+    out = {r.node: r.component for r in df.collect()}
+    release_components(df)  # collect() was the last action
+    return out
 
 
 def test_components_chain_worst_case(spark):
@@ -66,7 +69,9 @@ def test_components_matches_union_find_on_d03_pairs(spark, sf_dir):
 def test_dup_clusters_covers_corpus_and_keeps_min(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = d03_minhash_lsh_pairs(spark, sf_dir)
-    out = dup_clusters(docs, pairs).collect()
+    dc = dup_clusters(docs, pairs)
+    out = dc.collect()
+    release_components(dc)
     n_docs = docs.count()
     assert len(out) == n_docs  # every doc resolved, exactly once
     by_cluster: dict[int, list] = {}
@@ -208,3 +213,19 @@ def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
         r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()
     )
     assert ids1 == ids2 and stats2 == {}
+
+
+def test_components_leave_no_persisted_state(spark, sf_dir):
+    """The iterative loop frees superseded checkpoints as it goes and
+    release_components frees the final one: a full clustering pass must
+    leave ZERO extra persisted RDDs in the session — the invariant a
+    long-lived 100 TB session needs from every iterative operator."""
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    docs = load_table(spark, sf_dir, "documents")
+    dc = dup_clusters(docs, d03_minhash_lsh_pairs(spark, sf_dir))
+    assert dc.count() > 0
+    # exactly ONE live checkpoint while the result is in use
+    assert sc.getPersistentRDDs().size() == before + 1
+    release_components(dc)
+    assert sc.getPersistentRDDs().size() == before
