@@ -42,9 +42,10 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = _DEFAULT_BITS):
     """Add a ``_zkey`` column: the Morton interleave of each NUMERIC
     column's approx-quantile bucket (0 .. 2^bits - 1)."""
     probs = [i / 2**bits for i in range(1, 2**bits)]
+    # ONE distributed quantile job covering every dimension
+    all_cuts = df.approxQuantile(list(cols), probs, 0.001)
     out = df
-    for i, c in enumerate(cols):
-        cuts = df.approxQuantile(c, probs, 0.001)
+    for i, (c, cuts) in enumerate(zip(cols, all_cuts)):
         lit_cuts = F.array(*[F.lit(float(v)) for v in cuts])
         bucket = F.size(
             F.filter(lit_cuts, lambda cv: cv <= F.col(c).cast("double"))

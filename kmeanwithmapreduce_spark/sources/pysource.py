@@ -150,7 +150,13 @@ class BlobsStreamReader(SimpleDataSourceStreamReader):
     offset is just the next row id, so `readBetweenOffsets` replay after
     a failure regenerates bit-identical rows — exactly-once by
     determinism (the property a Kafka offset gives you, here from the
-    generator itself)."""
+    generator itself).
+
+    Scale note: the SIMPLE stream-reader API generates on the driver by
+    design (pyspark routes its reads through one process) — right for
+    tests and modest rates; a firehose-scale generator would implement
+    the partition-planning DataSourceStreamReader instead, reusing the
+    same _gen_rows kernel on executors as the batch reader does."""
 
     def __init__(self, options) -> None:
         self.n = int(options.get("n", 1000))
