@@ -146,6 +146,7 @@ def connected_components(
     )
     e = _symmetrize(e).localCheckpoint(eager=True)
     sig = None
+    converged = False
     for _ in range(max_iter):
         # materialize BOTH half-rounds: _small_star references its input
         # in three union/join branches, so an unmaterialized large-star
@@ -160,8 +161,17 @@ def connected_components(
         e = new_e
         new_sig = _edge_signature(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a non-converged edge set is NOT a star forest — returning it
+        # would yield silently wrong components, the worst failure mode
+        _release_checkpoint(e)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (the star-contraction bound is O(log n) rounds)"
+        )
     # star forest: every edge already points node -> component root, but
     # roots themselves carry no row; add root -> root.
     roots = e.select(F.col("v").alias("u")).distinct().join(

@@ -229,3 +229,35 @@ def test_components_leave_no_persisted_state(spark, sf_dir):
     assert sc.getPersistentRDDs().size() == before + 1
     release_components(dc)
     assert sc.getPersistentRDDs().size() == before
+
+
+def test_components_empty_and_selfloop_edges(spark):
+    """Degenerate inputs: no pairs -> no component rows; pure self-loop
+    pairs -> no component rows (isolated nodes are the caller's join)."""
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty, src="a", dst="b").count() == 0
+    loops = spark.createDataFrame([(5, 5), (7, 7)], "a long, b long")
+    assert connected_components(loops, src="a", dst="b").count() == 0
+
+
+def test_components_raises_instead_of_wrong_answer_on_iter_cap(spark):
+    """max_iter too small must RAISE, never return a non-star forest
+    (silently wrong components)."""
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(200)]  # long chain
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, src="a", dst="b", max_iter=1)
+
+
+def test_stratified_sample_rate_bounds(spark, sf_dir):
+    """rate 0 keeps nothing; rate 1 keeps the whole stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_en = docs.where("lang = 'en'").count()
+    none = stratified_sample(docs, "lang", {"en": 0.0}, "doc_id")
+    assert none.count() == 0
+    every = stratified_sample(docs, "lang", {"en": 1.0}, "doc_id")
+    assert every.count() == n_en and every.where("lang != 'en'").count() == 0
