@@ -129,3 +129,27 @@ def test_load_table_via_dates_and_doubles(spark, sf_dir):
     a = sorted(map(tuple, base.collect()))
     b = sorted(map(tuple, got.collect()))
     assert a == b
+
+
+def test_avro_probe_and_roundtrip(spark, sf_dir, tmp_path):
+    """Real round-trip when the spark-avro jar is present; without it,
+    ONE clear error (not Spark's data-source-not-found stack). Stops
+    skipping the moment the jar resolves — the Kafka-probe pattern."""
+    from kmeanwithmapreduce_spark.sources.avro import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_avro")
+    if avro_available(spark):
+        write_avro(nation, path)
+        back = read_avro(spark, path)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, nation.collect())
+        )
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_avro(nation, path)
+        pytest.skip("spark-avro jar absent; clear-error path verified")
