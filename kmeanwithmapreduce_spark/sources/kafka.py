@@ -35,8 +35,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_KAFKA_PROVIDER = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-
 # default to_json/from_json timestampFormat truncates to milliseconds;
 # event timestamps carry microseconds — spell the full precision
 _JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
@@ -68,10 +66,15 @@ EVENT_VALUE_SCHEMA = T.StructType(
 
 
 def kafka_available(spark: SparkSession) -> bool:
-    """True when the spark-sql-kafka provider class is on the JVM
-    classpath (jar vendored / cluster image); False in this container."""
+    """True when the ``kafka`` data source actually resolves (jar
+    vendored / cluster image); False in this container. Asks Spark's
+    own lookupDataSource rather than Class.forName on the provider —
+    the avro module proved a provider class can be reachable while the
+    source still refuses to resolve (sources/avro.py:avro_available)."""
     try:
-        spark._jvm.java.lang.Class.forName(_KAFKA_PROVIDER)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "kafka", spark._jsc.sc().conf()
+        )
         return True
     except Exception:
         return False
