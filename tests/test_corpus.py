@@ -234,12 +234,10 @@ def test_components_leave_no_persisted_state(spark, sf_dir):
 def test_components_empty_and_selfloop_edges(spark):
     """Degenerate inputs: no pairs -> no component rows; pure self-loop
     pairs -> no component rows (isolated nodes are the caller's join)."""
-    import pyspark.sql.types as T
-
     empty = spark.createDataFrame([], "a long, b long")
-    assert connected_components(empty, src="a", dst="b").count() == 0
+    assert _cc_dict(connected_components(empty, src="a", dst="b")) == {}
     loops = spark.createDataFrame([(5, 5), (7, 7)], "a long, b long")
-    assert connected_components(loops, src="a", dst="b").count() == 0
+    assert _cc_dict(connected_components(loops, src="a", dst="b")) == {}
 
 
 def test_components_raises_instead_of_wrong_answer_on_iter_cap(spark):
