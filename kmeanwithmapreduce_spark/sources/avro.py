@@ -21,14 +21,12 @@ def avro_available(spark: SparkSession) -> bool:
     bare ``Class.forName("...AvroFileFormat")`` is NOT a valid probe —
     the class can be reachable while the data source still refuses to
     resolve (Spark special-cases the 'built-in but external module'
-    error), so this asks Spark's own lookup."""
-    try:
-        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            "avro", spark._jsc.sc().conf()
-        )
-        return True
-    except Exception:
-        return False
+    error), so this asks Spark's own lookup. The shared probe
+    self-checks against 'parquet' so a broken probe raises instead of
+    silently reporting unavailable (sources/probe.py)."""
+    from .probe import source_available
+
+    return source_available(spark, "avro")
 
 
 def _require(spark: SparkSession) -> None:

@@ -70,14 +70,12 @@ def kafka_available(spark: SparkSession) -> bool:
     vendored / cluster image); False in this container. Asks Spark's
     own lookupDataSource rather than Class.forName on the provider —
     the avro module proved a provider class can be reachable while the
-    source still refuses to resolve (sources/avro.py:avro_available)."""
-    try:
-        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            "kafka", spark._jsc.sc().conf()
-        )
-        return True
-    except Exception:
-        return False
+    source still refuses to resolve. The shared probe self-checks
+    against 'parquet' so a broken probe raises instead of silently
+    reporting unavailable (sources/probe.py)."""
+    from .probe import source_available
+
+    return source_available(spark, "kafka")
 
 
 def read_kafka_stream(

@@ -18,6 +18,22 @@ from kmeanwithmapreduce_spark.sources import kafka as k
 from kmeanwithmapreduce_spark.sources.readers import load_table
 
 
+def test_probe_self_check_parquet_resolves(spark):
+    """The availability probe must be able to resolve a source that is
+    definitely present. Round-4 regression class: lookupDataSource was
+    handed a SparkConf instead of the session SQLConf, so EVERY name —
+    parquet included — threw inside the probe and kafka/avro were
+    reported unavailable forever. source_available now self-checks
+    parquet and raises on a broken mechanism; this pins both sides."""
+    from kmeanwithmapreduce_spark.sources.probe import source_available
+
+    assert source_available(spark, "parquet") is True
+    assert source_available(spark, "json") is True
+    # an unknown name must come back False (not raise): the parquet
+    # self-check distinguishes "name missing" from "probe broken"
+    assert source_available(spark, "definitely-not-a-datasource") is False
+
+
 def test_kafka_reader_plan_or_logged_skip(spark):
     if not k.kafka_available(spark):
         pytest.skip(
