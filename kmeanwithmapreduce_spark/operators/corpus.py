@@ -22,8 +22,9 @@ Scale notes:
   edge set keyed by node id; edge count shrinks toward a star forest.
   O(log n) rounds bound the chain-of-duplicates worst case that plain
   min-label propagation (O(diameter) rounds) does not. Lineage is
-  truncated per round with localCheckpoint — the standard iterative-
-  DataFrame pattern (at cluster scale: checkpoint to HDFS instead).
+  truncated per round via an injectable strategy — localCheckpoint by
+  default (local mode), ``checkpoint="reliable"`` for fault-tolerant
+  Dataset.checkpoint to the configured checkpoint dir at cluster scale.
 - stratified_sample: a narrow map-side filter — md5-derived uniform
   bucket per key, compared against a per-stratum rate literal. No
   shuffle, fully deterministic and replayable (same corpus + same rates
@@ -109,7 +110,14 @@ def release_components(df: DataFrame) -> None:
 
 
 def _edge_signature(e: DataFrame) -> tuple:
-    """O(1)-driver convergence probe: count + order-independent hash sum."""
+    """O(1)-driver convergence probe, one pass: count plus FOUR
+    order-independent aggregates — two differently-keyed hash sums
+    (xxhash64 is order-sensitive in its arguments, so (u,v) and (v,u)
+    are independent 64-bit families) and the raw endpoint sums. A false
+    "converged" requires a simultaneous collision in every component;
+    declaring convergence one round early on different edge sets would
+    return silently wrong components, so the signature is belt-and-
+    braces cheap insurance."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
         # decimal accumulation: a LongType sum of 64-bit hashes overflows
@@ -118,12 +126,53 @@ def _edge_signature(e: DataFrame) -> tuple:
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("h"),
+        F.coalesce(
+            F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h2"),
+        F.coalesce(
+            F.sum(F.col("u").cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+        ).alias("su"),
+        F.coalesce(
+            F.sum(F.col("v").cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+        ).alias("sv"),
     ).collect()[0]
-    return (row.n, row.h)
+    return (row.n, row.h, row.h2, row.su, row.sv)
+
+
+def _make_checkpointer(pairs: DataFrame, checkpoint: str):
+    """Resolve the per-round lineage-truncation strategy.
+
+    - ``"local"``: ``localCheckpoint`` — executor-local blocks, no
+      configuration, fastest; but blocks die with their executor, so an
+      executor loss mid-loop fails the job. Right for local mode and
+      short loops.
+    - ``"reliable"``: ``Dataset.checkpoint`` to the directory set via
+      ``spark.sparkContext.setCheckpointDir`` (HDFS/object store on a
+      real cluster) — survives executor loss, the right choice for the
+      O(log n)-round loop at 100 TB. Raises up front, not mid-loop, when
+      no checkpoint dir is configured.
+    """
+    if checkpoint == "local":
+        return lambda df: df.localCheckpoint(eager=True)
+    if checkpoint == "reliable":
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "checkpoint='reliable' needs "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant dir>) "
+                "before the loop starts"
+            )
+        return lambda df: df.checkpoint(eager=True)
+    raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 25
+    pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Distributed connected components over an undirected edge list.
 
@@ -135,16 +184,22 @@ def connected_components(
     join+groupBy passes; converges for any input, max_iter is a safety
     backstop (2^25 ≫ any real component diameter after log-compression).
 
+    ``checkpoint`` picks the per-round lineage-truncation strategy:
+    ``"local"`` (default, localCheckpoint) for local mode / short loops,
+    ``"reliable"`` (Dataset.checkpoint to the configured checkpoint dir)
+    to survive executor loss on a real cluster — see _make_checkpointer.
+
     Lifecycle: the result reads from one materialized checkpoint (all
     intermediate rounds are freed as they are superseded). Call
     release_components(result) after the LAST action on the result to
     free it deterministically — same contract as unpersisting a frame
     you persisted; otherwise the JVM GC reclaims it eventually.
     """
+    ckpt = _make_checkpointer(pairs, checkpoint)
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    e = _symmetrize(e).localCheckpoint(eager=True)
+    e = ckpt(_symmetrize(e))
     sig = None
     converged = False
     for _ in range(max_iter):
@@ -154,8 +209,8 @@ def connected_components(
         # per round without this checkpoint vs 9 with it). Superseded
         # checkpoints are released IMMEDIATELY — exactly one round's
         # edge set is ever materialized, not O(rounds) of them.
-        l = _large_star(_symmetrize(e)).localCheckpoint(eager=True)
-        new_e = _small_star(l).localCheckpoint(eager=True)
+        l = ckpt(_large_star(_symmetrize(e)))
+        new_e = ckpt(_small_star(l))
         _release_checkpoint(l)
         _release_checkpoint(e)
         e = new_e
@@ -192,6 +247,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS over the full
     corpus: every document gets (doc_id, cluster_id, is_canonical), where
@@ -199,8 +255,9 @@ def dup_clusters(
     has no near-duplicates) and exactly the cluster-minimum doc is
     canonical — the keep-list a dedup pipeline feeds to training. Column
     defaults match the d02/d03 pair outputs (doc_a, doc_b).
+    ``checkpoint`` is forwarded to connected_components.
     """
-    comp = connected_components(pairs, src=src, dst=dst)
+    comp = connected_components(pairs, src=src, dst=dst, checkpoint=checkpoint)
     out = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"))
         .join(comp, F.col("doc_id") == F.col("node"), "left")

@@ -40,7 +40,19 @@ _DEFAULT_BITS = 6  # 2^6 quantile buckets per dimension
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = _DEFAULT_BITS):
     """Add a ``_zkey`` column: the Morton interleave of each NUMERIC
-    column's approx-quantile bucket (0 .. 2^bits - 1)."""
+    column's approx-quantile bucket (0 .. 2^bits - 1).
+
+    The key is one signed long, so the interleave can address at most
+    63 bit positions; the JVM's shiftleft wraps the shift amount mod 64,
+    which would silently fold high dimensions onto low bits and corrupt
+    the clustering — refuse instead of corrupting."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits}*{len(cols)} = "
+            f"{bits * len(cols)} exceeds the 63 usable bits of the long "
+            f"Z-key; lower bits (max {63 // len(cols)} for {len(cols)} "
+            "columns) or interleave fewer columns"
+        )
     probs = [i / 2**bits for i in range(1, 2**bits)]
     # ONE distributed quantile job covering every dimension
     all_cuts = df.approxQuantile(list(cols), probs, 0.001)

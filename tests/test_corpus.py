@@ -259,3 +259,27 @@ def test_stratified_sample_rate_bounds(spark, sf_dir):
     assert none.count() == 0
     every = stratified_sample(docs, "lang", {"en": 1.0}, "doc_id")
     assert every.count() == n_en and every.where("lang != 'en'").count() == 0
+
+
+def test_components_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint='reliable' must (a) raise up front when no checkpoint
+    dir is configured, (b) produce identical components to the local
+    strategy once one is set — the cluster-scale fault-tolerant path."""
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(40)] + [(90, 91)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with _pytest.raises(RuntimeError, match="setCheckpointDir"):
+        connected_components(pairs, src="a", dst="b", checkpoint="reliable")
+    with _pytest.raises(ValueError, match="local.*reliable"):
+        connected_components(pairs, src="a", dst="b", checkpoint="bogus")
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = _cc_dict(
+        connected_components(pairs, src="a", dst="b", checkpoint="reliable")
+    )
+    assert got == _union_find(edges)
+    # checkpoint files actually landed in the reliable dir
+    assert any((tmp_path / "ckpt").rglob("*"))

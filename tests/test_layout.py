@@ -83,3 +83,21 @@ def test_zorder_key_range_and_determinism(spark, sf_dir):
     assert 0 <= row.lo <= row.hi < 2 ** (4 * len(_COLS))
     z2 = zorder_key(li, _COLS, bits=4)
     assert sorted(map(tuple, z1.collect())) == sorted(map(tuple, z2.collect()))
+
+
+def test_zorder_key_refuses_bit_overflow(spark, sf_dir):
+    """bits*n_cols > 63 would wrap JVM shiftleft mod 64 and silently
+    corrupt the sort key — must raise, never corrupt."""
+    import pytest as _pytest
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    with _pytest.raises(ValueError, match="63 usable bits"):
+        zorder_key(e, ["user_id", "value", "event_id"], bits=22)
+    # 9 cols * 7 bits = 63 is the boundary and must still work
+    wide = e.limit(200).select(
+        *[(F.col("user_id") * (i + 1)).alias(f"c{i}") for i in range(9)]
+    )
+    with _pytest.raises(ValueError, match="63 usable bits"):
+        zorder_key(wide, [f"c{i}" for i in range(9)], bits=8)
+    z = zorder_key(wide, [f"c{i}" for i in range(9)], bits=7)
+    assert z.where("_zkey < 0").count() == 0
