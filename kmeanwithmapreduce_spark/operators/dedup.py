@@ -78,26 +78,37 @@ GROUP BY md5(text)
 
 # --------------------------------------------------------------------------
 # d02 — n-gram Jaccard near-dup pairs via shingle inverted index.
-def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Inverted-index pair generation WITHOUT a shingle self-join:
     group each shingle's (capped, sorted) posting list once, expand
     doc-id pairs map-side with array expressions, aggregate pair counts.
-    Two shuffles (by shingle, then by pair) instead of the self-join's
-    three, and no wide join. The frequency cap bounds both posting-list
-    memory and the quadratic pair expansion."""
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    Two data shuffles (by shingle, then by pair) instead of the
+    self-join's three, and no wide join. The frequency cap bounds both
+    posting-list memory and the quadratic pair expansion.
+
+    The cap is applied COUNT-FIRST: doc frequencies are aggregated with
+    a map-side-combinable count (O(1) buffer per shingle), the hot
+    shingles — a short Zipf head, broadcastable — are anti-joined away,
+    and only THEN are posting lists collected. Collecting first and
+    filtering on size(docs) afterwards would build a posting array for
+    every stop-shingle inside one aggregation buffer (millions of ids
+    per buffer at 100 TB) before discarding it; this shape never
+    materializes a list longer than the cap. The extra count pass
+    shuffles only (shingle, partial-count) rows — far smaller than the
+    posting shuffle it protects."""
+    d = ensure_min_parallelism(docs)
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
-    postings = sh.groupBy("shingle").agg(
+    # (doc_id, shingle) rows are distinct per doc (_shingles is
+    # array_distinct), so count(*) per shingle IS the doc frequency
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = freq.where(F.col("df") > _SHINGLE_DOC_CAP).select("shingle")
+    capped_rows = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    capped = capped_rows.groupBy("shingle").agg(
         F.sort_array(F.collect_set("doc_id")).alias("docs")
     )
-    capped = postings.where(F.size("docs") <= _SHINGLE_DOC_CAP)
-    sizes = (
-        capped.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
+    sizes = capped_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # map-side pair expansion: for sorted docs, all (docs[i], docs[j]), i<j
     pair_arr = F.flatten(
         F.transform(
@@ -135,6 +146,10 @@ def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
+
+
+def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
 D02_SQL = f"""
@@ -196,7 +211,14 @@ _MINHASH_COEFFS = _minhash_coeffs()
 
 def _shingle_rows(d: DataFrame) -> DataFrame:
     """(doc_id, shingle, h) rows: distinct 3-gram shingles with their
-    32-bit md5-derived base hash."""
+    32-bit md5-derived base hash.
+
+    Unlike d02's posting lists, everything downstream of these rows
+    aggregates with O(1) buffers: the signature groupBy keeps 16 running
+    mins per doc (no collect_*), so a stop-shingle costs rows, never an
+    unbounded aggregation buffer — hence no frequency cap here, which
+    also keeps the MinHash signature semantics exact (a cap would
+    perturb every signature containing a capped shingle)."""
     sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
     h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
     return sh.withColumn("h", h)
