@@ -9,15 +9,17 @@
   50, so the whole registry is inside its CORRECTNESS window.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible
   query, plus golden-row VALUES oracles for the deterministic iterative
-  pipelines — 48 of 50. k02/t06/m03/s03 all use the same recipe: fully
+  pipelines — 49 of 50. k02/t06/m03/s03 all use the same recipe: fully
   injected init + compat-mode Lloyd (5-dp float32 mean rounding absorbs
-  aggregation-merge-order ulp noise), so each output is a fixed table
-  per sf_dir and is hash-checked against a literal VALUES oracle
-  (branch keyed on the corpus's lineitem count, since the driver runs
-  the same SQL at whatever sf it checks; values double-run
-  determinism-verified at sf0.001/0.01/0.1). The 2 remaining rows-only
-  entries are k01/k03, whose seeded-sampling / MLlib k-means|| init is
-  engine-internal randomness no cross-engine oracle can reproduce.
+  aggregation-merge-order ulp noise); k01 gets there with a
+  partitioning-invariant hash-ordered init (_hash_order_init). Each
+  output is a fixed table per sf_dir and is hash-checked against a
+  literal VALUES oracle (branch keyed on the corpus's lineitem count,
+  since the driver runs the same SQL at whatever sf it checks; values
+  double-run + cross-session determinism-verified at
+  sf0.001/0.01/0.1). The 1 remaining rows-only entry is k03, whose
+  MLlib k-means|| init is engine-internal randomness no cross-engine
+  oracle can reproduce.
 """
 
 from __future__ import annotations
@@ -46,15 +48,43 @@ def _lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_order_init(feats: DataFrame, k: int) -> list[list[float]]:
+    """Partitioning-invariant init sample: the k distinct feature rows
+    with the smallest md5 of their exact string form. A hash-ordered
+    sample is as arbitrary as a seeded one but is a pure function of the
+    corpus CONTENT — unlike ``rand(seed)``/takeSample, which seed per
+    partition and therefore shift with core count / maxPartitionBytes —
+    so the whole fit (and its VALUES oracle below) reproduces under any
+    session layout, including the driver's vanilla session."""
+    rows = (
+        feats.select(
+            "features",
+            F.md5(
+                F.concat_ws(",", F.transform("features", lambda x: x.cast("string")))
+            ).alias("h"),
+        )
+        .dropDuplicates(["h"])
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    return [[float(v) for v in r.features] for r in rows]
+
+
 def k01_kmeans_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded K-Means (native mode) on the lineitem numeric projection;
+    """K-Means (native mode) on the lineitem numeric projection;
     returns one row per centroid: cluster id, size, rounded coordinates.
-    Deterministic for a given sf_dir (seeded takeSample init)."""
+    Init is the hash-ordered deterministic sample (_hash_order_init) so
+    the result is a fixed table per corpus — oracle-checked against
+    K01_SQL golden rows. (The seeded takeSample init path of
+    kmeans/core.py stays covered by tests/test_kmeans.py.)"""
     from kmeanwithmapreduce_spark.kmeans import core
 
     feats = _lineitem_features(spark, sf_dir)
     res = core.lloyd(
-        feats, core.KMeansParams(k=4, seed=42, thresh=1e-4, max_loop=30)
+        feats,
+        core.KMeansParams(k=4, seed=42, thresh=1e-4, max_loop=30),
+        init_centroids=_hash_order_init(feats, 4),
     )
     labeled = core.label(feats, res.centroids)
     sizes = labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_points"))
@@ -114,6 +144,47 @@ def k03_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+# Golden-row oracle for k01: hash-ordered init (_hash_order_init) is a
+# pure function of corpus content, so the fit is a fixed table per
+# corpus — verified identical across the engine session, a vanilla
+# local[4] America/New_York session, and double runs at every sf.
+# Branch keyed on lineitem count like K02_SQL.
+K01_SQL = """
+WITH nrows AS (SELECT count(*) AS c FROM lineitem)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(c_quantity AS DOUBLE) AS c_quantity,
+       CAST(c_price_k AS DOUBLE) AS c_price_k,
+       CAST(c_discount AS DOUBLE) AS c_discount,
+       CAST(c_tax AS DOUBLE) AS c_tax
+FROM (
+  SELECT * FROM (VALUES
+    (0, 1139, 11.432, 53.2411, 0.05, 0.0394),
+    (1, 1768, 24.9734, 16.1915, 0.0501, 0.0401),
+    (2, 1175, 39.0264, 49.9116, 0.0502, 0.0389),
+    (3, 1918, 25.6658, 88.3475, 0.0512, 0.0409)
+  ) v(cluster, n_points, c_quantity, c_price_k, c_discount, c_tax)
+  WHERE (SELECT c FROM nrows) = 6000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 11687, 12.4322, 84.7425, 0.0505, 0.0401),
+    (1, 18166, 25.4628, 48.8661, 0.0497, 0.0396),
+    (2, 11720, 38.3965, 84.787, 0.05, 0.04),
+    (3, 18427, 25.3032, 16.9064, 0.0497, 0.0401)
+  ) v(cluster, n_points, c_quantity, c_price_k, c_discount, c_tax)
+  WHERE (SELECT c FROM nrows) = 60000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 115921, 12.5489, 84.7877, 0.05, 0.0399),
+    (1, 116273, 38.4759, 84.7828, 0.0499, 0.04),
+    (2, 184674, 25.4686, 16.9439, 0.0499, 0.04),
+    (3, 183132, 25.4934, 48.9025, 0.05, 0.0399)
+  ) v(cluster, n_points, c_quantity, c_price_k, c_discount, c_tax)
+  WHERE (SELECT c FROM nrows) = 600000
+)
+"""
+
+
 # Golden-row oracle for k02: init centroids are injected and compat-mode
 # Lloyd is bit-deterministic (float32 5-dp half-up means, strict-< argmin
 # tie-break), so the output is a fixed literal table per dataset. The
@@ -168,5 +239,6 @@ def oracle_sql() -> dict[str, str]:
     from kmeanwithmapreduce_spark.operators import ALL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql}
+    out["k01_kmeans_lineitem"] = K01_SQL
     out["k02_kmeans_compat"] = K02_SQL
     return out

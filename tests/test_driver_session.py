@@ -59,7 +59,7 @@ def canon(rows):
         out.append(tuple(t))
     return sorted(out)
 
-for name in ["k02_kmeans_compat", "t06_tfidf_kmeans",
+for name in ["k01_kmeans_lineitem", "k02_kmeans_compat", "t06_tfidf_kmeans",
              "m03_cluster_decoded", "s03_ivf_search"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
