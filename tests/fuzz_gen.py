@@ -1,0 +1,554 @@
+"""Seeded random query generator for differential testing vs DuckDB.
+
+Composes the engine's relational surface — filters, join chains along
+the FK graph, aggregations (with HAVING), window functions, set ops —
+over the TESTDATA tables, emitting each query BOTH as a PySpark
+DataFrame chain (the engine's native form, not spark.sql) and as the
+equivalent ANSI SQL for DuckDB. test_fuzz_parity.py sweeps N seeded
+queries per run and value-compares the result sets; a failure prints
+the seed and the SQL so the exact query replays.
+
+This is the class of test that catches the next cross-engine semantic
+drift (the round-3 TIMESTAMP_NTZ regression shape) anywhere in the
+surface, not just at the 50 frozen registry queries.
+
+Determinism rules baked into the grammar:
+- window ORDER BY always ends with the relation's unique key, so
+  ranking/lag/frames are total-order deterministic;
+- only double arithmetic (both engines do IEEE double ops bit-equal);
+  no round() (HALF_UP vs HALF_EVEN), no sample-stddev in the hot set;
+- aggregate merge-order ulp noise is absorbed by the rel=1e-9 compare
+  in test_oracle_parity._compare (sum of ~1e4 doubles: ~1e-12 rel).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# catalog: columns by kind, unique keys, FK join graph
+
+TABLES: dict[str, dict[str, list[str]]] = {
+    "region": {"key": ["r_regionkey"], "num": [], "cat": ["r_name"], "ts": []},
+    "nation": {
+        "key": ["n_nationkey", "n_regionkey"],
+        "num": [],
+        "cat": ["n_name"],
+        "ts": [],
+    },
+    "customer": {
+        "key": ["c_custkey", "c_nationkey"],
+        "num": ["c_acctbal"],
+        "cat": ["c_mktsegment"],
+        "ts": [],
+    },
+    "supplier": {
+        "key": ["s_suppkey", "s_nationkey"],
+        "num": ["s_acctbal"],
+        "cat": [],
+        "ts": [],
+    },
+    "part": {
+        "key": ["p_partkey", "p_size"],
+        "num": ["p_retailprice"],
+        "cat": ["p_brand", "p_type"],
+        "ts": [],
+    },
+    "orders": {
+        "key": ["o_orderkey", "o_custkey"],
+        "num": ["o_totalprice"],
+        "cat": ["o_orderstatus", "o_orderpriority"],
+        "ts": ["o_orderdate"],
+    },
+    "lineitem": {
+        "key": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "num": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "cat": ["l_returnflag", "l_linestatus"],
+        "ts": ["l_shipdate"],
+    },
+    "events": {
+        "key": ["event_id", "user_id"],
+        "num": ["value"],
+        "cat": ["event_type"],
+        "ts": ["ts"],
+    },
+    "documents": {
+        "key": ["doc_id", "n_chars"],
+        "num": [],
+        "cat": ["lang", "source"],
+        "ts": [],
+    },
+}
+
+UNIQUE_KEY: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+}
+
+# (left_table, right_table, left_col, right_col); chains start at a fact
+JOIN_GRAPH: list[tuple[str, str, str, str]] = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+]
+
+
+def load_domains(duck) -> dict:
+    """Per-column literal domains sampled once from the actual data (so
+    the generator tracks whatever corpus the driver wrote): numeric/key/
+    ts min-max, categorical distinct values. Deterministic given data."""
+    dom: dict[tuple[str, str], object] = {}
+    for t, kinds in TABLES.items():
+        for c in kinds["key"] + kinds["num"] + kinds["ts"]:
+            lo, hi = duck.execute(f"SELECT min({c}), max({c}) FROM {t}").fetchone()
+            dom[(t, c)] = (lo, hi)
+        for c in kinds["cat"]:
+            vals = [
+                r[0]
+                for r in duck.execute(
+                    f"SELECT DISTINCT {c} FROM {t} ORDER BY {c} LIMIT 40"
+                ).fetchall()
+                if r[0] is not None
+            ]
+            dom[(t, c)] = vals
+    return dom
+
+
+# --------------------------------------------------------------------------
+# expression nodes: each renders to a pyspark Column and a SQL string
+
+
+@dataclass
+class Ex:
+    spark: object  # pyspark Column
+    sql: str
+
+
+def col(name: str) -> Ex:
+    return Ex(F.col(name), name)
+
+
+def num_lit(v: float) -> Ex:
+    return Ex(F.lit(float(v)), repr(float(v)))
+
+
+def int_lit(v: int) -> Ex:
+    return Ex(F.lit(int(v)), str(int(v)))
+
+
+def str_lit(v: str) -> Ex:
+    esc = v.replace("'", "''")
+    return Ex(F.lit(v), f"'{esc}'")
+
+
+def ts_lit(iso: str) -> Ex:
+    return Ex(F.lit(iso).cast("timestamp"), f"TIMESTAMP '{iso}'")
+
+
+def binop(op: str, a: Ex, b: Ex) -> Ex:
+    return Ex(
+        {
+            "+": a.spark + b.spark,
+            "-": a.spark - b.spark,
+            "*": a.spark * b.spark,
+            "<": a.spark < b.spark,
+            "<=": a.spark <= b.spark,
+            ">": a.spark > b.spark,
+            ">=": a.spark >= b.spark,
+            "=": a.spark == b.spark,
+            "<>": a.spark != b.spark,
+            "AND": a.spark & b.spark,
+            "OR": a.spark | b.spark,
+        }[op],
+        f"({a.sql} {op} {b.sql})",
+    )
+
+
+def fn(name: str, a: Ex, *extra: Ex) -> Ex:
+    sparks = {
+        "year": lambda: F.year(a.spark),
+        "month": lambda: F.month(a.spark),
+        "day": lambda: F.dayofmonth(a.spark),
+        "upper": lambda: F.upper(a.spark),
+        "lower": lambda: F.lower(a.spark),
+        "length": lambda: F.length(a.spark),
+        "abs": lambda: F.abs(a.spark),
+        "floor": lambda: F.floor(a.spark),
+        "ceil": lambda: F.ceil(a.spark),
+        "substr": lambda: F.substring(a.spark, int(extra[0].sql), int(extra[1].sql)),
+    }
+    args = ", ".join([a.sql] + [e.sql for e in extra])
+    return Ex(sparks[name](), f"{name}({args})")
+
+
+def like(a: Ex, pattern: str) -> Ex:
+    return Ex(a.spark.like(pattern), f"({a.sql} LIKE '{pattern}')")
+
+
+def isin(a: Ex, lits: list[Ex]) -> Ex:
+    return Ex(
+        a.spark.isin([l.spark for l in lits]),
+        f"({a.sql} IN ({', '.join(l.sql for l in lits)}))",
+    )
+
+
+# --------------------------------------------------------------------------
+# relation: a base table or join chain, with table-qualified SQL FROM
+
+
+@dataclass
+class Relation:
+    tables: list[str]
+    joins: list[tuple[str, str, str, str, str]]  # (how, right, lcol, rcol, ltab)
+    filters: list[Ex] = field(default_factory=list)
+
+    def columns(self, kinds=("key", "num", "cat", "ts")) -> list[tuple[str, str]]:
+        out = []
+        for t in self.tables:
+            for k in kinds:
+                out.extend((t, c) for c in TABLES[t][k])
+        return out
+
+    def unique_key(self) -> list[str]:
+        return [c for t in self.tables for c in UNIQUE_KEY[t]]
+
+    def build(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        from kmeanwithmapreduce_spark.sources.readers import load_table
+
+        df = load_table(spark, sf_dir, self.tables[0])
+        for how, right, lcol, rcol, _ltab in self.joins:
+            rdf = load_table(spark, sf_dir, right)
+            df = df.join(rdf, F.col(lcol) == F.col(rcol), how)
+        for f in self.filters:
+            df = df.where(f.spark)
+        return df
+
+    def from_sql(self) -> str:
+        sql = self.tables[0]
+        kw = {"inner": "JOIN", "left": "LEFT JOIN", "semi": "SEMI JOIN",
+              "anti": "ANTI JOIN"}
+        for how, right, lcol, rcol, _ltab in self.joins:
+            sql += f" {kw[how]} {right} ON {lcol} = {rcol}"
+        return sql
+
+    def where_sql(self) -> str:
+        if not self.filters:
+            return ""
+        return " WHERE " + " AND ".join(f.sql for f in self.filters)
+
+
+# --------------------------------------------------------------------------
+# generator
+
+
+class FuzzGen:
+    def __init__(self, seed: int, domains: dict):
+        self.rng = random.Random(seed)
+        self.dom = domains
+
+    # -- literals from the sampled domains
+    def _lit_for(self, t: str, c: str, kind: str) -> Ex:
+        r = self.rng
+        d = self.dom[(t, c)]
+        if kind == "cat":
+            return str_lit(r.choice(d)) if d else str_lit("x")
+        lo, hi = d
+        if kind == "ts":
+            if lo is None:
+                return ts_lit("1995-01-01 00:00:00")
+            span = (hi - lo).total_seconds() or 1.0
+            pick = lo + __import__("datetime").timedelta(
+                seconds=r.uniform(0.1, 0.9) * span
+            )
+            return ts_lit(pick.strftime("%Y-%m-%d %H:%M:%S"))
+        if kind == "key":
+            lo_i, hi_i = int(lo or 0), int(hi or 1)
+            return int_lit(r.randint(lo_i, max(lo_i, hi_i)))
+        lo_f, hi_f = float(lo or 0.0), float(hi or 1.0)
+        v = r.uniform(lo_f, hi_f)
+        return num_lit(float(f"{v:.6g}"))
+
+    def _filter(self, rel: Relation) -> Ex | None:
+        r = self.rng
+        candidates = rel.columns()
+        if not candidates:
+            return None
+        t, c = r.choice(candidates)
+        kind = next(k for k in ("key", "num", "cat", "ts") if c in TABLES[t][k])
+        if kind == "cat":
+            d = self.dom[(t, c)]
+            if not d:
+                return None
+            shape = r.random()
+            if shape < 0.4:
+                return binop(r.choice(["=", "<>"]), col(c), str_lit(r.choice(d)))
+            if shape < 0.7:
+                picks = r.sample(d, min(len(d), r.randint(1, 3)))
+                return isin(col(c), [str_lit(v) for v in picks])
+            v = r.choice(d)
+            return like(col(c), v[: max(1, len(v) // 2)].replace("'", "''") + "%")
+        op = r.choice(["<", "<=", ">", ">=", "="] if kind == "key" else
+                      ["<", "<=", ">", ">="])
+        return binop(op, col(c), self._lit_for(t, c, kind))
+
+    def _relation(self) -> Relation:
+        r = self.rng
+        shape = r.random()
+        if shape < 0.55:
+            rel = Relation([r.choice(list(TABLES))], [])
+        else:
+            start = r.choice(["lineitem", "orders", "customer", "supplier"])
+            rel = Relation([start], [])
+            hops = r.randint(1, 2)
+            for _ in range(hops):
+                opts = [e for e in JOIN_GRAPH
+                        if e[0] in rel.tables and e[1] not in rel.tables]
+                if not opts:
+                    break
+                lt, rt, lc, rc = r.choice(opts)
+                how = r.choices(["inner", "left", "semi", "anti"],
+                                weights=[6, 2, 1, 1])[0]
+                rel.joins.append((how, rt, lc, rc, lt))
+                if how in ("inner", "left"):
+                    rel.tables.append(rt)
+        for _ in range(r.randint(0, 2)):
+            f = self._filter(rel)
+            if f is not None:
+                rel.filters.append(f)
+        return rel
+
+    def _scalar_expr(self, rel: Relation) -> tuple[Ex, str]:
+        """A computed projection column over the relation; returns
+        (expr, alias)."""
+        r = self.rng
+        nums = rel.columns(("num",))
+        cats = rel.columns(("cat",))
+        tss = rel.columns(("ts",))
+        choices = []
+        if nums:
+            choices += ["arith", "mathfn"]
+        if cats:
+            choices += ["strfn"]
+        if tss:
+            choices += ["datefn"]
+        if not choices:
+            t, c = r.choice(rel.columns(("key",)))
+            return col(c), f"x_{c}"
+        kind = r.choice(choices)
+        if kind == "arith":
+            (t1, c1) = r.choice(nums)
+            if len(nums) > 1 and r.random() < 0.5:
+                (t2, c2) = r.choice(nums)
+                e = binop(r.choice(["+", "-", "*"]), col(c1), col(c2))
+            else:
+                e = binop(r.choice(["+", "-", "*"]), col(c1),
+                          self._lit_for(t1, c1, "num"))
+            return e, f"x_{c1}"
+        if kind == "mathfn":
+            t, c = r.choice(nums)
+            return fn(r.choice(["abs", "floor", "ceil"]), col(c)), f"x_{c}"
+        if kind == "strfn":
+            t, c = r.choice(cats)
+            f_ = r.choice(["upper", "lower", "length"])
+            if r.random() < 0.3:
+                return fn("substr", col(c), int_lit(1), int_lit(3)), f"x_{c}"
+            return fn(f_, col(c)), f"x_{c}"
+        t, c = r.choice(tss)
+        return fn(r.choice(["year", "month", "day"]), col(c)), f"x_{c}"
+
+    # -- query shapes; each returns (build_fn, sql)
+
+    def _q_aggregation(self, rel: Relation):
+        r = self.rng
+        group_pool = rel.columns(("cat",)) + [
+            (t, c) for t, c in rel.columns(("key",)) if c.endswith("key")
+        ]
+        n_keys = r.randint(0, min(2, len(group_pool)))
+        keys = [c for _t, c in r.sample(group_pool, n_keys)] if n_keys else []
+        # ts-derived group key sometimes
+        if rel.columns(("ts",)) and r.random() < 0.3:
+            t, c = r.choice(rel.columns(("ts",)))
+            keys_ex = [(fn("year", col(c)), f"y_{c}")]
+        else:
+            keys_ex = []
+        nums = rel.columns(("num",))
+        aggs: list[tuple[str, Ex | None, str]] = [("count", None, "cnt")]
+        for i in range(r.randint(1, 3)):
+            if nums and r.random() < 0.8:
+                t, c = r.choice(nums)
+                op = r.choice(["sum", "avg", "min", "max"])
+                aggs.append((op, col(c), f"a{i}_{op}_{c}"))
+            else:
+                t, c = r.choice(rel.columns(("key", "cat")))
+                aggs.append(("count_distinct", col(c), f"a{i}_cd_{c}"))
+        having = None
+        if r.random() < 0.35:
+            having = ("cnt", r.choice([">", ">="]), r.randint(1, 5))
+
+        def build(spark, sf_dir):
+            df = rel.build(spark, sf_dir)
+            gcols = [F.col(k) for k in keys] + [
+                e.spark.alias(a) for e, a in keys_ex
+            ]
+            agg_cols = []
+            for op, e, alias in aggs:
+                if op == "count":
+                    agg_cols.append(F.count(F.lit(1)).alias(alias))
+                elif op == "count_distinct":
+                    agg_cols.append(F.countDistinct(e.spark).alias(alias))
+                else:
+                    agg_cols.append(getattr(F, op)(e.spark).alias(alias))
+            out = df.groupBy(*gcols).agg(*agg_cols) if (keys or keys_ex) else (
+                df.agg(*agg_cols)
+            )
+            if having:
+                out = out.where(F.col(having[0]) > having[2]
+                                if having[1] == ">" else
+                                F.col(having[0]) >= having[2])
+            return out
+
+        sel = list(keys) + [f"{e.sql} AS {a}" for e, a in keys_ex]
+        for op, e, alias in aggs:
+            if op == "count":
+                sel.append(f"count(*) AS {alias}")
+            elif op == "count_distinct":
+                sel.append(f"count(DISTINCT {e.sql}) AS {alias}")
+            else:
+                sel.append(f"{op}({e.sql}) AS {alias}")
+        sql = f"SELECT {', '.join(sel)} FROM {rel.from_sql()}{rel.where_sql()}"
+        gb = list(keys) + [e.sql for e, _a in keys_ex]
+        if gb:
+            sql += " GROUP BY " + ", ".join(gb)
+        if having:
+            sql += f" HAVING count(*) {having[1]} {having[2]}"
+        return build, sql
+
+    def _q_projection(self, rel: Relation):
+        r = self.rng
+        base_cols = [c for _t, c in r.sample(rel.columns(), min(3, len(rel.columns())))]
+        exprs = []
+        for _ in range(r.randint(1, 2)):
+            e, a = self._scalar_expr(rel)
+            if a not in [x[1] for x in exprs]:
+                exprs.append((e, a))
+        distinct = r.random() < 0.25
+
+        def build(spark, sf_dir):
+            df = rel.build(spark, sf_dir)
+            out = df.select(
+                *[F.col(c) for c in base_cols],
+                *[e.spark.alias(a) for e, a in exprs],
+            )
+            return out.distinct() if distinct else out
+
+        sel = base_cols + [f"{e.sql} AS {a}" for e, a in exprs]
+        kw = "SELECT DISTINCT" if distinct else "SELECT"
+        sql = f"{kw} {', '.join(sel)} FROM {rel.from_sql()}{rel.where_sql()}"
+        return build, sql
+
+    def _q_window(self, rel: Relation):
+        r = self.rng
+        parts = rel.columns(("cat",)) or rel.columns(("key",))
+        pt, pc = r.choice(parts)
+        nums = rel.columns(("num",)) or rel.columns(("key",))
+        ot, oc = r.choice(nums)
+        uk = rel.unique_key()
+        order_cols = [oc] + [k for k in uk if k != oc]
+        wf = r.choice(["row_number", "rank", "dense_rank", "lag", "running_sum"])
+
+        def build(spark, sf_dir):
+            df = rel.build(spark, sf_dir)
+            w = Window.partitionBy(pc).orderBy(*[F.col(c) for c in order_cols])
+            if wf == "row_number":
+                e = F.row_number().over(w)
+            elif wf == "rank":
+                e = F.rank().over(w)
+            elif wf == "dense_rank":
+                e = F.dense_rank().over(w)
+            elif wf == "lag":
+                e = F.lag(F.col(oc), 1).over(w)
+            else:
+                e = F.sum(F.col(oc)).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+            cols_ = uk + ([pc] if pc not in uk else [])
+            return df.select(*[F.col(k) for k in cols_], e.alias("wv"))
+
+        # Spark ASC defaults to NULLS FIRST, DuckDB to NULLS LAST — pin
+        # it (order cols can be NULL under a left join's unmatched rows)
+        ob = ", ".join(f"{c} NULLS FIRST" for c in order_cols)
+        if wf in ("row_number", "rank", "dense_rank"):
+            we = f"{wf}() OVER (PARTITION BY {pc} ORDER BY {ob})"
+        elif wf == "lag":
+            we = f"lag({oc}, 1) OVER (PARTITION BY {pc} ORDER BY {ob})"
+        else:
+            we = (
+                f"sum({oc}) OVER (PARTITION BY {pc} ORDER BY {ob} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            )
+        sel = ", ".join(
+            uk + ([pc] if pc not in uk else []) + [f"{we} AS wv"]
+        )
+        sql = f"SELECT {sel} FROM {rel.from_sql()}{rel.where_sql()}"
+        return build, sql
+
+    def _q_setop(self):
+        r = self.rng
+        t = r.choice(["lineitem", "orders", "customer", "events", "documents"])
+        rel_a = Relation([t], [])
+        rel_b = Relation([t], [])
+        for rel in (rel_a, rel_b):
+            f = self._filter(rel)
+            if f is not None:
+                rel.filters.append(f)
+        cols_ = UNIQUE_KEY[t] + [c for c in TABLES[t]["cat"][:1]]
+        op = r.choice(["union_all", "union", "intersect", "except"])
+
+        def build(spark, sf_dir):
+            a = rel_a.build(spark, sf_dir).select(*cols_)
+            b = rel_b.build(spark, sf_dir).select(*cols_)
+            if op == "union_all":
+                return a.unionAll(b)
+            if op == "union":
+                return a.union(b).distinct()
+            if op == "intersect":
+                return a.intersect(b)
+            return a.subtract(b)
+
+        kw = {"union_all": "UNION ALL", "union": "UNION",
+              "intersect": "INTERSECT", "except": "EXCEPT"}[op]
+        sel = ", ".join(cols_)
+        sql = (
+            f"SELECT {sel} FROM {rel_a.from_sql()}{rel_a.where_sql()} "
+            f"{kw} "
+            f"SELECT {sel} FROM {rel_b.from_sql()}{rel_b.where_sql()}"
+        )
+        return build, sql
+
+    def query(self):
+        """One random (build_fn, sql) pair."""
+        r = self.rng
+        shape = r.random()
+        if shape < 0.10:
+            return self._q_setop()
+        rel = self._relation()
+        if shape < 0.50:
+            return self._q_aggregation(rel)
+        if shape < 0.78:
+            return self._q_projection(rel)
+        return self._q_window(rel)
