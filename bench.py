@@ -155,6 +155,37 @@ def main() -> int:
             lambda: mllib_kmeans(feats, k=8, seed=42, max_iter=5, init_mode="random"),
         )
 
+    # Whole-pipeline entry: prepare_training_corpus end-to-end (MinHash-
+    # LSH dedup -> connected components -> quality filter -> stratified
+    # sample -> sharded export) — the composed product story, guarded as
+    # one number. Funnel stats ride along (observe metrics, zero extra
+    # jobs).
+    corpus_funnel: dict[str, int] = {}
+
+    def _corpus_pipeline() -> None:
+        import shutil
+        import tempfile
+
+        from kmeanwithmapreduce_spark.operators.corpus import (
+            prepare_training_corpus,
+        )
+
+        td = tempfile.mkdtemp(prefix="bench_corpus_")
+        try:
+            corpus_funnel.update(
+                prepare_training_corpus(
+                    spark,
+                    sf_dir,
+                    os.path.join(td, "out"),
+                    lang_rates={"en": 0.5},
+                    n_shards=8,
+                )
+            )
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    _timed(timings, errors, "corpus_pipeline", _corpus_pipeline)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -164,6 +195,8 @@ def main() -> int:
         "queries_warm": timings_warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if corpus_funnel:
+        out["corpus_funnel"] = corpus_funnel
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="per-iteration centroid/movement dump (reference console tracing)",
     )
+    p.add_argument(
+        "--strict-dbi",
+        action="store_true",
+        help="reproduce the reference's -Infinity empty-cluster DBI "
+        "artifact (Main.java:93-111) instead of the default NaN",
+    )
     return p
 
 
@@ -63,7 +69,9 @@ def main(argv: list[str] | None = None) -> int:
         import time
 
         t0 = time.monotonic()
-        dbi = core.davies_bouldin_index(labeled, centroids)
+        dbi = core.davies_bouldin_index(
+            labeled, centroids, strict_compat=args.strict_dbi
+        )
         n_iter, seconds = model.summary.numIter, time.monotonic() - t0
     else:
         params = core.KMeansParams(
@@ -73,7 +81,9 @@ def main(argv: list[str] | None = None) -> int:
         res = core.lloyd(df, params, trace=args.trace)
         centroids, n_iter, seconds = res.centroids, res.n_iter, res.seconds
         labeled = core.label(df, centroids)
-        dbi = core.davies_bouldin_index(labeled, centroids)
+        dbi = core.davies_bouldin_index(
+            labeled, centroids, strict_compat=args.strict_dbi
+        )
 
     os.makedirs(args.out, exist_ok=True)
     # compat mode: shortest-float32 formatting, matching the reference's

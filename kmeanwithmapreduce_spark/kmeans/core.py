@@ -253,6 +253,7 @@ def davies_bouldin_index(
     labeled: DataFrame,
     centroids: Sequence[Sequence[float]],
     features_col: str = "features",
+    strict_compat: bool = False,
 ) -> float:
     """DBI with the reference's formula (Main.java:71-111):
     sigma_i = mean UNSQUARED member->centroid distance (Main.java:86-94),
@@ -261,11 +262,17 @@ def davies_bouldin_index(
 
     One distributed aggregation (distance to own centroid via an indexed
     literal array-of-arrays) + a local k x k loop; nothing O(N) on the
-    driver. Empty cluster => NaN here — a DELIBERATE divergence from the
-    reference: its ``if (db > max)`` comparison is always false for NaN
-    ratios, leaving max at NEGATIVE_INFINITY, so Main.java:93-111 yields
-    -Infinity for an empty cluster; NaN is the honest "undefined" answer
-    and is what sklearn-style implementations return.
+    driver. Empty cluster => NaN by default — a DELIBERATE divergence
+    from the reference: its ``if (db > max)`` comparison is always false
+    for NaN ratios, leaving max at NEGATIVE_INFINITY, so Main.java:93-111
+    yields -Infinity for an empty cluster; NaN is the honest "undefined"
+    answer and is what sklearn-style implementations return.
+
+    ``strict_compat=True`` reproduces the reference artifact exactly
+    (quirk-complete per SURVEY §8 Q12): per-cluster max accumulates via
+    the same NaN-rejecting ``>`` from -Infinity, so an empty cluster
+    contributes -Infinity and the reported DBI matches the reference's
+    Java output bit-for-bit in the empty-cluster case too.
     """
     k = len(centroids)
     cent_lit = F.array(
@@ -281,17 +288,30 @@ def davies_bouldin_index(
     total = 0.0
     for i in range(k):
         si = sigma.get(i, float("nan"))
-        best = 0.0
-        for j in range(k):
-            if j == i:
-                continue
-            sj = sigma.get(j, float("nan"))
-            dij = _movement(centroids[i], centroids[j])
-            r = (si + sj) / dij if dij > 0 else float("inf")
-            if math.isnan(r):
-                best = float("nan")
-                break
-            best = max(best, r)
+        if strict_compat:
+            # Main.java:93-111 verbatim: max starts at -Infinity and a
+            # NaN ratio never passes ``db > max``
+            best = float("-inf")
+            for j in range(k):
+                if j == i:
+                    continue
+                sj = sigma.get(j, float("nan"))
+                dij = _movement(centroids[i], centroids[j])
+                r = (si + sj) / dij if dij > 0 else float("inf")
+                if r > best:
+                    best = r
+        else:
+            best = 0.0
+            for j in range(k):
+                if j == i:
+                    continue
+                sj = sigma.get(j, float("nan"))
+                dij = _movement(centroids[i], centroids[j])
+                r = (si + sj) / dij if dij > 0 else float("inf")
+                if math.isnan(r):
+                    best = float("nan")
+                    break
+                best = max(best, r)
         total += best
     return total / k if k else float("nan")
 

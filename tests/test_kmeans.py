@@ -211,3 +211,26 @@ def test_sweep_selects_lowest_dbi(spark):
              if not math.isnan(r["dbi"])}
     assert valid, "every k produced an empty cluster?"
     assert out["best_k"] == min(valid, key=valid.get)
+
+
+def test_dbi_strict_compat_empty_cluster(spark, points_df):
+    """Empty cluster: default DBI is NaN (honest undefined); strict
+    compat reproduces the reference's -Infinity artifact — Main.java's
+    ``if (db > max)`` from NEGATIVE_INFINITY rejects every NaN ratio, so
+    the empty cluster's max stays -inf and poisons the mean. Both modes
+    must agree exactly when no cluster is empty."""
+    df, _ = points_df
+    init = [[0.2] * 4, [0.6] * 4, [99.0] * 4]  # third never gets members
+    res = core.lloyd(df, core.KMeansParams(k=3, thresh=1e-6, max_loop=5), init)
+    labeled = core.label(df, res.centroids)
+    assert math.isnan(core.davies_bouldin_index(labeled, res.centroids))
+    strict = core.davies_bouldin_index(labeled, res.centroids, strict_compat=True)
+    assert strict == float("-inf")
+
+    # populated clusters: bit-identical across modes
+    init2 = [[0.2] * 4, [0.5] * 4, [0.8] * 4]
+    res2 = core.lloyd(df, core.KMeansParams(k=3, thresh=1e-6, max_loop=50), init2)
+    lab2 = core.label(df, res2.centroids)
+    a = core.davies_bouldin_index(lab2, res2.centroids)
+    b = core.davies_bouldin_index(lab2, res2.centroids, strict_compat=True)
+    assert a == b
