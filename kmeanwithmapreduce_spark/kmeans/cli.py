@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-iteration centroid/movement dump (reference console tracing)",
     )
     p.add_argument(
+        "--init",
+        choices=["random", "k-means||"],
+        default="random",
+        help="native-mode init: reference-parity random sampling or "
+        "Bahmani k-means|| (core.init_kmeans_parallel)",
+    )
+    p.add_argument(
         "--strict-dbi",
         action="store_true",
         help="reproduce the reference's -Infinity empty-cluster DBI "
@@ -76,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         params = core.KMeansParams(
             k=args.k, thresh=args.thresh, max_loop=args.maxloop,
-            seed=args.seed, mode=args.mode,
+            seed=args.seed, mode=args.mode, init=args.init,
         )
         res = core.lloyd(df, params, trace=args.trace)
         centroids, n_iter, seconds = res.centroids, res.n_iter, res.seconds

@@ -49,6 +49,7 @@ class KMeansParams:
     seed: int | None = None
     mode: str = "native"  # "native" | "compat" (reproduce §8 quirks)
     features_col: str = "features"
+    init: str = "random"  # "random" (Main.java:129-164) | "k-means||"
 
 
 @dataclass
@@ -86,6 +87,139 @@ def init_random_centroids(
         .collect()
     )
     return [[float(v) for v in row[0]] for row in rows]
+
+
+def init_kmeans_parallel(
+    df: DataFrame,
+    k: int,
+    seed: int | None,
+    features_col: str = "features",
+    oversample: int | None = None,
+    steps: int = 2,
+) -> list[list[float]]:
+    """k-means|| initialization (Bahmani et al., "Scalable K-Means++",
+    VLDB 2012 — public literature; the init MLlib's native engine uses,
+    here re-expressed as DataFrame jobs so ``core.lloyd`` no longer
+    needs MLlib for a quality seeding).
+
+    Distributed part — O(steps) passes, nothing O(N) on the driver:
+    1. first center: the row with the smallest xxhash64(features, seed)
+       — a deterministic uniform pick that, like every random draw here,
+       is a pure function of row CONTENT + seed, so the init reproduces
+       under any partitioning (rand(seed)/takeSample do not);
+    2. each round, sample every point independently with probability
+       min(1, l * d2(x, C) / cost(C)) where l = ``oversample``
+       (default 2k, the paper's recommendation) — one cost aggregation
+       + one filtered collect of ~l expected candidates per round;
+    3. weight each candidate by the number of points nearest to it
+       (one count aggregation).
+
+    Local part: weighted k-means++ over the ~l*steps candidates (a
+    driver-side NumPy loop on a k-by-candidates problem) followed by a
+    short weighted Lloyd refinement — exactly the paper's "recluster
+    the candidates" step.
+    """
+    s = int(seed if seed is not None else int(time.time()))
+    l = int(oversample or 2 * k)
+    feats = F.col(features_col)
+
+    first = (
+        df.select(features_col)
+        .orderBy(F.xxhash64(feats, F.lit(s)))
+        .limit(1)
+        .collect()[0][0]
+    )
+    cands: list[list[float]] = [[float(v) for v in first]]
+
+    for r in range(steps):
+        from ..functions.vector import distance_array_expr
+
+        mind2 = F.array_min(distance_array_expr(feats, cands))
+        cost = df.select(F.sum(mind2).alias("c")).collect()[0]["c"]
+        if not cost or cost <= 0.0:  # all points already at a candidate
+            break
+        u = (
+            F.pmod(F.xxhash64(feats, F.lit(s), F.lit(r)), F.lit(1 << 30))
+            / float(1 << 30)
+        )
+        new = (
+            df.select(features_col)
+            .where(u < (F.lit(float(l)) * mind2 / F.lit(float(cost))))
+            .collect()
+        )
+        seen = {tuple(c) for c in map(tuple, cands)}
+        for row in new:
+            t = tuple(float(v) for v in row[0])
+            if t not in seen:
+                seen.add(t)
+                cands.append(list(t))
+
+    if len(cands) <= k:
+        # degenerate corpus (fewer candidates than k): pad with distinct
+        # hash-ordered rows — deterministic, content-keyed
+        extra = (
+            df.select(features_col)
+            .dropDuplicates([features_col])
+            .orderBy(F.xxhash64(feats, F.lit(s + 1)))
+            .limit(k + len(cands))
+            .collect()
+        )
+        seen = {tuple(c) for c in map(tuple, cands)}
+        for row in extra:
+            t = tuple(float(v) for v in row[0])
+            if t not in seen and len(cands) < k:
+                seen.add(t)
+                cands.append(list(t))
+        return cands[:k]
+
+    counts = (
+        assign(df, cands, features_col)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    w = np.zeros(len(cands))
+    for row in counts:
+        w[int(row["cluster"])] = float(row["n"])
+
+    return _weighted_kmeanspp(np.asarray(cands), w, k, s)
+
+
+def _weighted_kmeanspp(
+    x: np.ndarray, w: np.ndarray, k: int, seed: int, refine_iters: int = 10
+) -> list[list[float]]:
+    """Driver-local weighted k-means++ + Lloyd refinement over the
+    candidate set (n_candidates ~ 2k*steps, so this is k x candidates
+    NumPy work — microseconds)."""
+    rng = np.random.RandomState(seed)
+    n = len(x)
+    p = w / w.sum() if w.sum() > 0 else np.full(n, 1.0 / n)
+    centers = [x[rng.choice(n, p=p)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((x[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(2), axis=1
+        )
+        probs = w * d2
+        total = probs.sum()
+        if total <= 0:
+            # remaining mass identical to chosen centers: uniform pick
+            probs = np.full(n, 1.0 / n)
+        else:
+            probs = probs / total
+        centers.append(x[rng.choice(n, p=probs)])
+    c = np.asarray(centers, dtype=np.float64)
+    for _ in range(refine_iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(2)
+        lab = np.argmin(d2, axis=1)
+        newc = c.copy()
+        for i in range(k):
+            m = lab == i
+            if w[m].sum() > 0:
+                newc[i] = (x[m] * w[m, None]).sum(0) / w[m].sum()
+        if np.allclose(newc, c):
+            break
+        c = newc
+    return [[float(v) for v in row] for row in c]
 
 
 def _assign_expr_path(
@@ -183,7 +317,14 @@ def lloyd(
         dim = int(df.select(F.size(F.col(feats))).first()[0])
 
         if init_centroids is None:
-            centroids = init_random_centroids(df, params.k, params.seed, feats)
+            if params.init == "k-means||":
+                centroids = init_kmeans_parallel(
+                    df, params.k, params.seed, feats
+                )
+            else:
+                centroids = init_random_centroids(
+                    df, params.k, params.seed, feats
+                )
         else:
             centroids = [[float(v) for v in c] for c in init_centroids]
         init_snapshot = [list(c) for c in centroids]  # copyCentroids, Main.java:239-245

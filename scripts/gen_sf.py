@@ -307,6 +307,11 @@ def gen(spark: SparkSession, out: str, scale: float) -> None:
 
 
 def main() -> int:
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument(

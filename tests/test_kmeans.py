@@ -234,3 +234,51 @@ def test_dbi_strict_compat_empty_cluster(spark, points_df):
     a = core.davies_bouldin_index(lab2, res2.centroids)
     b = core.davies_bouldin_index(lab2, res2.centroids, strict_compat=True)
     assert a == b
+
+
+def _wssse(spark, df, centroids, feats="features"):
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.functions.vector import distance_array_expr
+
+    return df.select(
+        F.sum(F.array_min(distance_array_expr(F.col(feats), centroids))).alias("c")
+    ).collect()[0]["c"]
+
+
+def test_kmeans_parallel_init_quality_and_determinism(spark, sf_dir):
+    """Native k-means|| init (Bahmani et al.): (a) deterministic — same
+    seed reproduces the same centers bit-for-bit (content-hash draws, no
+    partition-dependent rand); (b) better seeding than random init on
+    clustered data; (c) the full fit lands within 1.2x of MLlib's
+    k-means|| cost on the same corpus — the capability-gap closure
+    between k01 (core) and k03 (MLlib)."""
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(F.col("embedding").cast("array<float>").alias("features"))
+    k = 10
+
+    i1 = core.init_kmeans_parallel(feats, k, seed=7)
+    i2 = core.init_kmeans_parallel(feats, k, seed=7)
+    assert i1 == i2
+    assert len(i1) == k and len({tuple(c) for c in i1}) == k
+
+    rand_init = core.init_random_centroids(feats, k, seed=7)
+    assert _wssse(spark, feats, i1) < _wssse(spark, feats, rand_init)
+
+    res = core.lloyd(
+        feats,
+        core.KMeansParams(k=k, seed=7, thresh=1e-4, max_loop=20, init="k-means||"),
+    )
+    ours = _wssse(spark, feats, res.centroids)
+
+    from kmeanwithmapreduce_spark.kmeans.mllib import mllib_kmeans
+
+    model, _ = mllib_kmeans(feats, k=k, seed=7, max_iter=20)
+    mllib_cost = _wssse(
+        spark, feats, [list(map(float, c)) for c in model.clusterCenters()]
+    )
+    assert ours <= 1.2 * mllib_cost, (ours, mllib_cost)
