@@ -336,6 +336,7 @@ def prepare_training_corpus(
     n_shards: int = 8,
     max_records_per_file: int | None = None,
     collect_stats: bool = True,
+    checkpoint: str = "local",
 ) -> dict[str, int]:
     """The whole training-data preparation pipeline as ONE composition of
     the engine's operators, documents table in → sharded parquet out:
@@ -353,7 +354,9 @@ def prepare_training_corpus(
     pass, zero extra jobs, so the stats are free at any scale (this is
     the Spark-native answer to "count each stage without re-running the
     chain"). Every stage is deterministic, so the exported corpus is a
-    pure function of (input, options).
+    pure function of (input, options). ``checkpoint`` is forwarded to
+    connected_components — pass "reliable" on a real cluster so the
+    component loop survives executor loss.
     """
     from pyspark.sql import Observation
 
@@ -371,7 +374,9 @@ def prepare_training_corpus(
 
     docs = _tap(load_table(spark, sf_dir, "documents"), "input")
 
-    clusters = dup_clusters(docs, d03_minhash_lsh_pairs(spark, sf_dir))
+    clusters = dup_clusters(
+        docs, d03_minhash_lsh_pairs(spark, sf_dir), checkpoint=checkpoint
+    )
     canon = clusters.where("is_canonical").select("doc_id")
     kept = _tap(docs.join(canon, "doc_id", "left_semi"), "after_dedup")
 

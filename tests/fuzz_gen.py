@@ -341,7 +341,7 @@ class FuzzGen:
         tss = rel.columns(("ts",))
         choices = []
         if nums:
-            choices += ["arith", "mathfn"]
+            choices += ["arith", "mathfn", "case"]
         if cats:
             choices += ["strfn"]
         if tss:
@@ -362,6 +362,19 @@ class FuzzGen:
         if kind == "mathfn":
             t, c = r.choice(nums)
             return fn(r.choice(["abs", "floor", "ceil"]), col(c)), f"x_{c}"
+        if kind == "case":
+            t, c = r.choice(nums)
+            a_ = self._lit_for(t, c, "num")
+            b_ = self._lit_for(t, c, "num")
+            lo, hi = sorted([float(a_.sql), float(b_.sql)])
+            e = Ex(
+                F.when(F.col(c) < lo, F.lit("lo"))
+                .when(F.col(c) < hi, F.lit("mid"))
+                .otherwise(F.lit("hi")),
+                f"(CASE WHEN {c} < {lo!r} THEN 'lo' "
+                f"WHEN {c} < {hi!r} THEN 'mid' ELSE 'hi' END)",
+            )
+            return e, f"x_{c}"
         if kind == "strfn":
             t, c = r.choice(cats)
             f_ = r.choice(["upper", "lower", "length"])
@@ -507,6 +520,30 @@ class FuzzGen:
         sql = f"SELECT {sel} FROM {rel.from_sql()}{rel.where_sql()}"
         return build, sql
 
+    def _q_topk(self, rel: Relation):
+        """Deterministic top-k: ORDER BY the relation's unique key (a
+        total order, so LIMIT is well-defined cross-engine) + a couple
+        of carried columns. Exercises TakeOrderedAndProject."""
+        r = self.rng
+        uk = rel.unique_key()
+        desc = r.random() < 0.5
+        m = r.choice([5, 20, 100])
+        carry = [c for _t, c in r.sample(rel.columns(), min(2, len(rel.columns())))
+                 if c not in uk]
+
+        def build(spark, sf_dir):
+            df = rel.build(spark, sf_dir)
+            order = [F.col(c).desc() if desc else F.col(c).asc() for c in uk]
+            return df.select(*[F.col(c) for c in uk + carry]).orderBy(*order).limit(m)
+
+        direction = "DESC" if desc else "ASC"
+        ob = ", ".join(f"{c} {direction}" for c in uk)
+        sql = (
+            f"SELECT {', '.join(uk + carry)} FROM {rel.from_sql()}"
+            f"{rel.where_sql()} ORDER BY {ob} LIMIT {m}"
+        )
+        return build, sql
+
     def _q_setop(self):
         r = self.rng
         t = r.choice(["lineitem", "orders", "customer", "events", "documents"])
@@ -547,8 +584,10 @@ class FuzzGen:
         if shape < 0.10:
             return self._q_setop()
         rel = self._relation()
-        if shape < 0.50:
+        if shape < 0.48:
             return self._q_aggregation(rel)
-        if shape < 0.78:
+        if shape < 0.72:
             return self._q_projection(rel)
+        if shape < 0.82:
+            return self._q_topk(rel)
         return self._q_window(rel)
