@@ -5,6 +5,7 @@ oracle_sql() key exists in queries() and parses in DuckDB."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 import __spark_entry__ as entry_mod
 
@@ -65,3 +66,18 @@ def test_k02_golden_row_oracle(spark, duck, sf_dir):
     for g, w in zip(got, want):
         assert g[:3] == w[:3]
         assert (math.isnan(g[3]) and math.isnan(w[3])) or g[3] == w[3]
+
+
+def test_k01_golden_row_oracle(spark, duck, sf_dir):
+    """k01 is deterministic since round 5 (partitioning-invariant
+    hash-ordered init), so its VALUES oracle must match value-for-value
+    at whatever sf the suite runs — the same gate the driver applies."""
+    got = sorted(
+        map(tuple, entry_mod.queries()["k01_kmeans_lineitem"](spark, sf_dir).collect())
+    )
+    want = sorted(map(tuple, duck.execute(entry_mod.K01_SQL).fetchall()))
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        for gv, wv in zip(g[2:], w[2:]):
+            assert gv == pytest.approx(wv, abs=1e-9)
