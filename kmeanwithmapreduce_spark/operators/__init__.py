@@ -2,6 +2,7 @@
 the engine exposes. The driver contract (__spark_entry__.py) is a thin
 view over this dict."""
 
+from .cleaning import CLEANING_QUERIES
 from .dedup import DEDUP_QUERIES
 from .joins_advanced import ADVANCED_JOIN_QUERIES
 from .multimodal import MULTIMODAL_QUERIES
@@ -20,8 +21,14 @@ ALL_QUERIES = {
     **ADVANCED_JOIN_QUERIES,
 }
 
+# NOT merged into ALL_QUERIES: the driver verifies the FIRST 50 registry
+# entries and ALL_QUERIES + k01..k03 is exactly that frozen window.
+# Cleaning ops register after k03 in __spark_entry__.queries() (positions
+# 51+) and carry the same oracle discipline via the in-repo sweep
+# (tests/test_oracle_parity.py extends its case list with them).
 __all__ = [
     "ALL_QUERIES",
+    "CLEANING_QUERIES",
     "ADVANCED_JOIN_QUERIES",
     "DEDUP_QUERIES",
     "MULTIMODAL_QUERIES",

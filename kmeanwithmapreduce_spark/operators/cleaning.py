@@ -1,0 +1,373 @@
+"""Corpus-cleaning operators — the filters a training-data pipeline
+runs between dedup and sampling: benchmark decontamination (n-gram
+overlap against a held-out eval set), intra-document repetition
+signals (the Gopher-style top/duplicate n-gram fractions), and PII
+redaction (email / IPv4 / phone scrubbing with audit counts).
+
+These follow the published C4 / Gopher / Dolma pipeline recipes (public
+papers), re-expressed as declarative DataFrame plans:
+
+- ``decontaminate``: shingle both corpora JVM-side (split / transform /
+  slice — no Python), broadcast-join the eval-set shingle vocabulary
+  into the exploded training shingles, one groupBy(doc) for the overlap
+  ratio. At 100 TB the eval side is benchmark-sized (≪ executor
+  memory), so the join is a map-side broadcast and the whole operator
+  is one shuffle on doc_id — embarrassingly scalable. If the eval
+  vocabulary ever outgrows a broadcast, the same plan degrades
+  gracefully to a shuffle hash join (Spark picks it; no code change).
+- ``repetition_signals``: per-document n-gram histograms via
+  explode + two groupBys keyed by doc_id — partial aggregation
+  (map-side combine) collapses each document's grams within its input
+  split, so the shuffle carries ~distinct-grams-per-doc rows, bounded
+  by document length, never by corpus size.
+- ``pii_scrub``: pure per-row regexp_replace / regexp_extract_all
+  (whole-stage codegen, zero shuffle). Patterns are RE2-compatible so
+  the DuckDB oracle runs the identical regex.
+
+No reference-repo counterpart (the reference is a single K-Means job —
+SURVEY §2 Part A); these extend the engine per the training-pipeline
+brief, with the same oracle discipline as every other operator. The
+query wrappers (c01/c02/c03) are registered AFTER the driver's frozen
+50-entry window and are verified by the in-repo parity sweep
+(tests/test_oracle_parity.py + tests/test_cleaning.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# shared shingle helper: token n-grams as space-joined strings, built
+# entirely JVM-side. transform(sequence(1, T-n+1), i -> concat_ws(slice))
+# keeps the whole expression in whole-stage codegen.
+
+
+def _token_ngrams(toks, n: int):
+    """Array of token n-grams of ``toks``; empty array below ``n``
+    tokens. The when() guard makes the expression TOTAL — without it,
+    Catalyst's InferFiltersFromGenerate clones the expression into an
+    inferred `size(...) > 0` predicate that can evaluate on rows the
+    caller's own size filter would have dropped, and
+    sequence(1, size-n+1) turns descending there (slice start 0 → ANSI
+    runtime error)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------------
+# decontamination
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-document benchmark-overlap scores: for each training document,
+    the fraction of its distinct token ``n``-grams that appear anywhere
+    in ``eval_docs`` (the benchmark / test-set corpus).
+
+    Returns one row per training document with ``n_sh`` (distinct
+    shingles), ``n_hit`` (shingles shared with the eval set) and
+    ``overlap`` = n_hit / n_sh. Callers threshold ``overlap`` to drop or
+    flag contaminated documents (0.3 is a sensible default; published
+    pipelines use anywhere from any-hit to 0.8 depending on n).
+
+    Documents with fewer than ``n`` tokens carry no shingle evidence and
+    are excluded (a 4-token doc cannot be 5-gram-contaminated).
+
+    Scale: the eval shingle vocabulary is distinct-aggregated and
+    broadcast — benchmarks are MB-scale against a 100 TB corpus. The
+    only full shuffle is the groupBy on the training doc id.
+    """
+    toks = F.split(F.col(text_col), " ")
+    shingled = lambda d: (  # noqa: E731
+        d.where(F.size(toks) >= n)
+        .select(*id_cols, F.array_distinct(_token_ngrams(toks, n)).alias("sl"))
+    )
+    eval_sh = (
+        shingled(eval_docs)
+        .select(F.explode("sl").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exploded = shingled(train).select(*id_cols, F.explode("sl").alias("s"))
+    return (
+        exploded.join(F.broadcast(eval_sh), "s", "left")
+        .groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("hit").alias("n_hit"),
+        )
+        .withColumn("overlap", F.col("n_hit") / F.col("n_sh"))
+    )
+
+
+def c01_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination summary per source. The held-out "benchmark" is
+    the deterministic doc_id % 11 == 7 slice of the documents table (a
+    stand-in for an external eval suite — the operator takes any
+    DataFrame); training docs are the rest. Flag threshold 0.3."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_docs = d.where(F.col("doc_id") % 11 == 7)
+    train = d.where(F.col("doc_id") % 11 != 7)
+    scores = decontaminate(
+        train, eval_docs, n=5, id_cols=("doc_id", "source")
+    )
+    return scores.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("overlap") >= 0.3).cast("int")).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        (F.floor(F.sum("overlap") * 10000.0 / F.count(F.lit(1))) / 10000.0).alias(
+            "avg_overlap"
+        ),
+        F.max("overlap").alias("max_overlap"),
+    )
+
+
+C01_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(l) - 3),
+            i -> array_to_string(list_slice(l, i, i + 4), ' '))) AS sl
+  FROM toks WHERE len(l) >= 5
+), eval_sh AS (
+  SELECT DISTINCT unnest(sl) AS s FROM sh WHERE doc_id % 11 = 7
+), train AS (
+  SELECT doc_id, source, unnest(sl) AS s FROM sh WHERE doc_id % 11 <> 7
+), per_doc AS (
+  SELECT t.doc_id, t.source, count(*) AS n_sh, count(e.s) AS n_hit
+  FROM train t LEFT JOIN eval_sh e ON t.s = e.s
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hit * 1.0 / n_sh >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       floor(sum(n_hit * 1.0 / n_sh) * 10000.0 / count(*)) / 10000.0
+         AS avg_overlap,
+       max(n_hit * 1.0 / n_sh) AS max_overlap
+FROM per_doc
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# repetition signals
+
+
+def repetition_signals(
+    docs: DataFrame,
+    *,
+    n: int = 2,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-document intra-repetition fractions over token ``n``-grams
+    (Gopher's repetition-removal signals): ``top_frac`` = occurrences of
+    the single most frequent n-gram / total n-grams, ``dup_frac`` =
+    occurrences belonging to any n-gram seen more than once / total.
+
+    Both shuffles are keyed by doc id (+gram), so partial aggregation
+    collapses each document inside its split; state is bounded by
+    document length, independent of corpus size."""
+    toks = F.split(F.col(text_col), " ")
+    grams = (
+        docs.where(F.size(toks) >= n)
+        .select(*id_cols, F.explode(_token_ngrams(toks, n)).alias("g"))
+    )
+    per_gram = grams.groupBy(*id_cols, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(*id_cols).agg(
+        (F.max("c") / F.sum("c")).alias("top_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c")
+        ).alias("dup_frac"),
+    )
+
+
+def c02_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram repetition summary per source; a doc is flagged when
+    top_frac >= 0.08 or dup_frac >= 0.15 (thresholds sit at ~p90 of this
+    corpus — discriminative, not degenerate)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = repetition_signals(d, n=2, id_cols=("doc_id", "source"))
+    flagged = (F.col("top_frac") >= 0.08) | (F.col("dup_frac") >= 0.15)
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
+        (F.floor(F.sum("top_frac") * 10000.0 / F.count(F.lit(1))) / 10000.0).alias(
+            "avg_top_frac"
+        ),
+        (F.floor(F.sum("dup_frac") * 10000.0 / F.count(F.lit(1))) / 10000.0).alias(
+            "avg_dup_frac"
+        ),
+    )
+
+
+C02_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(l)),
+            i -> array_to_string(list_slice(l, i, i + 1), ' '))) AS g
+  FROM toks WHERE len(l) >= 2
+), cnts AS (
+  SELECT doc_id, source, g, count(*) AS c FROM grams GROUP BY doc_id, source, g
+), per_doc AS (
+  SELECT doc_id, source,
+         max(c) * 1.0 / sum(c) AS top_frac,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dup_frac
+  FROM cnts GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN top_frac >= 0.08 OR dup_frac >= 0.15
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       floor(sum(top_frac) * 10000.0 / count(*)) / 10000.0 AS avg_top_frac,
+       floor(sum(dup_frac) * 10000.0 / count(*)) / 10000.0 AS avg_dup_frac
+FROM per_doc
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+#
+# Patterns deliberately restricted to syntax both Java regex and RE2
+# support (no backrefs / lookaround), so the oracle runs the IDENTICAL
+# pattern strings.
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+# scrub order matters (email bodies contain dots/digits): fixed tuple,
+# not dict order, so the semantics are explicit
+_SCRUB_ORDER = ("email", "ip", "phone")
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers from ``text_col``,
+    appending a ``<name>_hits`` audit count per pattern (counted on the
+    ORIGINAL text) and replacing the column with the scrubbed form.
+    Pure narrow per-row expressions — zero shuffle, linear at any scale.
+    """
+    out = df
+    for name in _SCRUB_ORDER:
+        pat, _repl = PII_PATTERNS[name]
+        out = out.withColumn(
+            f"{name}_hits",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("bigint"),
+        )
+    scrubbed = F.col(text_col)
+    for name in _SCRUB_ORDER:
+        pat, repl = PII_PATTERNS[name]
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(text_col, scrubbed)
+
+
+def c03_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-scrub audit per source over a deterministically augmented
+    documents table (the synthetic corpus contains no PII, so each doc
+    is salted with doc_id-derived email / IP / phone snippets — the same
+    expression runs in the oracle, so the scrubber is value-checked on
+    non-trivial positions, counts, and residual text)."""
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            i % 3 != 0,
+            F.concat(
+                F.lit(" contact u"), s(i), F.lit("@ex"), s(i % 7), F.lit(".com")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" ip 10."), s(i % 200), F.lit(".3."), s(i % 250),
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit(" peer 192.168."), s(i % 50), F.lit("."), s(i % 9)),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 1,
+            F.concat(F.lit(" tel 555-"), F.lpad(s(i % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = pii_scrub(d.withColumn("text", aug))
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("email_hits").cast("bigint").alias("email_hits"),
+        F.sum("ip_hits").cast("bigint").alias("ip_hits"),
+        F.sum("phone_hits").cast("bigint").alias("phone_hits"),
+        F.sum(F.length("text")).cast("bigint").alias("scrubbed_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("checksum"),
+    )
+
+
+_C03_EMAIL = PII_PATTERNS["email"][0]
+_C03_IP = PII_PATTERNS["ip"][0]
+_C03_PHONE = PII_PATTERNS["phone"][0]
+
+C03_SQL = f"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+              THEN ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com'
+              ELSE '' END
+         || ' ip 10.' || (doc_id % 200) || '.3.' || (doc_id % 250)
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' peer 192.168.' || (doc_id % 50) || '.' || (doc_id % 9)
+              ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+              THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+  FROM documents
+), scrubbed AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(t, '{_C03_EMAIL}')) AS BIGINT) AS email_hits,
+         CAST(len(regexp_extract_all(t, '{_C03_IP}')) AS BIGINT) AS ip_hits,
+         CAST(len(regexp_extract_all(t, '{_C03_PHONE}')) AS BIGINT) AS phone_hits,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_C03_EMAIL}', '<EMAIL>', 'g'),
+             '{_C03_IP}', '<IP>', 'g'),
+           '{_C03_PHONE}', '<PHONE>', 'g') AS t2
+  FROM aug
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(email_hits) AS BIGINT) AS email_hits,
+       CAST(sum(ip_hits) AS BIGINT) AS ip_hits,
+       CAST(sum(phone_hits) AS BIGINT) AS phone_hits,
+       CAST(sum(len(t2)) AS BIGINT) AS scrubbed_chars,
+       min(md5(t2)) AS checksum
+FROM scrubbed
+GROUP BY source
+"""
+
+
+CLEANING_QUERIES = {
+    "c01_decontamination": (c01_decontamination, C01_SQL),
+    "c02_repetition_signals": (c02_repetition_signals, C02_SQL),
+    "c03_pii_scrub": (c03_pii_scrub, C03_SQL),
+}

@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import ensure_min_parallelism, load_table
@@ -86,25 +86,34 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     self-join's three, and no wide join. The frequency cap bounds both
     posting-list memory and the quadratic pair expansion.
 
-    The cap is applied COUNT-FIRST: doc frequencies are aggregated with
-    a map-side-combinable count (O(1) buffer per shingle), the hot
-    shingles — a short Zipf head, broadcastable — are anti-joined away,
-    and only THEN are posting lists collected. Collecting first and
-    filtering on size(docs) afterwards would build a posting array for
-    every stop-shingle inside one aggregation buffer (millions of ids
-    per buffer at 100 TB) before discarding it; this shape never
-    materializes a list longer than the cap. The extra count pass
-    shuffles only (shingle, partial-count) rows — far smaller than the
-    posting shuffle it protects."""
+    The cap is applied COUNT-FIRST via ``count(*) OVER (PARTITION BY
+    shingle)``: doc frequency is computed inside the shingle-partitioned
+    window — whose sort/buffer is an UnsafeExternalSorter that SPILLS, so
+    a stop-shingle appearing in millions of docs costs disk, never an
+    unbounded aggregation buffer — and rows of hot shingles are dropped
+    BEFORE any posting list is collected. ``collect_set`` only ever sees
+    shingles at or under the cap, so no aggregation buffer exceeds
+    cap-many ids. (Collecting first and filtering on size(docs)
+    afterwards would build a posting array for every stop-shingle inside
+    one buffer before discarding it.)
+
+    The window and the posting-list groupBy share one
+    hashpartitioning(shingle) Exchange, and the per-doc size branch
+    consumes the SAME Exchange (AQE ReusedExchange) — the scan + shingle
+    explode runs once for the whole query, the size branch re-reads
+    shuffle output instead of recomputing it."""
     d = ensure_min_parallelism(docs)
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
     # (doc_id, shingle) rows are distinct per doc (_shingles is
     # array_distinct), so count(*) per shingle IS the doc frequency
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    hot = freq.where(F.col("df") > _SHINGLE_DOC_CAP).select("shingle")
-    capped_rows = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    w = Window.partitionBy("shingle")
+    capped_rows = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= _SHINGLE_DOC_CAP)
+        .drop("df")
+    )
     capped = capped_rows.groupBy("shingle").agg(
         F.sort_array(F.collect_set("doc_id")).alias("docs")
     )

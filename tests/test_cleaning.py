@@ -1,0 +1,149 @@
+"""Corpus-cleaning operators (operators/cleaning.py): library-level
+semantics on constructed inputs, plan shape (broadcast decontamination
+join, shuffle-free scrubbing), and the registry-window invariant that
+cleaning entries must never displace the driver's frozen first-50."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kmeanwithmapreduce_spark.operators.cleaning import (
+    decontaminate,
+    pii_scrub,
+    repetition_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# --------------------------------------------------------------------------
+# decontaminate
+
+
+def test_decontaminate_exact_copy_and_disjoint(spark):
+    evald = _docs(spark, [(100, "one two three four five six")])
+    train = _docs(
+        spark,
+        [
+            (1, "one two three four five six"),  # verbatim eval copy
+            (2, "aa bb cc dd ee ff gg"),  # disjoint vocabulary
+            # shares a prefix: 4 five-grams total, exactly 1 of them
+            # ("one two three four five") appears in the eval doc
+            (3, "one two three four five xx yy zz"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate(train, evald, n=5).collect()
+    }
+    assert got[1]["overlap"] == 1.0
+    assert got[2]["overlap"] == 0.0
+    assert got[3]["n_sh"] == 4 and got[3]["n_hit"] == 1
+    assert got[3]["overlap"] == 0.25
+
+
+def test_decontaminate_short_docs_excluded(spark):
+    evald = _docs(spark, [(100, "one two three four five")])
+    train = _docs(spark, [(1, "one two three"), (2, "one two three four five")])
+    ids = [r["doc_id"] for r in decontaminate(train, evald, n=5).collect()]
+    assert ids == [2]  # 3-token doc carries no 5-gram evidence
+
+
+def test_decontaminate_counts_distinct_shingles(spark):
+    # repeated shingle in one doc must count once (array_distinct)
+    evald = _docs(spark, [(100, "a b c d e")])
+    train = _docs(spark, [(1, "a b c d e a b c d e a b c d e")])
+    row = decontaminate(train, evald, n=5).collect()[0]
+    # distinct 5-grams of the tripled text: the 11 window positions
+    # collapse to 5 distinct shingles ("a b c d e", "b c d e a", ...)
+    assert row["n_sh"] == 5
+    assert row["n_hit"] == 1  # only "a b c d e" appears in the eval doc
+
+
+def test_decontaminate_is_broadcast_join(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.cleaning import c01_decontamination
+
+    plan = c01_decontamination(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# repetition_signals
+
+
+def test_repetition_signals_exact_fractions(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),  # 2-grams: ab ba ab ba ab -> top 3/5, dup 5/5
+            (2, "p q r s t"),  # all 2-grams unique -> top 1/4, dup 0
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(d, n=2).collect()}
+    assert got[1]["top_frac"] == 3 / 5 and got[1]["dup_frac"] == 1.0
+    assert got[2]["top_frac"] == 1 / 4 and got[2]["dup_frac"] == 0.0
+
+
+def test_repetition_signals_ngram_knob(spark):
+    # same doc, n=3: "a b a" "b a b" "a b a" "b a b" -> top 2/4, dup 1.0
+    d = _docs(spark, [(1, "a b a b a b")])
+    row = repetition_signals(d, n=3).collect()[0]
+    assert row["top_frac"] == 0.5 and row["dup_frac"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# pii_scrub
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "mail me at jo.na+x@corp.example.org or 10.0.42.7 tel 555-0199"),
+            (2, "nothing sensitive here"),
+            (3, "two ips 192.168.1.1 and 172.16.254.3"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert got[1]["text"] == "mail me at <EMAIL> or <IP> tel <PHONE>"
+    assert (got[1]["email_hits"], got[1]["ip_hits"], got[1]["phone_hits"]) == (1, 1, 1)
+    assert got[2]["text"] == "nothing sensitive here"
+    assert (got[2]["email_hits"], got[2]["ip_hits"], got[2]["phone_hits"]) == (0, 0, 0)
+    assert got[3]["text"] == "two ips <IP> and <IP>"
+    assert got[3]["ip_hits"] == 2
+
+
+def test_pii_scrub_is_narrow(spark):
+    # per-row regex work must not introduce a shuffle
+    d = _docs(spark, [(1, "a@b.co")])
+    plan = pii_scrub(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# registry window invariant
+
+
+def test_cleaning_entries_sit_after_driver_window():
+    """The driver verifies the FIRST 50 queries() entries; c01-c03 must
+    append after k03 and never displace or reorder that frozen window."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    first50 = names[:50]
+    assert first50[-3:] == [
+        "k01_kmeans_lineitem",
+        "k02_kmeans_compat",
+        "k03_kmeans_mllib",
+    ]
+    assert names[50:] == [
+        "c01_decontamination",
+        "c02_repetition_signals",
+        "c03_pii_scrub",
+    ]
+    # every cleaning entry carries an oracle
+    sqls = entry.oracle_sql()
+    for n in names[50:]:
+        assert n in sqls

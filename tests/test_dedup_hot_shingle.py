@@ -1,11 +1,12 @@
 """d02's stop-shingle memory bound: the frequency cap must be applied
 COUNT-FIRST so no aggregation buffer ever materializes a hot shingle's
-posting list. Pins (a) the plan shape — the anti-join sits BELOW the
-collect_set aggregate, count aggregation has no collect_* — and (b)
-behavior on a synthetic corpus where one trigram appears in 50k docs,
-run in a memory-constrained subprocess JVM (the judge's criterion: a
-pre-cap collect_set build is exactly what such a heap cannot afford at
-real stop-shingle cardinalities).
+posting list. Pins (a) the plan shape — the cap filter (fed by the
+spillable count-over-shingle window, not by any collect_*) sits BELOW
+the collect_set aggregate — and (b) behavior on a synthetic corpus
+where one trigram appears in 50k docs, run in a memory-constrained
+subprocess JVM (the judge's criterion: a pre-cap collect_set build is
+exactly what such a heap cannot afford at real stop-shingle
+cardinalities).
 """
 
 from __future__ import annotations
@@ -44,20 +45,28 @@ def _hot_corpus(spark, n_hot: int, n_dup_pairs: int = 5):
 
 
 def test_plan_applies_cap_before_collect(spark):
-    """Structural pin: in the optimized plan, the LeftAnti (hot-shingle
-    removal) must be a descendant of the collect_set aggregate, and the
-    frequency aggregate must carry no collect_*. Plan text prints
-    children below parents, so the anti-join line must appear after the
-    collect_set line."""
+    """Structural pin: in the optimized plan, the cap filter
+    (df <= _SHINGLE_DOC_CAP) must be a descendant of the collect_set
+    aggregate, and the doc-frequency machinery below it must be a
+    windowed count (spillable sort buffer) with no collect_* anywhere.
+    Plan text prints children below parents, so the filter line must
+    appear after the collect_set line."""
+    from kmeanwithmapreduce_spark.operators.dedup import _SHINGLE_DOC_CAP
+
     docs = _hot_corpus(spark, 500)
     plan = ngram_jaccard_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
     lines = plan.splitlines()
     collect_at = min(i for i, l in enumerate(lines) if "collect_set" in l)
-    anti_at = min(i for i, l in enumerate(lines) if "LeftAnti" in l)
-    assert anti_at > collect_at, plan
-    # the doc-frequency aggregate (between anti-join and scan) is a
-    # plain count — no list-building buffer anywhere below the anti-join
-    assert not any("collect_" in l for l in lines[anti_at:]), plan
+    cap_at = min(
+        i
+        for i, l in enumerate(lines)
+        if "Filter" in l and f"<= {_SHINGLE_DOC_CAP}" in l
+    )
+    win_at = min(i for i, l in enumerate(lines) if "Window" in l)
+    assert cap_at > collect_at, plan
+    assert win_at >= cap_at, plan  # window computes df below the filter
+    # no list-building buffer anywhere below the cap filter
+    assert not any("collect_" in l for l in lines[cap_at:]), plan
 
 
 def test_hot_shingle_links_no_pairs_but_real_dups_survive(spark):

@@ -9,9 +9,15 @@ import math
 import pandas as pd
 import pytest
 
-from kmeanwithmapreduce_spark.operators import ALL_QUERIES
+from kmeanwithmapreduce_spark.operators import ALL_QUERIES, CLEANING_QUERIES
 
-ORACLE_CASES = [(n, fn, sql) for n, (fn, sql) in ALL_QUERIES.items() if sql]
+# CLEANING_QUERIES sit past the driver's 50-entry window, so this
+# in-repo sweep is their primary oracle gate — same discipline.
+ORACLE_CASES = [
+    (n, fn, sql)
+    for n, (fn, sql) in {**ALL_QUERIES, **CLEANING_QUERIES}.items()
+    if sql
+]
 
 
 def _rows_only_cases():
