@@ -47,7 +47,9 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from kmeanwithmapreduce_spark.operators import ALL_QUERIES
+    from kmeanwithmapreduce_spark.operators import ALL_QUERIES, CLEANING_QUERIES
+
+    ALL_QUERIES = {**ALL_QUERIES, **CLEANING_QUERIES}
 
     headline = [
         "q01_pricing_summary",
@@ -73,6 +75,10 @@ def main() -> int:
         "j02_range_join_campaigns",
         "q24_quantiles_stats",
         "d05_embedding_neardup_pairs",
+        # round-5 additions: corpus-cleaning ops (BASELINE §G targets)
+        "c01_decontamination",
+        "c02_repetition_signals",
+        "c03_pii_scrub",
     ]
 
     timings: dict[str, float] = {}

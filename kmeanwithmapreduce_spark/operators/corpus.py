@@ -337,17 +337,30 @@ def prepare_training_corpus(
     max_records_per_file: int | None = None,
     collect_stats: bool = True,
     checkpoint: str = "local",
+    decontaminate_against: DataFrame | None = None,
+    decontamination_threshold: float = 0.3,
+    repetition_thresholds: tuple[float, float] | None = None,
+    scrub_pii: bool = False,
 ) -> dict[str, int]:
     """The whole training-data preparation pipeline as ONE composition of
     the engine's operators, documents table in → sharded parquet out:
 
     1. near-dup clustering (MinHash-LSH pairs → connected components)
        and canonical-doc selection (dup_clusters);
-    2. quality filter (the t02 score, threshold default 0.5);
-    3. optional deterministic per-language downsampling
+    2. optional benchmark decontamination (``decontaminate_against``: an
+       eval/benchmark corpus DataFrame with doc_id+text; docs whose
+       5-gram overlap reaches ``decontamination_threshold`` are dropped);
+    3. quality filter (the t02 score, threshold default 0.5);
+    4. optional repetition filter (``repetition_thresholds`` =
+       (top_frac, dup_frac) over 2-grams — the Gopher signals; docs at
+       or beyond either bound are dropped);
+    5. optional deterministic per-language downsampling
        (stratified_sample; strata absent from ``lang_rates`` keep rate
        1.0);
-    4. reproducible hash-sharded export (write_training_shards).
+    6. optional PII scrubbing of the surviving text (``scrub_pii``;
+       redaction totals land in the stats as ``pii_redactions`` via the
+       same single-pass observe mechanism);
+    7. reproducible hash-sharded export (write_training_shards).
 
     When ``collect_stats``, per-stage funnel counts come back via
     ``DataFrame.observe`` metrics — collected DURING the single export
@@ -380,16 +393,59 @@ def prepare_training_corpus(
     canon = clusters.where("is_canonical").select("doc_id")
     kept = _tap(docs.join(canon, "doc_id", "left_semi"), "after_dedup")
 
+    if decontaminate_against is not None:
+        from .cleaning import decontaminate
+
+        contaminated = (
+            decontaminate(kept, decontaminate_against, n=5)
+            .where(F.col("overlap") >= decontamination_threshold)
+            .select("doc_id")
+        )
+        kept = _tap(
+            kept.join(contaminated, "doc_id", "left_anti"),
+            "after_decontamination",
+        )
+
     good = t02_quality_score(spark, sf_dir).where(
         F.col("quality_score") >= quality_threshold
     ).select("doc_id")
     kept = _tap(kept.join(good, "doc_id", "left_semi"), "after_quality")
+
+    if repetition_thresholds is not None:
+        from .cleaning import repetition_signals
+
+        top_max, dup_max = repetition_thresholds
+        repetitive = (
+            repetition_signals(kept, n=2)
+            .where((F.col("top_frac") >= top_max) | (F.col("dup_frac") >= dup_max))
+            .select("doc_id")
+        )
+        kept = _tap(
+            kept.join(repetitive, "doc_id", "left_anti"), "after_repetition"
+        )
 
     if lang_rates:
         kept = _tap(
             stratified_sample(kept, "lang", lang_rates, "doc_id", default_rate=1.0),
             "after_sample",
         )
+
+    if scrub_pii:
+        from .cleaning import PII_PATTERNS, pii_scrub
+
+        kept = pii_scrub(kept)
+        hit_cols = [f"{name}_hits" for name in PII_PATTERNS]
+        if collect_stats:
+            obs["pii_redactions"] = Observation("corpus_pii_redactions")
+            kept = kept.observe(
+                obs["pii_redactions"],
+                F.coalesce(
+                    F.sum(sum((F.col(c) for c in hit_cols), F.lit(0))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n"),
+            )
+        kept = kept.drop(*hit_cols)
 
     try:
         write_training_shards(

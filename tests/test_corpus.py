@@ -10,6 +10,7 @@ import os
 
 import duckdb
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from kmeanwithmapreduce_spark.operators.corpus import (
     connected_components,
@@ -213,6 +214,47 @@ def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
         r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()
     )
     assert ids1 == ids2 and stats2 == {}
+
+
+def test_prepare_training_corpus_with_cleaning_stages(spark, sf_dir, tmp_path):
+    """Round-5 cleaning stages composed into the pipeline: benchmark
+    decontamination, Gopher repetition filter, and PII scrubbing — the
+    funnel stays monotone, the stage taps appear, and the export schema
+    stays documents-shaped (audit columns stripped after the observe)."""
+    from kmeanwithmapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 11 == 7).select("doc_id", "text")
+    out = str(tmp_path / "corpus_clean")
+    stats = prepare_training_corpus(
+        spark,
+        sf_dir,
+        out,
+        lang_rates={"en": 0.5},
+        n_shards=4,
+        decontaminate_against=benchmark,
+        repetition_thresholds=(0.08, 0.15),
+        scrub_pii=True,
+    )
+    assert (
+        stats["input"]
+        >= stats["after_dedup"]
+        >= stats["after_decontamination"]
+        >= stats["after_quality"]
+        >= stats["after_repetition"]
+        >= stats["after_sample"]
+        > 0
+    )
+    # the benchmark docs themselves are in the corpus (overlap 1.0 with
+    # themselves), so decontamination must actually drop rows here
+    assert stats["after_decontamination"] < stats["after_dedup"]
+    assert stats["pii_redactions"] == 0  # synthetic corpus carries no PII
+    back = spark.read.parquet(out)
+    assert back.count() == stats["after_sample"]
+    assert sorted(back.columns) == sorted(docs.columns)  # audit cols stripped
 
 
 def test_components_leave_no_persisted_state(spark, sf_dir):
