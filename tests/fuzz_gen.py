@@ -341,7 +341,7 @@ class FuzzGen:
         tss = rel.columns(("ts",))
         choices = []
         if nums:
-            choices += ["arith", "mathfn", "case"]
+            choices += ["arith", "mathfn", "case", "coalesce"]
         if cats:
             choices += ["strfn"]
         if tss:
@@ -362,6 +362,18 @@ class FuzzGen:
         if kind == "mathfn":
             t, c = r.choice(nums)
             return fn(r.choice(["abs", "floor", "ceil"]), col(c)), f"x_{c}"
+        if kind == "coalesce":
+            # null semantics drift class: under a left join's unmatched
+            # rows the num col is NULL and the fallback must fire
+            t, c = r.choice(nums)
+            v = self._lit_for(t, c, "num")
+            return (
+                Ex(
+                    F.coalesce(F.col(c), v.spark),
+                    f"coalesce({c}, {v.sql})",
+                ),
+                f"x_{c}",
+            )
         if kind == "case":
             t, c = r.choice(nums)
             a_ = self._lit_for(t, c, "num")
@@ -393,25 +405,50 @@ class FuzzGen:
         ]
         n_keys = r.randint(0, min(2, len(group_pool)))
         keys = [c for _t, c in r.sample(group_pool, n_keys)] if n_keys else []
-        # ts-derived group key sometimes
+        # ts-derived group key sometimes: year() or a date_trunc bucket
         if rel.columns(("ts",)) and r.random() < 0.3:
             t, c = r.choice(rel.columns(("ts",)))
-            keys_ex = [(fn("year", col(c)), f"y_{c}")]
+            if r.random() < 0.5:
+                keys_ex = [(fn("year", col(c)), f"y_{c}")]
+            else:
+                keys_ex = [(
+                    Ex(
+                        F.date_trunc("month", F.col(c)),
+                        f"date_trunc('month', {c})",
+                    ),
+                    f"m_{c}",
+                )]
         else:
             keys_ex = []
         nums = rel.columns(("num",))
-        aggs: list[tuple[str, Ex | None, str]] = [("count", None, "cnt")]
+        # (op, expr, alias, domain) — domain feeds value-HAVING thresholds
+        aggs: list[tuple[str, Ex | None, str, tuple | None]] = [
+            ("count", None, "cnt", None)
+        ]
         for i in range(r.randint(1, 3)):
             if nums and r.random() < 0.8:
                 t, c = r.choice(nums)
                 op = r.choice(["sum", "avg", "min", "max"])
-                aggs.append((op, col(c), f"a{i}_{op}_{c}"))
+                aggs.append((op, col(c), f"a{i}_{op}_{c}", self.dom[(t, c)]))
             else:
                 t, c = r.choice(rel.columns(("key", "cat")))
-                aggs.append(("count_distinct", col(c), f"a{i}_cd_{c}"))
+                aggs.append(("count_distinct", col(c), f"a{i}_cd_{c}", None))
         having = None
         if r.random() < 0.35:
-            having = ("cnt", r.choice([">", ">="]), r.randint(1, 5))
+            # HAVING on the row count, or on a value aggregate (avg/min/
+            # max thresholds drawn from the column's real domain so the
+            # predicate is selective, not vacuous); sum(x) scales with
+            # group size, so only the size-independent aggs get one
+            value_aggs = [
+                a for a in aggs[1:] if a[0] in ("avg", "min", "max") and a[3]
+            ]
+            if value_aggs and r.random() < 0.5:
+                op, _e, alias, (lo, hi) = r.choice(value_aggs)
+                lo_f, hi_f = float(lo or 0.0), float(hi or 1.0)
+                thr = float(f"{r.uniform(lo_f, hi_f):.6g}")
+                having = (alias, r.choice([">", ">="]), thr)
+            else:
+                having = ("cnt", r.choice([">", ">="]), r.randint(1, 5))
 
         def build(spark, sf_dir):
             df = rel.build(spark, sf_dir)
@@ -419,7 +456,7 @@ class FuzzGen:
                 e.spark.alias(a) for e, a in keys_ex
             ]
             agg_cols = []
-            for op, e, alias in aggs:
+            for op, e, alias, _dom in aggs:
                 if op == "count":
                     agg_cols.append(F.count(F.lit(1)).alias(alias))
                 elif op == "count_distinct":
@@ -436,19 +473,23 @@ class FuzzGen:
             return out
 
         sel = list(keys) + [f"{e.sql} AS {a}" for e, a in keys_ex]
-        for op, e, alias in aggs:
+        agg_sql: dict[str, str] = {}
+        for op, e, alias, _dom in aggs:
             if op == "count":
-                sel.append(f"count(*) AS {alias}")
+                agg_sql[alias] = "count(*)"
             elif op == "count_distinct":
-                sel.append(f"count(DISTINCT {e.sql}) AS {alias}")
+                agg_sql[alias] = f"count(DISTINCT {e.sql})"
             else:
-                sel.append(f"{op}({e.sql}) AS {alias}")
+                agg_sql[alias] = f"{op}({e.sql})"
+            sel.append(f"{agg_sql[alias]} AS {alias}")
         sql = f"SELECT {', '.join(sel)} FROM {rel.from_sql()}{rel.where_sql()}"
         gb = list(keys) + [e.sql for e, _a in keys_ex]
         if gb:
             sql += " GROUP BY " + ", ".join(gb)
         if having:
-            sql += f" HAVING count(*) {having[1]} {having[2]}"
+            # HAVING by the aggregate's own expression (alias references
+            # in HAVING are a DuckDB extension, not portable ANSI)
+            sql += f" HAVING {agg_sql[having[0]]} {having[1]} {having[2]!r}"
         return build, sql
 
     def _q_projection(self, rel: Relation):
@@ -521,26 +562,46 @@ class FuzzGen:
         return build, sql
 
     def _q_topk(self, rel: Relation):
-        """Deterministic top-k: ORDER BY the relation's unique key (a
-        total order, so LIMIT is well-defined cross-engine) + a couple
-        of carried columns. Exercises TakeOrderedAndProject."""
+        """Deterministic top-k: optionally lead with a numeric column
+        (explicit NULLS pinning — Spark desc defaults NULLS LAST where
+        DuckDB defaults NULLS FIRST, a real cross-engine drift class),
+        then ALWAYS tiebreak by the relation's unique key so LIMIT is a
+        total order. Exercises TakeOrderedAndProject."""
         r = self.rng
         uk = rel.unique_key()
         desc = r.random() < 0.5
         m = r.choice([5, 20, 100])
+        nums = rel.columns(("num",))
+        lead = r.choice(nums)[1] if nums and r.random() < 0.5 else None
         carry = [c for _t, c in r.sample(rel.columns(), min(2, len(rel.columns())))
-                 if c not in uk]
+                 if c not in uk and c != lead]
 
         def build(spark, sf_dir):
             df = rel.build(spark, sf_dir)
-            order = [F.col(c).desc() if desc else F.col(c).asc() for c in uk]
-            return df.select(*[F.col(c) for c in uk + carry]).orderBy(*order).limit(m)
+            order = []
+            if lead is not None:
+                order.append(
+                    F.col(lead).desc_nulls_last()
+                    if desc
+                    else F.col(lead).asc_nulls_first()
+                )
+            order += [F.col(c).desc() if desc else F.col(c).asc() for c in uk]
+            cols_ = ([lead] if lead is not None else []) + uk + carry
+            return df.select(*[F.col(c) for c in cols_]).orderBy(*order).limit(m)
 
-        direction = "DESC" if desc else "ASC"
-        ob = ", ".join(f"{c} {direction}" for c in uk)
+        # pin EVERY order col's null placement to Spark's defaults
+        # (desc = NULLS LAST, asc = NULLS FIRST); DuckDB's defaults are
+        # the opposite, and uk cols of a left join's right table CAN be
+        # NULL on unmatched rows
+        direction = "DESC NULLS LAST" if desc else "ASC NULLS FIRST"
+        ob_parts = []
+        if lead is not None:
+            ob_parts.append(f"{lead} {direction}")
+        ob_parts += [f"{c} {direction}" for c in uk]
+        sel_cols = ([lead] if lead is not None else []) + uk + carry
         sql = (
-            f"SELECT {', '.join(uk + carry)} FROM {rel.from_sql()}"
-            f"{rel.where_sql()} ORDER BY {ob} LIMIT {m}"
+            f"SELECT {', '.join(sel_cols)} FROM {rel.from_sql()}"
+            f"{rel.where_sql()} ORDER BY {', '.join(ob_parts)} LIMIT {m}"
         )
         return build, sql
 

@@ -122,6 +122,42 @@ def test_pii_scrub_is_narrow(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_pii_scrub_streaming_equals_batch(spark, sf_dir):
+    """pii_scrub is stateless and narrow, so the SAME expression runs
+    unchanged under Structured Streaming (append mode, no watermark, no
+    state store) — the form a live ingest pipeline would use. Streaming
+    output over the bounded documents corpus must equal the batch scrub
+    row-for-row."""
+    from kmeanwithmapreduce_spark.streaming.windows import run_stream_to_memory
+
+    salt = F.concat(F.col("text"), F.lit(" mail a.b@x.io ip 10.1.2.3"))
+
+    def scrubbed(df):
+        out = pii_scrub(df.withColumn("text", salt))
+        return out.select("doc_id", "text", "email_hits", "ip_hits")
+
+    schema = spark.read.option("pathGlobFilter", "documents.parquet").parquet(
+        sf_dir
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    got = run_stream_to_memory(
+        scrubbed(stream), "t_pii_stream", output_mode="append"
+    )
+    want = scrubbed(
+        spark.read.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.text, r.email_hits, r.ip_hits) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    assert all(r[2] >= 1 and r[3] >= 1 for r in key(got))  # salt was scrubbed
+
+
 # --------------------------------------------------------------------------
 # registry window invariant
 
