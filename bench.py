@@ -79,6 +79,7 @@ def main() -> int:
         "c01_decontamination",
         "c02_repetition_signals",
         "c03_pii_scrub",
+        "c04_chunking",
     ]
 
     timings: dict[str, float] = {}

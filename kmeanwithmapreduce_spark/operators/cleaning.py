@@ -369,8 +369,99 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# context-window chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    seq_len: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Split each document into overlapping token windows of ``seq_len``
+    tokens starting every ``stride`` tokens (stride < seq_len gives the
+    standard training-prep overlap; stride == seq_len gives disjoint
+    chunks). The last window may be short; every token lands in at
+    least one chunk. Output: id cols + ``chunk_idx`` (0-based),
+    ``chunk_text``, ``n_tokens``.
+
+    Pure per-row generate — the chunk list is built JVM-side from
+    sequence/transform/slice and exploded; zero shuffle, linear in
+    input splits at any corpus size. Chunk count per doc is
+    floor((T-1)/stride)+1, bounded by document length.
+    """
+    if stride <= 0 or seq_len <= 0:
+        raise ValueError("seq_len and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    n_chunks_minus1 = F.floor((F.size(toks) - F.lit(1)) / F.lit(stride)).cast(
+        "bigint"
+    )
+    chunks = F.when(
+        F.size(toks) >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks_minus1),
+            lambda k: F.struct(
+                k.cast("bigint").alias("chunk_idx"),
+                F.concat_ws(
+                    " ", F.slice(toks, k * stride + 1, seq_len)
+                ).alias("chunk_text"),
+                F.least(
+                    F.lit(seq_len), F.size(toks) - k * stride
+                ).cast("bigint").alias("n_tokens"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:bigint,chunk_text:string,n_tokens:bigint>>"
+    ))
+    return docs.select(*id_cols, F.explode(chunks).alias("c")).select(
+        *id_cols, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )
+
+
+def c04_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk inventory over the documents table (seq_len 64, stride
+    48): one row per context window with its token count and an md5 of
+    the chunk text — the md5 makes the oracle compare every chunk's
+    exact content, not just its shape."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, seq_len=64, stride=48)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+C04_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(floor((len(l) - 1) / 48) AS BIGINT) + 1),
+           k -> struct_pack(
+             chunk_idx := CAST(k AS BIGINT),
+             chunk_text := array_to_string(
+               list_slice(l, k * 48 + 1, k * 48 + 64), ' '),
+             n_tokens := CAST(least(64, len(l) - k * 48) AS BIGINT)
+           ))) AS c
+  FROM toks WHERE len(l) >= 1
+)
+SELECT doc_id,
+       c.chunk_idx AS chunk_idx,
+       c.n_tokens AS n_tokens,
+       md5(c.chunk_text) AS chunk_md5
+FROM chunks
+"""
+
+
 CLEANING_QUERIES = {
     "c01_decontamination": (c01_decontamination, C01_SQL),
     "c02_repetition_signals": (c02_repetition_signals, C02_SQL),
     "c03_pii_scrub": (c03_pii_scrub, C03_SQL),
+    "c04_chunking": (c04_chunking, C04_SQL),
 }

@@ -159,6 +159,60 @@ def test_pii_scrub_streaming_equals_batch(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# chunk_documents
+
+
+def test_chunk_documents_exact_windows(spark):
+    from kmeanwithmapreduce_spark.operators.cleaning import chunk_documents
+
+    # 10 tokens, seq_len 4, stride 3 -> window starts 1,4,7,10
+    # (floor(9/3)+1 = 4 chunks, last one short)
+    d = _docs(spark, [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")])
+    got = sorted(
+        (r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(d, seq_len=4, stride=3).collect()
+    )
+    assert got == [
+        (0, "t1 t2 t3 t4", 4),
+        (1, "t4 t5 t6 t7", 4),
+        (2, "t7 t8 t9 t10", 4),
+        (3, "t10", 1),
+    ]
+
+
+def test_chunk_documents_disjoint_and_short(spark):
+    from kmeanwithmapreduce_spark.operators.cleaning import chunk_documents
+
+    d = _docs(spark, [(1, "a b c d e"), (2, "only")])
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(d, seq_len=2, stride=2).collect()
+    }
+    # doc 1: [a b] [c d] [e]; doc 2: [only]
+    assert got == {
+        (1, 0): ("a b", 2),
+        (1, 1): ("c d", 2),
+        (1, 2): ("e", 1),
+        (2, 0): ("only", 1),
+    }
+    # every token lands in exactly one chunk when stride == seq_len
+    assert sum(n for _t, n in got.values()) == 6
+
+
+def test_chunk_documents_is_narrow(spark):
+    from kmeanwithmapreduce_spark.operators.cleaning import chunk_documents
+
+    d = _docs(spark, [(1, "a b c")])
+    plan = (
+        chunk_documents(d, seq_len=2, stride=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+# --------------------------------------------------------------------------
 # registry window invariant
 
 
@@ -178,6 +232,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "c01_decontamination",
         "c02_repetition_signals",
         "c03_pii_scrub",
+        "c04_chunking",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
