@@ -459,6 +459,77 @@ FROM chunks
 """
 
 
+# --------------------------------------------------------------------------
+# sequence packing
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    *,
+    budget: int,
+    n_buckets: int = 64,
+    tokens_col: str = "n_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    bucket_key: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign chunks to fixed-token-budget packs
+    (the step that turns chunked documents into training batches with
+    minimal padding). Packing is inherently sequential, so it is
+    parallelized the standard way: chunks hash into ``n_buckets``
+    independent buckets (md5 of ``bucket_key`` — a pure function of the
+    data, NOT of the partitioning), and each bucket packs greedily in
+    (``order_cols``) order inside one ``applyInPandas`` group. Pack ids
+    ``"<bucket>-<seq>"`` are globally unique and the whole assignment is
+    a pure function of (input rows, budget, n_buckets) — reproducible
+    across runs, cluster sizes, and partition layouts.
+
+    A chunk longer than the budget gets a pack of its own (the standard
+    overflow rule — callers control max chunk size via chunk_documents'
+    seq_len, so this only fires when budget < seq_len).
+
+    Scale: one shuffle (groupBy bucket); per-bucket state is the
+    bucket's chunk metadata in pandas, so size ``n_buckets`` ~
+    corpus_chunks / executor-memory-budget. This is the sanctioned
+    Pandas-path custom operator: the packing loop cannot be expressed
+    relationally, everything around it stays declarative."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    import pandas as pd  # noqa: F401  (module-global for the UDF)
+
+    out_schema = chunks.schema.add("pack_id", "string").add("pack_pos", "long")
+    order = list(order_cols)
+
+    def _pack(key, pdf):
+        bucket = key[0]
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        pack_ids, pack_pos = [], []
+        seq, used, pos = 0, 0, 0
+        first = True
+        for n in pdf[tokens_col]:
+            n = int(n)
+            if not first and used + n > budget:
+                seq += 1
+                used, pos = 0, 0
+            first = False
+            used += n
+            pack_ids.append(f"{bucket}-{seq}")
+            pack_pos.append(pos)
+            pos += 1
+        pdf["pack_id"] = pack_ids
+        pdf["pack_pos"] = pack_pos
+        return pdf.drop(columns=["_bucket"])
+
+    bucketed = chunks.withColumn(
+        "_bucket",
+        (
+            F.conv(F.substring(F.md5(F.col(bucket_key).cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % n_buckets
+        ),
+    )
+    return bucketed.groupBy("_bucket").applyInPandas(_pack, out_schema)
+
+
 CLEANING_QUERIES = {
     "c01_decontamination": (c01_decontamination, C01_SQL),
     "c02_repetition_signals": (c02_repetition_signals, C02_SQL),

@@ -213,6 +213,79 @@ def test_chunk_documents_is_narrow(spark):
 
 
 # --------------------------------------------------------------------------
+# pack_sequences
+
+
+def test_pack_sequences_exact_greedy(spark):
+    from kmeanwithmapreduce_spark.operators.cleaning import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 30), (1, 1, 30), (1, 2, 50), (2, 0, 90), (2, 1, 120)],
+        "doc_id bigint, chunk_idx bigint, n_tokens bigint",
+    )
+    # n_buckets=1: one deterministic greedy stream in (doc_id,
+    # chunk_idx) order with budget 100:
+    #   30+30=60 fits -> pack 0; +50 would be 110 -> pack 1 (50);
+    #   +90 would be 140 -> pack 2 (90); +120 would be 210 -> pack 3
+    got = {
+        (r.doc_id, r.chunk_idx): (r.pack_id, r.pack_pos)
+        for r in pack_sequences(chunks, budget=100, n_buckets=1).collect()
+    }
+    assert got == {
+        (1, 0): ("0-0", 0),
+        (1, 1): ("0-0", 1),
+        (1, 2): ("0-1", 0),
+        (2, 0): ("0-2", 0),
+        (2, 1): ("0-3", 0),
+    }
+
+
+def test_pack_sequences_invariants_on_real_chunks(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.cleaning import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, seq_len=64, stride=48)
+    packed = pack_sequences(chunks, budget=256, n_buckets=8)
+    rows = packed.collect()
+    assert len(rows) == chunks.count()  # every chunk packed exactly once
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(r.n_tokens for r in members)
+        if len(members) > 1:
+            assert total <= 256, (pid, total)
+        # contiguous 0-based positions
+        assert sorted(r.pack_pos for r in members) == list(range(len(members)))
+    # packing is a pure function of the data, not the partition layout
+    repart = pack_sequences(
+        chunks.repartition(13), budget=256, n_buckets=8
+    ).collect()
+    key = lambda rs: sorted(  # noqa: E731
+        (r.doc_id, r.chunk_idx, r.pack_id, r.pack_pos) for r in rs
+    )
+    assert key(rows) == key(repart)
+
+
+def test_pack_sequences_oversize_chunk_gets_own_pack(spark):
+    from kmeanwithmapreduce_spark.operators.cleaning import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 500), (1, 1, 10)],
+        "doc_id bigint, chunk_idx bigint, n_tokens bigint",
+    )
+    got = {
+        r.chunk_idx: r.pack_id
+        for r in pack_sequences(chunks, budget=100, n_buckets=1).collect()
+    }
+    assert got[0] != got[1]  # the 500-token chunk overflows alone
+
+
+# --------------------------------------------------------------------------
 # registry window invariant
 
 
