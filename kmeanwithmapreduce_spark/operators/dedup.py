@@ -233,8 +233,15 @@ def _shingle_rows(d: DataFrame) -> DataFrame:
     return sh.withColumn("h", h)
 
 
-def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+def minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band-index rows for each document: the
+    16-hash MinHash signature (affine permutations over the md5 base
+    hash, O(1) running-min buffers) cut into ``_LSH_BANDS`` bands. Two
+    documents are near-dup CANDIDATES iff they share a (band, key) row.
+
+    This is the persistable unit of the incremental ingest path: store
+    these rows for the live corpus and new batches join against them
+    (incremental_neardup_pairs) without ever rescanning old text."""
     hashed = _shingle_rows(d)
     sig = hashed.groupBy("doc_id").agg(
         *[
@@ -245,7 +252,7 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     rows_per_band = _N_MINHASH // _LSH_BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -265,6 +272,12 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_bands(
+        ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -275,6 +288,49 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame, band_index: DataFrame
+) -> DataFrame:
+    """Near-dup candidate pairs for an INCREMENTAL ingest batch: join
+    the new documents' band keys against the stored corpus band index
+    (``minhash_bands`` rows of everything ingested so far) plus the
+    batch's own intra-pairs. Exactly the d03 pairs that touch at least
+    one new document, WITHOUT rescanning or re-signing the old corpus —
+    per batch this costs O(batch) signature work and a join that prunes
+    to matching band keys.
+
+    Contract (pinned by test_incremental_neardup_matches_batch): with
+    disjoint doc_id sets, ``d03 pairs over (old ∪ new)`` equals
+    ``pairs(old-only index) ∪ incremental_neardup_pairs(new, old index)``.
+    To ingest the batch afterwards, append ``minhash_bands(new_docs)``
+    to the stored index — the operation is associative, so a stream of
+    batches maintains exactness.
+
+    At 100 TB the band index is ~16 small rows per document, stored
+    partitioned by (band, key-hash); each batch join touches only the
+    buckets its keys hash to."""
+    nb = minhash_bands(new_docs)
+    a = nb.alias("a")
+    idx = band_index.alias("b")
+    cross = (
+        a.join(idx, ["band", "key"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+    )
+    b2 = nb.alias("b")
+    intra = (
+        a.join(b2, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return cross.union(intra).distinct()
 
 
 def _d03_sql() -> str:
