@@ -1,0 +1,85 @@
+"""Streaming corpus ingestion with continuous near-dup detection: each
+micro-batch of documents is checked against the persisted MinHash band
+index (operators.dedup.incremental_neardup_pairs) and then appended to
+it. The accumulated pair set is EXACTLY the batch d03 result over
+everything ingested so far (associativity pinned in
+tests/test_dedup_incremental.py) — previously ingested text is never
+rescanned or re-signed.
+
+Exactly-once: every sink write lands in an epoch-keyed subdirectory
+with overwrite mode, so a replayed micro-batch (foreachBatch is
+at-least-once under retry) rewrites its own epoch instead of
+duplicating rows — the standard idempotent-foreachBatch recipe.
+
+Scale: per micro-batch cost is O(batch) signature work plus a join
+pruned to matching band keys; the index grows ~_LSH_BANDS small rows
+per document and would be partitioned by hash(band, key) on a real
+cluster so each batch join touches only its buckets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+_INDEX_SCHEMA = "doc_id bigint, band int, key string"
+
+
+def read_band_index(spark, index_path: str) -> DataFrame:
+    """All epochs of the persisted band index (empty frame if nothing
+    has been ingested yet)."""
+    try:
+        return spark.read.schema(_INDEX_SCHEMA).parquet(
+            os.path.join(index_path, "*")
+        ).select("doc_id", "band", "key")
+    except Exception:
+        return spark.createDataFrame([], _INDEX_SCHEMA)
+
+
+def streaming_neardup_ingest(
+    stream_docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+):
+    """Start the ingest stream; returns the StreamingQuery. Read the
+    accumulated pairs with ``spark.read.parquet(pairs_path + "/*")``
+    (epoch subdirs) and the live index with ``read_band_index``."""
+    from ..operators.dedup import incremental_neardup_pairs, minhash_bands
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = read_band_index(spark, index_path)
+        # pairs BEFORE appending this batch's bands (the batch's intra
+        # pairs are produced by incremental_neardup_pairs itself)
+        pairs = incremental_neardup_pairs(batch_df, idx)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"epoch={epoch_id}")
+        )
+        minhash_bands(batch_df).select("doc_id", "band", "key").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_path, f"epoch={epoch_id}"))
+
+    return (
+        stream_docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_accumulated_pairs(spark, pairs_path: str) -> DataFrame:
+    try:
+        return spark.read.schema("doc_a bigint, doc_b bigint").parquet(
+            os.path.join(pairs_path, "*")
+        ).select("doc_a", "doc_b").distinct()
+    except Exception:
+        return spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+
+
+__all__ = [
+    "read_band_index",
+    "read_accumulated_pairs",
+    "streaming_neardup_ingest",
+]

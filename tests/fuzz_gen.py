@@ -14,11 +14,17 @@ surface, not just at the 50 frozen registry queries.
 
 Determinism rules baked into the grammar:
 - window ORDER BY always ends with the relation's unique key, so
-  ranking/lag/frames are total-order deterministic;
-- only double arithmetic (both engines do IEEE double ops bit-equal);
-  no round() (HALF_UP vs HALF_EVEN), no sample-stddev in the hot set;
-- aggregate merge-order ulp noise is absorbed by the rel=1e-9 compare
-  in test_oracle_parity._compare (sum of ~1e4 doubles: ~1e-12 rel).
+  ranking/lag/frames are total-order deterministic; every ORDER BY
+  column pins NULLS placement explicitly (engine defaults differ);
+- per-row double arithmetic only (both engines do IEEE double ops
+  bit-equal); no sample-stddev in the hot set;
+- sum/avg/running-sum are GRID aggregates (cents-integer sums, the
+  registry's own discipline): raw double accumulation carries
+  merge-order ulp noise which the rel=1e-9 VALUE compare tolerates but
+  which can flip row-sort alignment (the seed-99991 regression —
+  _normalize now also sorts floats by a rounded key as second defense).
+  round() inside the grid is safe: inputs sit on value grids, so both
+  engines round the identical double far from any .5 boundary.
 """
 
 from __future__ import annotations
@@ -461,6 +467,24 @@ class FuzzGen:
                     agg_cols.append(F.count(F.lit(1)).alias(alias))
                 elif op == "count_distinct":
                     agg_cols.append(F.countDistinct(e.spark).alias(alias))
+                elif op == "sum":
+                    # grid-sum (registry discipline): cents-integer sums
+                    # are bit-identical across engines; raw double sums
+                    # carry merge-order ulp noise (seed-99991 regression)
+                    agg_cols.append(
+                        (
+                            F.sum(F.round(e.spark * 100).cast("long")) / 100.0
+                        ).alias(alias)
+                    )
+                elif op == "avg":
+                    agg_cols.append(
+                        (
+                            F.sum(F.round(e.spark * 100).cast("long"))
+                            * 1.0
+                            / F.count(F.lit(1))
+                            / 100.0
+                        ).alias(alias)
+                    )
                 else:
                     agg_cols.append(getattr(F, op)(e.spark).alias(alias))
             out = df.groupBy(*gcols).agg(*agg_cols) if (keys or keys_ex) else (
@@ -479,6 +503,15 @@ class FuzzGen:
                 agg_sql[alias] = "count(*)"
             elif op == "count_distinct":
                 agg_sql[alias] = f"count(DISTINCT {e.sql})"
+            elif op == "sum":
+                agg_sql[alias] = (
+                    f"(sum(CAST(round(({e.sql}) * 100) AS BIGINT)) / 100.0)"
+                )
+            elif op == "avg":
+                agg_sql[alias] = (
+                    f"(sum(CAST(round(({e.sql}) * 100) AS BIGINT)) * 1.0"
+                    f" / count(*) / 100.0)"
+                )
             else:
                 agg_sql[alias] = f"{op}({e.sql})"
             sel.append(f"{agg_sql[alias]} AS {alias}")
@@ -537,8 +570,15 @@ class FuzzGen:
             elif wf == "lag":
                 e = F.lag(F.col(oc), 1).over(w)
             else:
-                e = F.sum(F.col(oc)).over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                # grid the running sum: ordered prefix sums of doubles
+                # need not associate identically across engines
+                e = (
+                    F.sum(F.round(F.col(oc) * 100).cast("long")).over(
+                        w.rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                    )
+                    / 100.0
                 )
             cols_ = uk + ([pc] if pc not in uk else [])
             return df.select(*[F.col(k) for k in cols_], e.alias("wv"))
@@ -552,8 +592,9 @@ class FuzzGen:
             we = f"lag({oc}, 1) OVER (PARTITION BY {pc} ORDER BY {ob})"
         else:
             we = (
-                f"sum({oc}) OVER (PARTITION BY {pc} ORDER BY {ob} "
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                f"(sum(CAST(round(({oc}) * 100) AS BIGINT)) OVER "
+                f"(PARTITION BY {pc} ORDER BY {ob} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0)"
             )
         sel = ", ".join(
             uk + ([pc] if pc not in uk else []) + [f"{we} AS wv"]

@@ -50,6 +50,50 @@ def test_incremental_ingest_stream_accumulates_to_full(spark, sf_dir):
     assert sorted(seen) == _pairs(d03_minhash_lsh_pairs(spark, sf_dir))
 
 
+def test_streaming_neardup_ingest_accumulates_to_full(spark, sf_dir, tmp_path):
+    """The streaming composition: documents arrive as two files in two
+    micro-batches (availableNow + maxFilesPerTrigger=1); per batch the
+    ingest joins the persisted band index, emits that batch's pairs to
+    an epoch subdir, and appends its bands. Accumulated pairs must equal
+    the full batch d03 result."""
+    from kmeanwithmapreduce_spark.streaming.ingest import (
+        read_accumulated_pairs,
+        read_band_index,
+        streaming_neardup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_neardup_ingest(
+        stream,
+        index_path=str(tmp_path / "index"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = _pairs(read_accumulated_pairs(spark, str(tmp_path / "pairs")))
+    assert got == _pairs(d03_minhash_lsh_pairs(spark, sf_dir))
+    # the persisted index now covers the whole corpus
+    idx = read_band_index(spark, str(tmp_path / "index"))
+    assert idx.select("doc_id").distinct().count() == docs.count()
+
+
 def test_incremental_empty_index_is_intra_batch_d03(spark, sf_dir):
     """Against an empty index the incremental path reduces to plain d03
     over the batch alone."""

@@ -50,10 +50,26 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object or str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].map(_canon_value)
-    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(
-        drop=True
-    )
-    return df
+    # Row alignment must not hinge on float ulps: a 1-ulp aggregation
+    # difference (legal merge-order noise the VALUE compare tolerates)
+    # must not flip sort order and misalign every later row (seed-99991
+    # fuzz regression: sum(l_tax) 2.57 vs 2.5700000000000003 shifted the
+    # whole frame). Keep ONE column order for both frames (alphabetical —
+    # a dtype-dependent order would itself diverge when an engine types
+    # floor() as int and the other as double) and substitute a rounded
+    # sort key for float columns in place; full-precision values still
+    # go through _compare afterwards.
+    keys, tmp = [], []
+    for c in df.columns:
+        if str(df[c].dtype).startswith("float"):
+            sk = f"_sk_{c}"
+            df[sk] = df[c].round(6)
+            keys.append(sk)
+            tmp.append(sk)
+        else:
+            keys.append(c)
+    df = df.sort_values(by=keys, na_position="first").reset_index(drop=True)
+    return df.drop(columns=tmp)
 
 
 def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
