@@ -6,9 +6,10 @@
 - ``queries()``: every implemented operator from SURVEY §2 (relational
   Part B + training-data-pipeline extensions + windowed events +
   K-Means itself). The FIRST 50 entries are the frozen driver
-  CORRECTNESS window (unchanged since round 2); round-5 cleaning ops
-  (c01-c03: decontamination / repetition / PII scrub) register after
-  k03 and are oracle-verified by the in-repo parity sweep.
+  CORRECTNESS window (unchanged since round 2); round-5 extensions
+  (c01-c04 cleaning ops: decontamination / repetition / PII scrub /
+  chunking, plus j05 approx-percentile) register after k03 and are
+  oracle-verified by the in-repo parity sweep.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible
   query, plus golden-row VALUES oracles for the deterministic iterative
   pipelines — 49 of 50. k02/t06/m03/s03 all use the same recipe: fully
@@ -234,13 +235,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["k01_kmeans_lineitem"] = k01_kmeans_lineitem
     out["k02_kmeans_compat"] = k02_kmeans_compat_customer_shape
     out["k03_kmeans_mllib"] = k03_kmeans_mllib
-    # entries 51+: corpus-cleaning ops (decontamination / repetition /
-    # PII scrub) — outside the driver's 50-entry CORRECTNESS window by
-    # construction (the first 50 are frozen); oracle-verified by the
-    # in-repo parity sweep instead (tests/test_oracle_parity.py).
-    from kmeanwithmapreduce_spark.operators import CLEANING_QUERIES
+    # entries 51+: round-5 extensions (cleaning ops + approx-percentile)
+    # — outside the driver's 50-entry CORRECTNESS window by construction
+    # (the first 50 are frozen); oracle-verified by the in-repo parity
+    # sweep instead (tests/test_oracle_parity.py).
+    from kmeanwithmapreduce_spark.operators import EXTRA_QUERIES
 
-    for name, (fn, _sql) in CLEANING_QUERIES.items():
+    for name, (fn, _sql) in EXTRA_QUERIES.items():
         out[name] = fn
     return out
 
@@ -251,8 +252,8 @@ def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql}
     out["k01_kmeans_lineitem"] = K01_SQL
     out["k02_kmeans_compat"] = K02_SQL
-    from kmeanwithmapreduce_spark.operators import CLEANING_QUERIES
+    from kmeanwithmapreduce_spark.operators import EXTRA_QUERIES
 
-    for name, (_fn, sql) in CLEANING_QUERIES.items():
+    for name, (_fn, sql) in EXTRA_QUERIES.items():
         out[name] = sql
     return out

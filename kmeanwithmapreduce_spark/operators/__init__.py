@@ -23,12 +23,20 @@ ALL_QUERIES = {
 
 # NOT merged into ALL_QUERIES: the driver verifies the FIRST 50 registry
 # entries and ALL_QUERIES + k01..k03 is exactly that frozen window.
-# Cleaning ops register after k03 in __spark_entry__.queries() (positions
-# 51+) and carry the same oracle discipline via the in-repo sweep
-# (tests/test_oracle_parity.py extends its case list with them).
+# Round-5 additions register after k03 in __spark_entry__.queries()
+# (positions 51+) and carry the same oracle discipline via the in-repo
+# sweep (tests/test_oracle_parity.py extends its case list with them).
+from .joins_advanced import J05_SQL, j05_approx_percentile
+
+EXTRA_QUERIES = {
+    **CLEANING_QUERIES,
+    "j05_approx_percentile": (j05_approx_percentile, J05_SQL),
+}
+
 __all__ = [
     "ALL_QUERIES",
     "CLEANING_QUERIES",
+    "EXTRA_QUERIES",
     "ADVANCED_JOIN_QUERIES",
     "DEDUP_QUERIES",
     "MULTIMODAL_QUERIES",

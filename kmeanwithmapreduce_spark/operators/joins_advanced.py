@@ -283,6 +283,49 @@ WHERE c.event_type = 'click'
 """
 
 
+# --------------------------------------------------------------------------
+# j05 — approximate percentile (quantile sketch), the j03 discipline:
+# the sketch value itself is engine-specific (Spark: Greenwald-Khanna,
+# DuckDB: t-digest), so the compared output is the group count plus
+# booleans asserting each engine's approximation landed inside the
+# EXACT ±2%-quantile band — a semantic accuracy property both must
+# satisfy. Only counts and booleans are emitted: interpolated exact
+# percentile VALUES can differ in the last ulp across engines (formula
+# association), and the band edges are generously far apart relative to
+# any sketch error at accuracy 10000 / default t-digest.
+def j05_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def band(p: float):
+        return (
+            F.percentile_approx("l_extendedprice", p, 10000)
+            >= F.percentile("l_extendedprice", p - 0.02)
+        ) & (
+            F.percentile_approx("l_extendedprice", p, 10000)
+            <= F.percentile("l_extendedprice", p + 0.02)
+        )
+
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        band(0.5).alias("p50_within_band"),
+        band(0.9).alias("p90_within_band"),
+    )
+
+
+J05_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       approx_quantile(l_extendedprice, 0.5)
+         BETWEEN quantile_cont(l_extendedprice, 0.48)
+             AND quantile_cont(l_extendedprice, 0.52) AS p50_within_band,
+       approx_quantile(l_extendedprice, 0.9)
+         BETWEEN quantile_cont(l_extendedprice, 0.88)
+             AND quantile_cont(l_extendedprice, 0.92) AS p90_within_band
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 ADVANCED_JOIN_QUERIES = {
     "j01_asof_last_purchase": (j01_asof_last_purchase, J01_SQL),
     "j02_range_join_campaigns": (j02_range_join_campaigns, J02_SQL),

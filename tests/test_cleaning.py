@@ -306,6 +306,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "c02_repetition_signals",
         "c03_pii_scrub",
         "c04_chunking",
+        "j05_approx_percentile",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

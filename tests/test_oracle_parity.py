@@ -9,13 +9,13 @@ import math
 import pandas as pd
 import pytest
 
-from kmeanwithmapreduce_spark.operators import ALL_QUERIES, CLEANING_QUERIES
+from kmeanwithmapreduce_spark.operators import ALL_QUERIES, EXTRA_QUERIES
 
-# CLEANING_QUERIES sit past the driver's 50-entry window, so this
+# EXTRA_QUERIES sit past the driver's 50-entry window, so this
 # in-repo sweep is their primary oracle gate — same discipline.
 ORACLE_CASES = [
     (n, fn, sql)
-    for n, (fn, sql) in {**ALL_QUERIES, **CLEANING_QUERIES}.items()
+    for n, (fn, sql) in {**ALL_QUERIES, **EXTRA_QUERIES}.items()
     if sql
 ]
 
