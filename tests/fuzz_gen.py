@@ -411,6 +411,9 @@ class FuzzGen:
         ]
         n_keys = r.randint(0, min(2, len(group_pool)))
         keys = [c for _t, c in r.sample(group_pool, n_keys)] if n_keys else []
+        # sometimes a ROLLUP over the plain column keys (grouping-set
+        # expansion + NULL total rows — its own cross-engine drift class)
+        use_rollup = bool(keys) and r.random() < 0.2
         # ts-derived group key sometimes: year() or a date_trunc bucket
         if rel.columns(("ts",)) and r.random() < 0.3:
             t, c = r.choice(rel.columns(("ts",)))
@@ -487,9 +490,12 @@ class FuzzGen:
                     )
                 else:
                     agg_cols.append(getattr(F, op)(e.spark).alias(alias))
-            out = df.groupBy(*gcols).agg(*agg_cols) if (keys or keys_ex) else (
-                df.agg(*agg_cols)
-            )
+            if use_rollup and not keys_ex:
+                out = df.rollup(*gcols).agg(*agg_cols)
+            elif keys or keys_ex:
+                out = df.groupBy(*gcols).agg(*agg_cols)
+            else:
+                out = df.agg(*agg_cols)
             if having:
                 out = out.where(F.col(having[0]) > having[2]
                                 if having[1] == ">" else
@@ -517,7 +523,9 @@ class FuzzGen:
             sel.append(f"{agg_sql[alias]} AS {alias}")
         sql = f"SELECT {', '.join(sel)} FROM {rel.from_sql()}{rel.where_sql()}"
         gb = list(keys) + [e.sql for e, _a in keys_ex]
-        if gb:
+        if use_rollup and not keys_ex:
+            sql += " GROUP BY ROLLUP (" + ", ".join(keys) + ")"
+        elif gb:
             sql += " GROUP BY " + ", ".join(gb)
         if having:
             # HAVING by the aggregate's own expression (alias references
