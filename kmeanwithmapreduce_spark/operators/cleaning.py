@@ -34,7 +34,7 @@ query wrappers (c01/c02/c03) are registered AFTER the driver's frozen
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
@@ -530,9 +530,112 @@ def pack_sequences(
     return bucketed.groupBy("_bucket").applyInPandas(_pack, out_schema)
 
 
+# --------------------------------------------------------------------------
+# token-budget sampling
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    *,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_hex: int = 3,
+) -> DataFrame:
+    """Deterministic token-budget subset: order documents by
+    md5(id) — an arbitrary but content-stable shuffle — and keep the
+    prefix whose cumulative whitespace-token count stays within
+    ``budget`` (take-while cumsum <= budget, boundary doc excluded).
+    "Give me a reproducible 1B-token subset" is a standard corpus-prep
+    ask; the selection is a pure function of (corpus, budget).
+
+    The naive form is a running sum over ONE global ordering —
+    ``Window.orderBy(h)`` with no partition key, which Spark executes as
+    a single-partition sort: a non-starter at 100 TB. Instead the global
+    prefix sum is decomposed exactly along md5-prefix buckets
+    (``prefix_hex`` hex chars → 16^prefix_hex contiguous h-ranges):
+
+    1. one map-side-combined groupBy gives per-bucket token totals
+       (≤ 16^prefix_hex rows to the driver);
+    2. the driver prefix-sums those totals (exact BIGINT arithmetic) and
+       finds the boundary bucket — everything after it is PRUNED before
+       any sort;
+    3. a running-sum window partitioned BY BUCKET (parallel, each sorts
+       only its own h-range) plus the broadcast per-bucket base gives
+       every surviving doc its exact global cumulative count.
+
+    Per-doc ``cum_tokens`` equals the single-ordering definition
+    exactly, so a plain global-window SQL is the oracle. Returns
+    (id_col, n_tokens, cum_tokens).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    t = docs.select(
+        id_col,
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+        n_tok.alias("n_tokens"),
+    ).withColumn(
+        "_bucket",
+        F.conv(F.substring("h", 1, prefix_hex), 16, 10).cast("int"),
+    )
+    per_bucket = t.groupBy("_bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    sums = {r["_bucket"]: int(r["s"]) for r in per_bucket}
+    base_rows, cum, boundary = [], 0, None
+    for b in sorted(sums):
+        base_rows.append((b, cum))
+        cum += sums[b]
+        if cum > budget and boundary is None:
+            boundary = b  # first bucket whose end exceeds the budget
+    if boundary is None:
+        boundary = max(sums) if sums else 0  # whole corpus fits
+    spark = docs.sparkSession
+    base = spark.createDataFrame(base_rows or [(0, 0)], "_bucket int, _base long")
+    w = Window.partitionBy("_bucket").orderBy("h")
+    cum_col = (
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        + F.col("_base")
+    )
+    return (
+        t.where(F.col("_bucket") <= boundary)  # prune past the boundary
+        .join(F.broadcast(base), "_bucket")
+        .withColumn("cum_tokens", cum_col.cast("bigint"))
+        .where(F.col("cum_tokens") <= budget)
+        .select(id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def c05_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20k-token budget subset of the documents table; oracle is the
+    naive single-ordering running-sum window, which the bucket-decomposed
+    plan must reproduce row-for-row."""
+    d = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(d, budget=20_000)
+
+
+C05_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000
+"""
+
+
 CLEANING_QUERIES = {
     "c01_decontamination": (c01_decontamination, C01_SQL),
     "c02_repetition_signals": (c02_repetition_signals, C02_SQL),
     "c03_pii_scrub": (c03_pii_scrub, C03_SQL),
     "c04_chunking": (c04_chunking, C04_SQL),
+    "c05_token_budget_sample": (c05_token_budget_sample, C05_SQL),
 }

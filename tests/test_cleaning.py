@@ -286,6 +286,70 @@ def test_pack_sequences_oversize_chunk_gets_own_pack(spark):
 
 
 # --------------------------------------------------------------------------
+# token_budget_sample
+
+
+def test_token_budget_sample_equals_naive_global_window(spark, sf_dir):
+    """The bucket-decomposed prefix sum must reproduce the naive
+    single-ordering running-sum selection row-for-row (the naive form is
+    the SPEC; it is only unusable at scale because Window.orderBy with
+    no partition key executes as one partition)."""
+    from pyspark.sql import Window
+
+    from kmeanwithmapreduce_spark.operators.cleaning import token_budget_sample
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 20_000
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(docs, budget=budget).collect()
+    )
+    t = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).where(
+        F.col("cum_tokens") <= budget
+    )
+    want = sorted(
+        (r.doc_id, r.n_tokens, r.cum_tokens) for r in naive.collect()
+    )
+    assert got == want
+    assert 0 < len(got) < docs.count()  # the budget bites mid-corpus
+
+
+def test_token_budget_sample_edges(spark):
+    from kmeanwithmapreduce_spark.operators.cleaning import token_budget_sample
+
+    d = _docs(spark, [(1, "a b c"), (2, "d e"), (3, "f")])
+    # total 6 tokens; huge budget keeps everything with exact cums
+    all_rows = token_budget_sample(d, budget=1_000)
+    assert sorted(r.n_tokens for r in all_rows.collect()) == [1, 2, 3]
+    assert max(r.cum_tokens for r in all_rows.collect()) == 6
+    # zero budget keeps nothing
+    assert token_budget_sample(d, budget=0).count() == 0
+
+
+def test_token_budget_sample_no_global_single_partition_sort(spark, sf_dir):
+    """Scale pin: the plan must contain NO partition-less global Sort —
+    the window sorts within h-prefix buckets only."""
+    from kmeanwithmapreduce_spark.operators.cleaning import token_budget_sample
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        token_budget_sample(docs, budget=20_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+
+
+# --------------------------------------------------------------------------
 # registry window invariant
 
 
@@ -306,6 +370,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "c02_repetition_signals",
         "c03_pii_scrub",
         "c04_chunking",
+        "c05_token_budget_sample",
         "j05_approx_percentile",
     ]
     # every cleaning entry carries an oracle
