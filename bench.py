@@ -80,6 +80,7 @@ def main() -> int:
         "c02_repetition_signals",
         "c03_pii_scrub",
         "c04_chunking",
+        "c05_token_budget_sample",
     ]
 
     timings: dict[str, float] = {}
