@@ -455,7 +455,79 @@ def prepare_training_corpus(
         # the export was the last action over the components state —
         # free its materialized checkpoint (no session-lifetime leak)
         release_components(clusters)
-    return {stage: o.get["n"] for stage, o in obs.items()}
+    stats = {stage: o.get["n"] for stage, o in obs.items()}
+    if collect_stats:
+        _write_manifest(
+            spark,
+            out_path,
+            stats,
+            {
+                "sf_dir": sf_dir,
+                "lang_rates": lang_rates,
+                "quality_threshold": quality_threshold,
+                "n_shards": n_shards,
+                "max_records_per_file": max_records_per_file,
+                "decontaminated": decontaminate_against is not None,
+                "decontamination_threshold": decontamination_threshold,
+                "repetition_thresholds": list(repetition_thresholds)
+                if repetition_thresholds
+                else None,
+                "scrub_pii": scrub_pii,
+                "checkpoint": checkpoint,
+            },
+        )
+    return stats
+
+
+def _write_manifest(spark, out_path: str, stats: dict, config: dict) -> None:
+    """Reproducibility manifest next to the shards: the funnel counts
+    and every knob that determined the corpus, so a consumer (or a
+    re-run) can verify it has the exact same dataset without recounting.
+    Every pipeline stage is deterministic, so (manifest config + input
+    corpus) fully identifies the output bytes.
+
+    Written through the Hadoop FileSystem API so the manifest lands
+    wherever the shards did (local, HDFS, S3A, ...) — a driver-local
+    ``open()`` would silently miss a remote ``out_path``."""
+    import json
+
+    payload = json.dumps(
+        {"funnel": stats, "config": config}, indent=2, sort_keys=True
+    ).encode("utf-8")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(out_path, "_corpus_manifest.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
+def read_corpus_manifest(spark, out_path: str) -> dict:
+    """Read back the manifest written by prepare_training_corpus.
+    Goes through the Hadoop FileSystem API like the writer (any scheme);
+    ``spark.read.text`` cannot be used here — Spark's file index hides
+    underscore-prefixed files (the same convention that makes the
+    manifest invisible to parquet readers of the shard directory)."""
+    import json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(out_path, "_corpus_manifest.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
+    )
+    lines = []
+    try:
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        reader.close()
+    return json.loads("\n".join(lines))
 
 
 def write_training_shards(

@@ -255,6 +255,15 @@ def test_prepare_training_corpus_with_cleaning_stages(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == stats["after_sample"]
     assert sorted(back.columns) == sorted(docs.columns)  # audit cols stripped
+    # reproducibility manifest rides with the shards (underscore prefix:
+    # invisible to parquet readers) and round-trips the funnel + config
+    from kmeanwithmapreduce_spark.operators.corpus import read_corpus_manifest
+
+    man = read_corpus_manifest(spark, out)
+    assert man["funnel"] == {k: int(v) for k, v in stats.items()}
+    assert man["config"]["scrub_pii"] is True
+    assert man["config"]["repetition_thresholds"] == [0.08, 0.15]
+    assert man["config"]["n_shards"] == 4
 
 
 def test_components_leave_no_persisted_state(spark, sf_dir):
