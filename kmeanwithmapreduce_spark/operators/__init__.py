@@ -26,16 +26,19 @@ ALL_QUERIES = {
 # Round-5 additions register after k03 in __spark_entry__.queries()
 # (positions 51+) and carry the same oracle discipline via the in-repo
 # sweep (tests/test_oracle_parity.py extends its case list with them).
+from .curation import CURATION_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
     "j05_approx_percentile": (j05_approx_percentile, J05_SQL),
+    **CURATION_QUERIES,
 }
 
 __all__ = [
     "ALL_QUERIES",
     "CLEANING_QUERIES",
+    "CURATION_QUERIES",
     "EXTRA_QUERIES",
     "ADVANCED_JOIN_QUERIES",
     "DEDUP_QUERIES",

@@ -1,0 +1,358 @@
+"""Corpus-curation operators — the mixture / sub-document-dedup /
+LM-quality stages a training-data pipeline runs after cleaning and
+before sharding:
+
+- ``domain_mixture_sample``: rebalance a multi-source corpus to target
+  per-domain TOKEN-share weights (the Pile / LLaMA mixture-table step)
+  by deterministically downsampling over-represented domains.
+- ``span_dedup``: sub-document deduplication — C4 removes any
+  three-sentence span that occurs elsewhere in the corpus; here the
+  span unit is a fixed token window and a span survives only in its
+  first-occurrence (min doc_id) document.
+- ``unigram_logprob``: CCNet-style language-model quality scoring —
+  score every document by its mean token log-probability under an
+  add-one-smoothed unigram LM fit on a designated reference sub-corpus
+  (CCNet uses a 5-gram KenLM; the unigram form keeps the whole thing a
+  declarative two-join plan with a cross-engine oracle).
+
+No reference-repo counterpart (the reference is a single K-Means job —
+SURVEY §2 Part A); these extend the engine per the training-pipeline
+brief. The query wrappers (c06/c07/c08) register AFTER the driver's
+frozen 50-entry window and are verified by the in-repo parity sweep
+(tests/test_oracle_parity.py + tests/test_curation.py).
+
+Design notes for 100 TB:
+
+- ``domain_mixture_sample`` is one small per-source aggregation
+  (#sources rows to the driver) followed by a zero-shuffle filter with
+  a broadcast rate table. The keep decision is EXACT INTEGER
+  arithmetic — ``u·tok_s·w_m < 2^32·w_s·tok_m`` (see the docstring) —
+  so there is no float-rate computation to drift between engines,
+  cluster layouts, or reruns.
+- ``span_dedup`` is explode → min-owner groupBy → shuffle join →
+  per-doc reassembly: partial aggregation collapses repeated spans
+  within each input split, and the owner join is AQE-skew-splittable
+  (a window over partitionBy(span) would pin each hot "stop span" to
+  one task; the groupBy+join shape lets AQE split it).
+- ``unigram_logprob`` broadcasts the reference vocabulary (a unigram
+  table is vocabulary-sized, ≪ executor memory even for a 100 TB
+  corpus) into the exploded token stream; one groupBy(doc) finishes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+_U32 = 4_294_967_296  # 2^32: the md5-prefix draw u is uniform on [0, 2^32)
+_ARGMIN_SCALE = 1_000_000  # integer-division scale for the argmin rule
+
+
+def _u32_draw(key_col, salt: str):
+    """Uniform integer draw on [0, 2^32): first 8 hex chars of
+    md5(salt:key). Same cross-engine pattern as dedup.py / corpus.py
+    (DuckDB twin: CAST('0x' || substr(md5(..),1,8) AS BIGINT))."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), key_col.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def domain_mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "c06",
+) -> DataFrame:
+    """Deterministic mixture-weighted downsampling: keep a subset of
+    ``docs`` whose per-``source_col`` TOKEN totals land in the ratios of
+    ``weights`` (relative integer weights, e.g. ``{"web": 3, "code": 1}``
+    for a 3:1 token mixture).
+
+    Semantics: let ``tok_s`` be the whitespace-token total of source
+    ``s`` and ``w_s`` its weight. The binding (most under-represented
+    relative to its weight) source ``m`` — chosen by the exact rule
+    ``argmin_s (tok_s·SCALE // w_s, s)`` — is kept in full; every other
+    source is downsampled to the matching token share, i.e. document
+    keep-rate ``(w_s·tok_m) / (w_m·tok_s)``. Selection is per-document
+    via a uniform md5 draw ``u ∈ [0, 2^32)``; a document is kept iff
+
+        u · tok_s · w_m  <  2^32 · w_s · tok_m
+
+    — the rate comparison cross-multiplied into PURE INTEGER arithmetic
+    (evaluated in DECIMAL(38,0): u ≤ 10 digits, a 100 TB corpus's token
+    total ≤ ~14, weights ≤ 6 → ≤ 30-digit products), so the kept set is
+    an exact function of (corpus, weights, salt) with no float rounding
+    to diverge between engines. Sources absent from ``weights`` (or
+    weighted 0) are dropped — a mixture table is also a domain filter.
+
+    Expected (not exact) per-source token share of the output is
+    ``w_s / Σw``; the md5 draw makes each document an independent
+    Bernoulli, so realized shares concentrate around the target with
+    relative error ~1/sqrt(docs-per-source).
+
+    Returns (source_col, id_col, n_tokens). One small aggregation
+    (#sources rows collected) + a zero-shuffle broadcast-joined filter.
+    """
+    bad = {s: w for s, w in weights.items() if int(w) != w or w < 0}
+    if bad:
+        raise ValueError(f"weights must be non-negative integers, got {bad}")
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    t = docs.select(id_col, source_col, n_tok.alias("n_tokens"))
+    totals = {
+        r[source_col]: int(r["_tok"])
+        for r in t.groupBy(source_col).agg(F.sum("n_tokens").alias("_tok")).collect()
+    }
+    present = {s: int(w) for s, w in weights.items() if s in totals and w > 0}
+    if not present:
+        raise ValueError("no weighted source present in the corpus")
+    # binding source: exact integer argmin (ties by source name) — the
+    # same rule the SQL twin applies, so both engines agree even when
+    # two ratios collide at the integer-division scale.
+    m = min(present, key=lambda s: (totals[s] * _ARGMIN_SCALE // present[s], s))
+    w_m, tok_m = present[m], totals[m]
+    spark = docs.sparkSession
+    rates = spark.createDataFrame(
+        sorted((s, w, totals[s]) for s, w in present.items()),
+        f"{source_col} string, _w long, _tok long",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = _u32_draw(F.col(id_col), salt)
+    keep = (dec(u) * dec(F.col("_tok")) * dec(F.lit(w_m))) < (
+        dec(F.lit(_U32)) * dec(F.col("_w")) * dec(F.lit(tok_m))
+    )
+    return (
+        t.join(F.broadcast(rates), source_col)
+        .where(keep)
+        .select(source_col, id_col, "n_tokens")
+    )
+
+
+def domain_mixture_sample_sql(
+    table: str,
+    weights: dict[str, int],
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "c06",
+) -> str:
+    """DuckDB twin of domain_mixture_sample — same integer argmin rule,
+    same cross-multiplied keep inequality (HUGEINT = exact, like the
+    engine's DECIMAL(38,0))."""
+    vals = ", ".join(f"('{s}', {int(w)})" for s, w in sorted(weights.items()))
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {source_col},
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+), w({source_col}, _w) AS (VALUES {vals}),
+tot AS (
+  SELECT {source_col}, SUM(n_tokens) AS _tok FROM t GROUP BY {source_col}
+),
+j AS (
+  SELECT tot.{source_col}, w._w, tot._tok
+  FROM tot JOIN w USING ({source_col}) WHERE w._w > 0
+),
+m AS (
+  SELECT _w AS w_m, _tok AS tok_m FROM j
+  ORDER BY (_tok * {_ARGMIN_SCALE} // _w), {source_col} LIMIT 1
+)
+SELECT t.{source_col}, t.{id_col}, t.n_tokens
+FROM t JOIN j ON t.{source_col} = j.{source_col}, m
+WHERE CAST(CAST(('0x' || substr(md5('{salt}:' || CAST(t.{id_col} AS VARCHAR)), 1, 8))
+           AS BIGINT) AS HUGEINT) * j._tok * m.w_m
+    < CAST({_U32} AS HUGEINT) * j._w * m.tok_m
+"""
+
+
+def c06_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rebalance the documents table: even sources get weight 3,
+    odd sources weight 1, src19 excluded — exercises downsampling, the
+    binding (kept-in-full) source, and the domain-filter path at once."""
+    d = load_table(spark, sf_dir, "documents")
+    return domain_mixture_sample(d, _C06_WEIGHTS)
+
+
+_C06_WEIGHTS = {f"src{i}": (3 if i % 2 == 0 else 1) for i in range(19)}
+
+C06_SQL = domain_mixture_sample_sql("documents", _C06_WEIGHTS)
+
+
+# --------------------------------------------------------------------------
+# span-level (sub-document) dedup
+
+
+def span_dedup(
+    docs: DataFrame,
+    *,
+    span: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style duplicate-SPAN removal: cut every document into
+    consecutive non-overlapping ``span``-token windows (the last may be
+    shorter), and keep a span only in the document that owns it — the
+    minimum ``id_col`` among all documents containing that exact span
+    text (repeats inside the owner itself are kept; C4 §2.2 "remove all
+    but one"). Surviving spans are re-joined in original order.
+
+    Returns (id_col, n_spans, n_dropped, text_clean) — one row per
+    input document; ``text_clean`` is '' when every span was dropped.
+
+    Scale: explode is narrow; the owner table is built by a
+    map-side-combinable min-groupBy on span text and joined back with a
+    shuffle join (NOT a window over partitionBy(span): AQE can split a
+    skewed join partition when a boilerplate "stop span" occurs in
+    millions of documents, but cannot split a window partition). The
+    final per-document reassembly shuffles doc-keyed rows once.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(span)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
+    )
+    ex = docs.select(id_col, F.posexplode(spans).alias("pos", "s"))
+    owner = ex.groupBy("s").agg(F.min(id_col).alias("_owner"))
+    kept = ex.join(owner, "s").withColumn("_keep", F.col(id_col) == F.col("_owner"))
+    surviving = F.when(F.col("_keep"), F.struct("pos", "s"))  # null → dropped
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((~F.col("_keep")).cast("bigint")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(surviving)), lambda x: x["s"]
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+
+
+def c07_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup the documents table at span=2 (the synthetic corpus's
+    ~25-word vocabulary makes 2-token spans collide heavily across
+    documents, so ownership actually bites)."""
+    d = load_table(spark, sf_dir, "documents")
+    return span_dedup(d, span=2)
+
+
+C07_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), ex AS (
+  SELECT doc_id, CAST(g.pos AS INT) AS pos,
+         array_to_string(toks[(g.pos * 2 + 1):(g.pos * 2 + 2)], ' ') AS s
+  FROM t, LATERAL (
+    SELECT UNNEST(range(0, CAST(ceil(len(toks) / 2.0) AS BIGINT))) AS pos
+  ) g
+), own AS (
+  SELECT s, min(doc_id) AS owner FROM ex GROUP BY s
+), k AS (
+  SELECT ex.doc_id, ex.pos, ex.s, ex.doc_id = own.owner AS keep
+  FROM ex JOIN own USING (s)
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN keep THEN s END, ' ' ORDER BY pos, s), '')
+         AS text_clean
+FROM k GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# unigram-LM quality scoring (CCNet-style)
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document mean token log-probability under an add-one-smoothed
+    unigram LM fit on ``reference`` (CCNet scores Common Crawl against a
+    Wikipedia-trained KenLM and keeps the low-perplexity tail; the
+    unigram form keeps the model a broadcastable (token, count) table).
+
+    Model: with reference token counts ``c(t)``, total ``N`` and
+    vocabulary size ``V`` (distinct reference tokens),
+
+        p(t) = (c(t) + 1) / (N + V + 1)     c(t) = 0 for OOV tokens
+
+    (the +1 in the denominator reserves mass for the single merged OOV
+    event). Score = mean over the document's tokens of ln p(t), rounded
+    to ``round_dp`` — higher (closer to 0) ⇒ more reference-like.
+    Returns (id_col, n_tokens, mean_logprob).
+
+    Scale: the unigram table is vocabulary-sized → broadcast; scoring is
+    explode → broadcast left join → one groupBy(doc). ln() is the only
+    non-rational arithmetic in the plan; the rounding absorbs the
+    sub-ulp libm differences between engines.
+    """
+    ref_toks = reference.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    vocab = ref_toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_total, v_size = vocab.agg(
+        F.sum("c").cast("bigint"), F.count(F.lit(1))
+    ).first()
+    denom = float(n_total + v_size + 1)
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    lp = F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)) / F.lit(denom))
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), round_dp).alias("mean_logprob"),
+        )
+    )
+
+
+def c08_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document against a unigram LM fit on the src0+src1
+    sub-corpus (the 'reference quality' domains)."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.where(F.col("source").isin("src0", "src1"))
+    return unigram_logprob(d, ref)
+
+
+C08_SQL = """
+WITH ref AS (
+  SELECT UNNEST(string_split(text, ' ')) AS t
+  FROM documents WHERE source IN ('src0', 'src1')
+), vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY t
+), consts AS (
+  SELECT CAST(SUM(c) + COUNT(*) + 1 AS DOUBLE) AS denom FROM vocab
+), toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln((coalesce(vocab.c, 0) + 1) / consts.denom)), 6)
+         AS mean_logprob
+FROM toks LEFT JOIN vocab USING (t), consts
+GROUP BY doc_id
+"""
+
+
+CURATION_QUERIES = {
+    "c06_domain_mixture": (c06_domain_mixture, C06_SQL),
+    "c07_span_dedup": (c07_span_dedup, C07_SQL),
+    "c08_unigram_logprob": (c08_unigram_logprob, C08_SQL),
+}

@@ -1,0 +1,223 @@
+"""Curation operators: domain-mixture sampling (exact-integer keep
+rule + DuckDB twin), span-level dedup (C4-style first-occurrence
+ownership), and unigram-LM quality scoring — unit semantics, plan
+shape, and determinism. The full c06/c07/c08 oracle parity runs in
+tests/test_oracle_parity.py via EXTRA_QUERIES."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeanwithmapreduce_spark.operators.curation import (
+    domain_mixture_sample,
+    domain_mixture_sample_sql,
+    span_dedup,
+    unigram_logprob,
+)
+from kmeanwithmapreduce_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# domain_mixture_sample
+
+
+def test_mixture_binding_source_kept_in_full(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # src19 gets an enormous relative weight -> it is the binding
+    # (most under-represented) source and must survive untouched.
+    weights = {f"src{i}": 1 for i in range(19)} | {"src19": 1000}
+    out = domain_mixture_sample(docs, weights).toPandas()
+    full = docs.groupBy("source").count().toPandas().set_index("source")["count"]
+    kept = out.groupby("source")["doc_id"].count()
+    assert kept["src19"] == full["src19"]
+    # every other source is (statistically certainly, at rate ~1/1000)
+    # downsampled hard
+    assert kept.drop("src19").sum() < 0.1 * full.drop("src19").sum()
+
+
+def test_mixture_token_shares_near_target(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": (3 if i % 2 == 0 else 1) for i in range(20)}
+    out = domain_mixture_sample(docs, weights)
+    shares = (
+        out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .toPandas()
+        .set_index("source")["tok"]
+    )
+    total = shares.sum()
+    wsum = sum(weights.values())
+    for s, w in weights.items():
+        # Bernoulli sampling at ~25 docs/source: generous band
+        assert abs(shares.get(s, 0) / total - w / wsum) < 0.035, s
+
+
+def test_mixture_excluded_source_dropped_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 1, "src1": 2}  # everything else excluded
+    a = domain_mixture_sample(docs, weights).toPandas()
+    assert set(a["source"]) <= {"src0", "src1"}
+    b = domain_mixture_sample(docs.repartition(17), weights).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # layout-invariant
+
+
+def test_mixture_matches_duckdb_twin(spark, sf_dir, duck):
+    weights = {"src0": 2, "src3": 1, "src7": 5}
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        r.doc_id for r in domain_mixture_sample(docs, weights).collect()
+    )
+    sql = domain_mixture_sample_sql("documents", weights)
+    want = sorted(r[1] for r in duck.execute(sql).fetchall())
+    assert got == want
+
+
+def test_mixture_rejects_bad_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="non-negative integers"):
+        domain_mixture_sample(docs, {"src0": 0.5})
+    with pytest.raises(ValueError, match="no weighted source"):
+        domain_mixture_sample(docs, {"nope": 3, "src0": 0})
+
+
+def test_mixture_filter_side_has_no_shuffle(spark, sf_dir):
+    """The keep-filter pass is scan + broadcast join + filter — no
+    Exchange on the corpus side (the per-source totals agg is a
+    separate, #sources-row job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = domain_mixture_sample(docs, {f"src{i}": 1 + i % 3 for i in range(20)})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+# --------------------------------------------------------------------------
+# span_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),  # owns [a b], [c d], [e f]
+            (2, "c d x y a b"),  # loses [c d] and [a b], keeps [x y]
+            (3, "x y c d"),      # loses both
+        ],
+    )
+    out = {
+        r.doc_id: r for r in span_dedup(d, span=2).collect()
+    }
+    assert out[1].n_dropped == 0 and out[1].text_clean == "a b c d e f"
+    assert out[2].n_dropped == 2 and out[2].text_clean == "x y"
+    assert out[3].n_dropped == 2 and out[3].text_clean == ""
+    assert out[3].n_spans == 2
+
+
+def test_span_dedup_owner_keeps_internal_repeats(spark):
+    # the owner document keeps ALL its occurrences of an owned span
+    d = _docs(spark, [(1, "a b a b"), (2, "a b z z")])
+    out = {r.doc_id: r for r in span_dedup(d, span=2).collect()}
+    assert out[1].text_clean == "a b a b" and out[1].n_dropped == 0
+    assert out[2].text_clean == "z z" and out[2].n_dropped == 1
+
+
+def test_span_dedup_ragged_tail_span(spark):
+    # last window shorter than span is a span of its own
+    d = _docs(spark, [(1, "a b c d e"), (2, "z z z z e")])
+    out = {r.doc_id: r for r in span_dedup(d, span=2).collect()}
+    assert out[1].n_spans == 3 and out[1].text_clean == "a b c d e"
+    assert out[2].n_spans == 3  # [z z][z z][e]
+    assert out[2].n_dropped == 1 and out[2].text_clean == "z z z z"
+
+
+def test_span_dedup_preserves_row_per_doc(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_dedup(docs, span=2)
+    assert out.count() == docs.count()
+    # removing spans never grows a document
+    grew = out.join(docs, "doc_id").where(
+        F.length("text_clean") > F.length("text")
+    )
+    assert grew.count() == 0
+
+
+def test_span_dedup_owner_join_not_window(spark, sf_dir):
+    """Ownership resolves via min-groupBy + join (AQE-skew-splittable),
+    not a window over partitionBy(span text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        span_dedup(docs, span=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+# --------------------------------------------------------------------------
+# unigram_logprob
+
+
+def test_unigram_logprob_exact_small_case(spark):
+    ref = _docs(spark, [(10, "a a b")])  # c: a=2, b=1; N=3, V=2, denom=6
+    docs = _docs(spark, [(1, "a b"), (2, "q")])
+    out = {r.doc_id: r for r in unigram_logprob(docs, ref).collect()}
+    want_1 = (math.log(3 / 6) + math.log(2 / 6)) / 2
+    want_2 = math.log(1 / 6)  # OOV -> (0+1)/denom
+    assert out[1].n_tokens == 2
+    assert abs(out[1].mean_logprob - round(want_1, 6)) < 1e-12
+    assert abs(out[2].mean_logprob - round(want_2, 6)) < 1e-12
+
+
+def test_unigram_logprob_reference_scores_itself_higher(spark, sf_dir):
+    """In-domain documents must average a higher (closer to 0) score
+    than the corpus at large scored against the same model."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source").isin("src0", "src1"))
+    scored = unigram_logprob(docs, ref).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    means = (
+        scored.withColumn(
+            "grp",
+            F.when(F.col("source").isin("src0", "src1"), "ref").otherwise("rest"),
+        )
+        .groupBy("grp")
+        .agg(F.avg("mean_logprob").alias("m"))
+        .toPandas()
+        .set_index("grp")["m"]
+    )
+    assert means["ref"] > means["rest"]
+
+
+def test_unigram_logprob_vocab_is_broadcast(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
+    plan = (
+        unigram_logprob(docs, ref)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# registry placement
+
+
+def test_curation_entries_sit_after_driver_window():
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    for n in ("c06_domain_mixture", "c07_span_dedup", "c08_unigram_logprob"):
+        assert n in names and names.index(n) >= 50
+        assert n in entry.oracle_sql()
