@@ -47,9 +47,13 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from kmeanwithmapreduce_spark.operators import ALL_QUERIES, CLEANING_QUERIES
+    from kmeanwithmapreduce_spark.operators import (
+        ALL_QUERIES,
+        CLEANING_QUERIES,
+        CURATION_QUERIES,
+    )
 
-    ALL_QUERIES = {**ALL_QUERIES, **CLEANING_QUERIES}
+    ALL_QUERIES = {**ALL_QUERIES, **CLEANING_QUERIES, **CURATION_QUERIES}
 
     headline = [
         "q01_pricing_summary",
@@ -81,6 +85,10 @@ def main() -> int:
         "c03_pii_scrub",
         "c04_chunking",
         "c05_token_budget_sample",
+        # round-5 curation ops (BASELINE §H targets)
+        "c06_domain_mixture",
+        "c07_span_dedup",
+        "c08_unigram_logprob",
     ]
 
     timings: dict[str, float] = {}

@@ -351,6 +351,48 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# deterministic training-order shuffle
+
+
+def shuffle_for_training(
+    docs: DataFrame,
+    *,
+    n_shards: int,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a deterministic (shard, pos) training
+    order: shard = md5 draw mod ``n_shards``, pos = rank of a second,
+    independent md5 draw within the shard. Varying ``seed`` (e.g. per
+    epoch) produces an independent permutation of the same corpus.
+
+    This is the "globally shuffle the corpus before training" step.
+    The naive form — ORDER BY rand() then zipWithIndex — needs a total
+    global sort (single-task at 100 TB) and isn't reproducible across
+    reruns or partitioning. Here both draws are pure functions of
+    (seed, id), so the layout is exactly reproducible, and the only
+    wide operation is ONE hash shuffle on the shard key; each shard
+    sorts only its own ~1/n_shards slice (the c05 bucket-decomposition
+    argument). Writers can feed the result straight to
+    ``partitionBy("shard")`` / ``sortWithinPartitions("pos")``.
+
+    Returns the input columns plus (shard, pos); pos is dense 0-based
+    within its shard.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = (_u32_draw(F.col(id_col), f"{seed}:shard") % n_shards).cast("int")
+    order = _u32_draw(F.col(id_col), f"{seed}:order")
+    w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    return (
+        docs.withColumn("shard", shard)
+        .withColumn("_ord", order)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("_ord")
+    )
+
+
 CURATION_QUERIES = {
     "c06_domain_mixture": (c06_domain_mixture, C06_SQL),
     "c07_span_dedup": (c07_span_dedup, C07_SQL),

@@ -1,8 +1,10 @@
 """Seeded random query generator for differential testing vs DuckDB.
 
 Composes the engine's relational surface — filters, join chains along
-the FK graph, aggregations (with HAVING), window functions, set ops —
-over the TESTDATA tables, emitting each query BOTH as a PySpark
+the FK graph, aggregations (with HAVING and per-aggregate FILTER
+clauses), correlated [NOT] EXISTS with subquery-side filters, window
+functions, set ops — over the TESTDATA tables, emitting each query
+BOTH as a PySpark
 DataFrame chain (the engine's native form, not spark.sql) and as the
 equivalent ANSI SQL for DuckDB. test_fuzz_parity.py sweeps N seeded
 queries per run and value-compares the result sets; a failure prints
@@ -449,14 +451,33 @@ class FuzzGen:
             else:
                 t, c = r.choice(rel.columns(("key", "cat")))
                 aggs.append(("count_distinct", col(c), f"a{i}_cd_{c}", None))
+        # FILTER-clause conditional aggregation: one sum/min/max gets a
+        # per-aggregate predicate (ANSI `agg(x) FILTER (WHERE p)`;
+        # Spark expresses it as agg(CASE WHEN p THEN x END)). Groups
+        # where the predicate never fires yield NULL on both engines —
+        # the null-propagation corner this shape exists to sweep.
+        filt_idx, filt_pred = None, None
+        if r.random() < 0.3:
+            eligible = [
+                i for i, a in enumerate(aggs) if a[0] in ("sum", "min", "max")
+            ]
+            p = self._filter(rel)
+            if eligible and p is not None:
+                filt_idx, filt_pred = r.choice(eligible), p
         having = None
         if r.random() < 0.35:
             # HAVING on the row count, or on a value aggregate (avg/min/
             # max thresholds drawn from the column's real domain so the
             # predicate is selective, not vacuous); sum(x) scales with
             # group size, so only the size-independent aggs get one
+            # the FILTERed agg is excluded: HAVING must repeat the
+            # aggregate expression (alias refs aren't portable ANSI) and
+            # a FILTER clause inside HAVING is itself non-portable
             value_aggs = [
-                a for a in aggs[1:] if a[0] in ("avg", "min", "max") and a[3]
+                a
+                for i, a in enumerate(aggs)
+                if i > 0 and a[0] in ("avg", "min", "max") and a[3]
+                and i != filt_idx
             ]
             if value_aggs and r.random() < 0.5:
                 op, _e, alias, (lo, hi) = r.choice(value_aggs)
@@ -472,18 +493,21 @@ class FuzzGen:
                 e.spark.alias(a) for e, a in keys_ex
             ]
             agg_cols = []
-            for op, e, alias, _dom in aggs:
+            for i, (op, e, alias, _dom) in enumerate(aggs):
+                arg = e.spark if e is not None else None
+                if i == filt_idx:
+                    arg = F.when(filt_pred.spark, arg)
                 if op == "count":
                     agg_cols.append(F.count(F.lit(1)).alias(alias))
                 elif op == "count_distinct":
-                    agg_cols.append(F.countDistinct(e.spark).alias(alias))
+                    agg_cols.append(F.countDistinct(arg).alias(alias))
                 elif op == "sum":
                     # grid-sum (registry discipline): cents-integer sums
                     # are bit-identical across engines; raw double sums
                     # carry merge-order ulp noise (seed-99991 regression)
                     agg_cols.append(
                         (
-                            F.sum(F.round(e.spark * 100).cast("long")) / 100.0
+                            F.sum(F.round(arg * 100).cast("long")) / 100.0
                         ).alias(alias)
                     )
                 elif op == "avg":
@@ -496,7 +520,7 @@ class FuzzGen:
                         ).alias(alias)
                     )
                 else:
-                    agg_cols.append(getattr(F, op)(e.spark).alias(alias))
+                    agg_cols.append(getattr(F, op)(arg).alias(alias))
             if use_rollup and not keys_ex:
                 out = df.rollup(*gcols).agg(*agg_cols).where(F.col("cnt") > 0)
             elif keys or keys_ex:
@@ -511,14 +535,16 @@ class FuzzGen:
 
         sel = list(keys) + [f"{e.sql} AS {a}" for e, a in keys_ex]
         agg_sql: dict[str, str] = {}
-        for op, e, alias, _dom in aggs:
+        for i, (op, e, alias, _dom) in enumerate(aggs):
+            flt = f" FILTER (WHERE {filt_pred.sql})" if i == filt_idx else ""
             if op == "count":
                 agg_sql[alias] = "count(*)"
             elif op == "count_distinct":
                 agg_sql[alias] = f"count(DISTINCT {e.sql})"
             elif op == "sum":
                 agg_sql[alias] = (
-                    f"(sum(CAST(round(({e.sql}) * 100) AS BIGINT)) / 100.0)"
+                    f"(sum(CAST(round(({e.sql}) * 100) AS BIGINT)){flt}"
+                    f" / 100.0)"
                 )
             elif op == "avg":
                 agg_sql[alias] = (
@@ -526,7 +552,7 @@ class FuzzGen:
                     f" / count(*) / 100.0)"
                 )
             else:
-                agg_sql[alias] = f"{op}({e.sql})"
+                agg_sql[alias] = f"{op}({e.sql}){flt}"
             sel.append(f"{agg_sql[alias]} AS {alias}")
         sql = f"SELECT {', '.join(sel)} FROM {rel.from_sql()}{rel.where_sql()}"
         gb = list(keys) + [e.sql for e, _a in keys_ex]
@@ -699,17 +725,63 @@ class FuzzGen:
         )
         return build, sql
 
+    def _q_exists(self):
+        """Correlated [NOT] EXISTS with a filter INSIDE the subquery —
+        the decorrelation shape _relation's semi/anti joins never reach
+        (those attach filters only to outer-visible tables). Spark plans
+        it as a Left[Semi|Anti] join against the pre-filtered build
+        side; DuckDB runs the textbook correlated subquery."""
+        r = self.rng
+        lt, rt, lc, rc = r.choice(JOIN_GRAPH)
+        negate = r.random() < 0.4
+        rel = Relation([lt], [])
+        for _ in range(r.randint(0, 2)):
+            f = self._filter(rel)
+            if f is not None:
+                rel.filters.append(f)
+        sub_f = self._filter(Relation([rt], []))
+        cols = list(UNIQUE_KEY[lt]) + [
+            c for _t, c in rel.columns(("num", "cat"))
+        ][:2]
+
+        def build(spark, sf_dir):
+            from kmeanwithmapreduce_spark.sources.readers import load_table
+
+            df = load_table(spark, sf_dir, lt)
+            for f in rel.filters:
+                df = df.where(f.spark)
+            sub = load_table(spark, sf_dir, rt)
+            if sub_f is not None:
+                sub = sub.where(sub_f.spark)
+            df = df.join(
+                sub, F.col(lc) == F.col(rc), "anti" if negate else "semi"
+            )
+            return df.select(*cols)
+
+        kw = "NOT EXISTS" if negate else "EXISTS"
+        sub_where = f" AND {sub_f.sql}" if sub_f is not None else ""
+        preds = [f.sql for f in rel.filters] + [
+            f"{kw} (SELECT 1 FROM {rt} WHERE {rc} = {lt}.{lc}{sub_where})"
+        ]
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {lt}"
+            f" WHERE {' AND '.join(preds)}"
+        )
+        return build, sql
+
     def query(self):
         """One random (build_fn, sql) pair."""
         r = self.rng
         shape = r.random()
         if shape < 0.10:
             return self._q_setop()
+        if shape < 0.17:
+            return self._q_exists()
         rel = self._relation()
-        if shape < 0.48:
+        if shape < 0.50:
             return self._q_aggregation(rel)
-        if shape < 0.72:
+        if shape < 0.73:
             return self._q_projection(rel)
-        if shape < 0.82:
+        if shape < 0.83:
             return self._q_topk(rel)
         return self._q_window(rel)

@@ -221,3 +221,56 @@ def test_curation_entries_sit_after_driver_window():
     for n in ("c06_domain_mixture", "c07_span_dedup", "c08_unigram_logprob"):
         assert n in names and names.index(n) >= 50
         assert n in entry.oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# shuffle_for_training
+
+
+def test_shuffle_for_training_is_deterministic_permutation(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.curation import shuffle_for_training
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = shuffle_for_training(docs, n_shards=4).select("doc_id", "shard", "pos")
+    b = shuffle_for_training(docs.repartition(13), n_shards=4).select(
+        "doc_id", "shard", "pos"
+    )
+    pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert pa.equals(pb)  # layout-invariant
+    # every doc exactly once; pos dense 0..n_s-1 per shard
+    assert len(pa) == docs.count() and pa["doc_id"].is_unique
+    for s, grp in pa.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    # shards are balanced-ish (md5-uniform over 500 docs)
+    sizes = pa.groupby("shard").size()
+    assert len(sizes) == 4 and sizes.min() > 0.6 * sizes.max()
+
+
+def test_shuffle_for_training_seed_changes_order_not_membership(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.curation import shuffle_for_training
+
+    docs = load_table(spark, sf_dir, "documents")
+    e0 = shuffle_for_training(docs, n_shards=4, seed="epoch0").toPandas()
+    e1 = shuffle_for_training(docs, n_shards=4, seed="epoch1").toPandas()
+    assert sorted(e0["doc_id"]) == sorted(e1["doc_id"])
+    merged = e0.merge(e1, on="doc_id", suffixes=("_0", "_1"))
+    # an independent permutation: the overwhelming majority of docs move
+    moved = (
+        (merged["shard_0"] != merged["shard_1"])
+        | (merged["pos_0"] != merged["pos_1"])
+    ).mean()
+    assert moved > 0.9
+
+
+def test_shuffle_for_training_no_global_single_partition_sort(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.curation import shuffle_for_training
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        shuffle_for_training(docs, n_shards=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
