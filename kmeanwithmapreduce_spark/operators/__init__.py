@@ -28,11 +28,13 @@ ALL_QUERIES = {
 # sweep (tests/test_oracle_parity.py extends its case list with them).
 from .curation import CURATION_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
+from .pq import S04_SQL, s04_ivfpq_search
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
     "j05_approx_percentile": (j05_approx_percentile, J05_SQL),
     **CURATION_QUERIES,
+    "s04_ivfpq_search": (s04_ivfpq_search, S04_SQL),
 }
 
 __all__ = [

@@ -1,0 +1,350 @@
+"""Product-quantization (PQ) compressed-domain similarity search —
+the memory half of the 100 TB ANN story (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+FAISS IndexIVFPQ design).
+
+s02 (LSH) and s03 (IVF) bound the CANDIDATE set; PQ bounds the BYTES:
+a d=64 float32 embedding (256 B) becomes m=4 one-byte codes (4 B, 64x
+smaller), and distances are evaluated against the codes via
+asymmetric distance computation (ADC) — the query stays exact, the
+corpus is quantized. At 100 TB of raw embeddings the PQ-coded corpus
+fits a much smaller cluster, and the ADC scan reads only
+codes + a broadcast lookup table.
+
+Division of labor (why this scales the FAISS way):
+
+- **Codebook training is sample-based by design.** FAISS trains PQ
+  codebooks on a bounded sample (~100k vectors) regardless of corpus
+  size; here a driver-local NumPy Lloyd runs on a content-hash-ordered
+  bounded sample, so training cost and driver footprint are
+  corpus-size-independent and the books are deterministic.
+- **Encoding is the full-corpus pass and is ZERO-shuffle:** per-row
+  argmin against plan-literal codebooks (the A5 centroid-broadcast
+  pattern), one narrow projection.
+- **Search is a broadcast-probe ADC scan:** per-query lookup tables
+  (m × k_codes doubles) are computed on the driver from the same
+  books and broadcast as a literal (query_id, cell, lut) frame; the
+  corpus side reads codes only. With IVF coarse cells on top (this
+  module's ``ivfpq_search``), the scan touches n_probe/n_cells of the
+  corpus — FAISS IVFADC with ``by_residual=false`` (codes quantize
+  raw vectors, not residuals; the residual refinement is a recall,
+  not a correctness, feature).
+
+Determinism: the coarse quantizer is s03's compat-mode engine Lloyd
+with injected lowest-vec_id init, codebooks are a pure function of
+the hash-ordered sample, every ADC term is a fixed-order double sum,
+and the emitted distance is floored to the 1e-4 grid — so the search
+result is a fixed table per corpus and the registry entry (s04)
+carries a golden-row VALUES oracle exactly like s03. No reference-repo counterpart (SURVEY §2 Part A is one K-Means
+job); extension per the training-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# vector helpers imported inside pq_encode (zip_with form; see docstring)
+from ..sources.readers import load_table
+from .similarity import _EMB_DIM, _N_QUERIES, _TOP_K, _train_ivf
+
+_M_SUB = 4  # subspaces (dsub = 64/4 = 16 dims each)
+_K_CODES = 16  # codebook entries per subspace -> 4 bits/code
+
+
+def train_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    m: int = _M_SUB,
+    k_codes: int = _K_CODES,
+    d: int = _EMB_DIM,
+    sample: int = 2048,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """m per-subspace codebooks, each k_codes × (d/m), trained by a
+    driver-local NumPy Lloyd on a bounded content-hash-ordered sample.
+
+    Sample-based training is the PUBLISHED design, not a shortcut:
+    FAISS trains PQ codebooks on a capped sample (~100k vectors)
+    whatever the corpus size, because k·m tiny centroids need no more
+    evidence. So the distributed work here is exactly one bounded
+    TakeOrdered (the same O(sample) driver footprint as every centroid
+    collect in kmeans/core); corpus size only ever touches the
+    encode/search passes. Determinism: the sample is md5-hash-ordered
+    (partitioning-invariant, the k01 _hash_order_init argument), init
+    is its first k_codes rows per subspace, NumPy argmin takes the
+    first minimum (the engine's strict-< tie-break), and float64 means
+    over a fixed row order are reproducible bit-for-bit.
+
+    An engine-Lloyd variant (m sequential core.lloyd fits) was
+    measured 5-10x slower here for zero quality gain: at codebook
+    scale the cost is whole-stage codegen COMPILATION of m·k literal
+    distance expressions, not data.
+    """
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if len(X) < k_codes:
+        raise ValueError(f"sample of {len(X)} rows < k_codes={k_codes}")
+    dsub = d // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:k_codes].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # first-min: strict-< tie-break
+            for c in range(k_codes):
+                pts = S[a == c]
+                if len(pts):  # empty cell keeps its old centroid (A11)
+                    C[c] = pts.mean(axis=0)
+        books.append([[float(v) for v in row] for row in C])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Append an array<int> of per-subspace code ids: for each subspace,
+    the argmin code centroid for that slice of ``vec_col`` (strict-<
+    lowest-index tie-break, like every assign in the engine). Codebooks
+    are plan literals — zero shuffle, whole-corpus narrow pass.
+
+    Distances use the zip_with/aggregate form, NOT the per-dimension
+    unrolled form vector.py prefers for small d: with m·k_codes
+    expressions in one projection, unrolling was measured 5x slower
+    end-to-end (12.7 s vs 2.4 s at m=4, k=16, dsub=16) because janino
+    compile time scales with the unrolled term count while the lambda
+    machinery compiles once per expression shape. Same codes either
+    way (equality-checked); both stay whole-stage JVM."""
+    from ..functions.vector import _centroid_lit, squared_euclidean_expr
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def _argmin_code(j: int):
+        sl = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        darr = F.array(
+            *[squared_euclidean_expr(sl, _centroid_lit(c)) for c in codebooks[j]]
+        )
+        return (F.array_position(darr, F.array_min(darr)) - F.lit(1)).cast("int")
+
+    codes = F.array(*[_argmin_code(j) for j in range(m)])
+    return df.withColumn(code_col, codes)
+
+
+def _adc_expr(lut_col: str, code_col: str, m: int):
+    """Fixed-order sum over subspaces of lut[j][code_j] — the ADC
+    distance. A Python-side loop builds one left-to-right double-add
+    chain, so accumulation order is pinned in the plan (golden-row
+    determinism)."""
+    terms = [
+        F.element_at(
+            F.element_at(F.col(lut_col), j + 1),
+            F.element_at(F.col(code_col), j + 1) + 1,
+        )
+        for j in range(m)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = _M_SUB,
+    k_codes: int = _K_CODES,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC, by_residual=false): coarse cells bound the
+    candidate set, PQ codes bound the bytes, ADC scores candidates.
+
+    Plan: corpus side = cells ∩ probed cells, reading only
+    (vec_id, cluster, codes); query side = n_probe nearest coarse cells
+    per query (literal-centroid distance array, no join) plus the
+    per-query LUT — an m × k_codes array<array<double>> built by
+    expression from the SAME literal codebooks — broadcast into the
+    candidate join. Returns (query_id, vec_id, adc) with adc floored to
+    the 1e-4 grid, top_k per query by (adc asc, vec_id asc).
+    """
+    cells, centroids = _train_ivf(spark, sf_dir, n_cells)
+    books = train_pq_codebooks(spark, sf_dir, m=m, k_codes=k_codes)
+    dsub = len(books[0][0])
+    coded = pq_encode(
+        cells.where(F.col("vec_id") >= _N_QUERIES), books, vec_col="features"
+    ).select("vec_id", "cluster", "codes")
+    # Query side on the DRIVER: Q is query-batch-sized (the same tiny
+    # collect every assign/centroid step makes), and materializing the
+    # Q × n_probe probe rows + Q LUTs as a literal DataFrame keeps the
+    # m·k_codes·dsub distance arithmetic OUT of the plan — expressed as
+    # expressions it exceeds janino's 64 KB method limit and the whole
+    # stage falls back to interpreted eval. Fixed left-to-right Python
+    # double sums mirror the unrolled expression exactly.
+    qrows = (
+        cells.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "features")
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    def _sqd(q, c, lo, n):
+        out = 0.0
+        for i in range(n):
+            out = out + (float(q[lo + i]) - float(c[i])) ** 2
+        return out
+
+    probe_rows = []
+    for r in qrows:
+        q = [float(v) for v in r["features"]]
+        lut = [
+            [_sqd(q, c, j * dsub, dsub) for c in books[j]] for j in range(m)
+        ]
+        d2 = sorted(
+            (_sqd(q, c, 0, len(c)), cell) for cell, c in enumerate(centroids)
+        )
+        for _d, cell in d2[:n_probe]:
+            probe_rows.append((int(r["vec_id"]), int(cell), lut))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, lut array<array<double>>"
+    )
+    adc = (F.floor(_adc_expr("lut", "codes", m) * 10000.0) / 10000.0).alias(
+        "adc"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        coded.join(F.broadcast(probes), coded.cluster == probes.cell)
+        .select("query_id", "vec_id", adc)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= top_k)
+        .select("query_id", "vec_id", "adc", "rk")
+    )
+
+
+def s04_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: 8 coarse cells, 2 probes, 4 subspaces × 16
+    codes over the 64-dim embeddings — golden-row VALUES oracle
+    (S04_SQL), same recipe as s03."""
+    return ivfpq_search(spark, sf_dir)
+
+
+# Golden-row oracle (the s03/K01 recipe): the whole pipeline — coarse
+# quantizer, sample-trained codebooks, encode argmins, fixed-order ADC
+# sums, 1e-4 floor — is a pure function of corpus content, verified
+# identical across the engine session, a vanilla local[4]
+# America/New_York session, and double runs at every sf. Branches keyed
+# on lineitem count (embeddings row count ties at 500 for
+# sf0.001/sf0.01).
+S04_SQL = """
+WITH nrows AS (SELECT count(*) AS c FROM lineitem)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adc AS DOUBLE) AS adc,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT * FROM (VALUES
+    (0, 12, 0.9667, 5), (0, 26, 1.0019, 10),
+    (0, 155, 0.9582, 4), (0, 177, 0.9496, 3),
+    (0, 214, 0.9755, 9), (0, 273, 0.9712, 7),
+    (0, 306, 0.9738, 8), (0, 423, 0.9383, 2),
+    (0, 424, 0.9682, 6), (0, 497, 0.8923, 1),
+    (1, 116, 0.9241, 2), (1, 129, 0.9683, 5),
+    (1, 237, 0.9853, 6), (1, 247, 0.8807, 1),
+    (1, 260, 1.0037, 9), (1, 296, 0.9535, 4),
+    (1, 308, 1.013, 10), (1, 332, 0.9983, 8),
+    (1, 378, 0.9319, 3), (1, 412, 0.9883, 7),
+    (2, 57, 1.0904, 8), (2, 58, 1.1036, 9),
+    (2, 79, 0.8757, 1), (2, 90, 1.0901, 7),
+    (2, 125, 0.9916, 3), (2, 132, 0.9556, 2),
+    (2, 153, 1.1046, 10), (2, 302, 1.0889, 6),
+    (2, 318, 1.028, 4), (2, 456, 1.0882, 5),
+    (3, 37, 0.888, 2), (3, 72, 0.9904, 6),
+    (3, 84, 0.8496, 1), (3, 92, 1.0443, 10),
+    (3, 105, 0.9662, 5), (3, 156, 1.0005, 8),
+    (3, 223, 0.9603, 4), (3, 278, 0.9306, 3),
+    (3, 426, 0.9972, 7), (3, 499, 1.0221, 9),
+    (4, 167, 1.005, 6), (4, 209, 0.9804, 5),
+    (4, 238, 0.9729, 4), (4, 256, 0.8759, 1),
+    (4, 275, 1.0169, 8), (4, 339, 1.0168, 7),
+    (4, 413, 1.0296, 10), (4, 425, 0.8885, 2),
+    (4, 464, 0.9635, 3), (4, 472, 1.024, 9)
+  ) v(query_id, vec_id, adc, rk)
+  WHERE (SELECT c FROM nrows) = 6000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 29, 0.9668, 3), (0, 137, 1.0208, 10),
+    (0, 165, 0.9523, 2), (0, 229, 0.9168, 1),
+    (0, 264, 1.0174, 9), (0, 271, 1.0103, 6),
+    (0, 345, 1.0064, 5), (0, 365, 1.0147, 8),
+    (0, 412, 1.0137, 7), (0, 415, 0.9751, 4),
+    (1, 64, 0.8897, 4), (1, 166, 0.9978, 10),
+    (1, 191, 0.9161, 5), (1, 195, 0.8594, 2),
+    (1, 222, 0.8817, 3), (1, 336, 0.9427, 6),
+    (1, 353, 0.991, 9), (1, 380, 0.9459, 7),
+    (1, 386, 0.9623, 8), (1, 477, 0.8578, 1),
+    (2, 68, 0.9764, 3), (2, 128, 0.9467, 2),
+    (2, 186, 1.0471, 9), (2, 187, 0.9052, 1),
+    (2, 197, 1.0551, 10), (2, 244, 1.0155, 7),
+    (2, 291, 1.0209, 8), (2, 375, 0.9838, 6),
+    (2, 395, 0.9806, 5), (2, 440, 0.98, 4),
+    (3, 51, 1.0403, 7), (3, 140, 1.0081, 2),
+    (3, 205, 1.0484, 9), (3, 207, 0.9895, 1),
+    (3, 218, 1.0513, 10), (3, 343, 1.0214, 4),
+    (3, 372, 1.0445, 8), (3, 421, 1.0373, 6),
+    (3, 437, 1.0115, 3), (3, 449, 1.023, 5),
+    (4, 81, 0.8747, 1), (4, 122, 0.9646, 5),
+    (4, 163, 1.0199, 9), (4, 237, 0.9385, 4),
+    (4, 306, 1.0074, 8), (4, 344, 0.9725, 6),
+    (4, 366, 1.0306, 10), (4, 408, 0.9999, 7),
+    (4, 428, 0.9068, 3), (4, 496, 0.8873, 2)
+  ) v(query_id, vec_id, adc, rk)
+  WHERE (SELECT c FROM nrows) = 60000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 63, 0.8218, 2), (0, 66, 0.8933, 4),
+    (0, 121, 0.8865, 3), (0, 231, 0.9179, 9),
+    (0, 462, 0.8031, 1), (0, 1510, 0.9006, 6),
+    (0, 1590, 0.8984, 5), (0, 1622, 0.9148, 8),
+    (0, 1748, 0.9202, 10), (0, 1999, 0.9025, 7),
+    (1, 156, 0.9038, 4), (1, 543, 0.8873, 3),
+    (1, 659, 0.9272, 8), (1, 844, 0.8824, 2),
+    (1, 1069, 0.9181, 6), (1, 1117, 0.9142, 5),
+    (1, 1336, 0.9357, 10), (1, 1461, 0.8762, 1),
+    (1, 1524, 0.9345, 9), (1, 1608, 0.9234, 7),
+    (2, 16, 0.9093, 4), (2, 620, 0.9228, 7),
+    (2, 790, 0.9235, 8), (2, 1109, 0.8843, 3),
+    (2, 1158, 0.9359, 10), (2, 1203, 0.9273, 9),
+    (2, 1395, 0.8457, 1), (2, 1615, 0.9199, 5),
+    (2, 1652, 0.9215, 6), (2, 1838, 0.883, 2),
+    (3, 176, 0.8317, 3), (3, 263, 0.7952, 1),
+    (3, 485, 0.8237, 2), (3, 801, 0.9207, 10),
+    (3, 1199, 0.8873, 7), (3, 1447, 0.8906, 8),
+    (3, 1502, 0.8596, 5), (3, 1515, 0.9195, 9),
+    (3, 1567, 0.8468, 4), (3, 1617, 0.8802, 6),
+    (4, 263, 0.9472, 8), (4, 381, 0.8577, 1),
+    (4, 822, 0.9531, 9), (4, 1122, 0.8978, 3),
+    (4, 1612, 0.93, 5), (4, 1692, 0.9138, 4),
+    (4, 1769, 0.9394, 7), (4, 1812, 0.9308, 6),
+    (4, 1887, 0.8754, 2), (4, 1897, 0.9532, 10)
+  ) v(query_id, vec_id, adc, rk)
+  WHERE (SELECT c FROM nrows) = 600000
+)
+"""
