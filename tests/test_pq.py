@@ -157,3 +157,31 @@ def test_s04_entry_sits_after_driver_window():
     names = list(entry.queries())
     assert "s04_ivfpq_search" in names and names.index("s04_ivfpq_search") >= 50
     assert "s04_ivfpq_search" in entry.oracle_sql()
+
+
+def test_by_residual_improves_recall_at_same_bits(spark, sf_dir):
+    """FAISS IVFPQ's by_residual=true at the s04 bit budget (m=4, k=16):
+    quantizing residuals to the coarse centroid must beat quantizing raw
+    vectors on recall@10 vs exact L2 (measured 0.42 vs 0.20 here; both
+    pipelines deterministic, so this is a stable ordering pin)."""
+    ids, X = _corpus(spark, sf_dir)
+    qm = ids < 5
+    exact = {}
+    for qi, q in zip(ids[qm], X[qm]):
+        d2 = ((X[~qm] - q) ** 2).sum(1)
+        order = np.lexsort((ids[~qm], d2))
+        exact[int(qi)] = set(int(v) for v in ids[~qm][order[:10]])
+
+    def spark_recall(by_residual):
+        got: dict[int, set[int]] = {}
+        for r in ivfpq_search(
+            spark, sf_dir, n_cells=8, n_probe=8, by_residual=by_residual
+        ).collect():
+            got.setdefault(int(r.query_id), set()).add(int(r.vec_id))
+        return float(
+            np.mean([len(got.get(q, set()) & exact[q]) / 10 for q in exact])
+        )
+
+    raw, res = spark_recall(False), spark_recall(True)
+    assert res > raw
+    assert res >= 0.3  # measured 0.42; generous floor
