@@ -29,12 +29,14 @@ ALL_QUERIES = {
 from .curation import CURATION_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
 from .pq import S04_SQL, s04_ivfpq_search
+from .sketch import SKETCH_QUERIES
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
     "j05_approx_percentile": (j05_approx_percentile, J05_SQL),
     **CURATION_QUERIES,
     "s04_ivfpq_search": (s04_ivfpq_search, S04_SQL),
+    **SKETCH_QUERIES,
 }
 
 __all__ = [

@@ -1,0 +1,226 @@
+"""Count-min sketch + heavy hitters — the bounded-memory frequency
+structure a 100 TB corpus pass needs (Cormode & Muthukrishnan, "An
+improved data stream summary: the count-min sketch and its
+applications", J. Algorithms 2005).
+
+Exact n-gram counting keeps one counter per DISTINCT gram — state that
+grows with the corpus (web-scale 5-gram spaces run to billions). The
+CMS keeps a FIXED depth × width counter grid: every occurrence
+increments one counter per row (bucket = row-salted hash of the gram),
+and an estimate is the MIN over rows — an overestimate with error
+≤ ε·N at probability 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉. Two
+properties make it the right Spark citizen:
+
+- the grid is a pure sum over occurrences → map-side combinable
+  (partial aggregation collapses each input split to ≤ depth·width
+  rows before the shuffle), and MERGEABLE: sketches of micro-batches /
+  shards add cell-wise, so streaming accumulation is a trivial
+  foreachBatch upsert;
+- everything is exact integer arithmetic over md5-derived buckets
+  (the engine's cross-engine hash pattern), so a DuckDB twin computes
+  the identical grid and the oracle check is exact, not statistical.
+
+``heavy_hitters`` is the classic two-pass: CMS-filter candidate grams
+(estimate ≥ threshold — no false negatives, since estimates only
+overestimate), then verify the small candidate set EXACTLY with one
+more aggregation. At scale the first pass bounds state at depth·width
+and the second pass counts only candidates (semi-join pruned), never
+the full gram space.
+
+No reference-repo counterpart (SURVEY §2 Part A is one K-Means job);
+extension per the training-pipeline brief ("a novel sketch"). The t08
+registry wrapper sits past the frozen 50-entry driver window and is
+verified by the in-repo parity sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+_DEPTH = 4
+_WIDTH = 1024
+
+
+def _bucket(col, row: int, width: int, salt: str):
+    """Row-salted md5 bucket in [0, width) — same cross-engine integer
+    pattern as dedup/corpus/curation (DuckDB twin:
+    CAST('0x' || substr(md5(..), 1, 8) AS BIGINT) % width)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.lit(row), col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def count_min_sketch(
+    items: DataFrame,
+    item_col: str,
+    *,
+    depth: int = _DEPTH,
+    width: int = _WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the CMS grid over every row of ``items`` (one occurrence
+    per row; pre-explode n-grams upstream). Returns the SPARSE grid —
+    (row, bucket, cnt) for non-empty cells, ≤ depth·width rows however
+    large the input.
+
+    Plan: one generate (depth rows per occurrence) → one
+    map-side-combined groupBy. Shuffle volume is ≤ depth·width rows per
+    input split, NOT per occurrence — the partial aggregation is the
+    whole point of the structure.
+    """
+    rows = items.select(
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket(F.col(item_col), i, width, salt)
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row", "bucket")
+    )
+    return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    *,
+    depth: int = _DEPTH,
+    width: int = _WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for every DISTINCT candidate item: the
+    min over depth rows of that item's counter (missing cell = 0 —
+    only possible when the item never occurred). Returns
+    (item_col, est). The sketch side is ≤ depth·width rows →
+    broadcast; candidates stay distributed."""
+    c = candidates.select(item_col).distinct()
+    probes = c.select(
+        item_col,
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket(F.col(item_col), i, width, salt)
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    threshold: int,
+    *,
+    depth: int = _DEPTH,
+    width: int = _WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Items occurring ≥ ``threshold`` times, found CMS-first: pass 1
+    builds the grid and keeps candidates with estimate ≥ threshold
+    (CMS never underestimates → no false negatives); pass 2 counts the
+    surviving candidates EXACTLY via a broadcast semi-join and drops
+    the false positives. Returns (item_col, est, exact_cnt) for the
+    true heavy hitters only.
+
+    At 100 TB: pass-1 state is depth·width counters; pass-2 aggregates
+    only rows whose item survived the filter — the full distinct-gram
+    space is never keyed."""
+    sketch = count_min_sketch(
+        items, item_col, depth=depth, width=width, salt=salt
+    )
+    cand = cms_estimate(
+        sketch, items, item_col, depth=depth, width=width, salt=salt
+    ).where(F.col("est") >= threshold)
+    exact = (
+        items.join(F.broadcast(cand.select(item_col)), item_col, "semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        cand.join(exact, item_col)
+        .where(F.col("exact_cnt") >= threshold)
+        .select(item_col, "est", "exact_cnt")
+    )
+
+
+def t08_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter 2-grams of the documents corpus (threshold 30,
+    deliberately small width=256 so CMS collisions actually occur and
+    the exact second pass visibly prunes overestimates)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = d.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    return heavy_hitters(grams, "gram", 30, width=256)
+
+
+T08_SQL = """
+WITH grams AS (
+  SELECT g.gram
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents) t,
+  LATERAL (
+    SELECT array_to_string(toks[i:i+1], ' ') AS gram
+    FROM UNNEST(range(1, len(toks))) AS u(i)
+  ) g
+  WHERE len(t.toks) >= 2
+), cells AS (
+  SELECT r.row_id AS row,
+         (CAST(('0x' || substr(md5('cms:' || r.row_id || ':' || gram), 1, 8))
+               AS BIGINT) % 256) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM grams, (SELECT UNNEST(range(0, 4)) AS row_id) r
+  GROUP BY 1, 2
+), probes AS (
+  SELECT p.gram, r.row_id AS row,
+         (CAST(('0x' || substr(md5('cms:' || r.row_id || ':' || p.gram), 1, 8))
+               AS BIGINT) % 256) AS bucket
+  FROM (SELECT DISTINCT gram FROM grams) p,
+       (SELECT UNNEST(range(0, 4)) AS row_id) r
+), est AS (
+  SELECT probes.gram, min(coalesce(cells.cnt, 0)) AS est
+  FROM probes
+  LEFT JOIN cells ON cells.row = probes.row AND cells.bucket = probes.bucket
+  GROUP BY probes.gram
+), cand AS (
+  SELECT gram, est FROM est WHERE est >= 30
+), exact AS (
+  SELECT g.gram, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM grams g JOIN cand ON g.gram = cand.gram
+  GROUP BY g.gram
+)
+SELECT cand.gram, CAST(cand.est AS BIGINT) AS est, exact.exact_cnt
+FROM cand JOIN exact ON cand.gram = exact.gram
+WHERE exact.exact_cnt >= 30
+"""
+
+
+SKETCH_QUERIES = {
+    "t08_cms_heavy_hitters": (t08_cms_heavy_hitters, T08_SQL),
+}

@@ -372,6 +372,11 @@ def test_cleaning_entries_sit_after_driver_window():
         "c04_chunking",
         "c05_token_budget_sample",
         "j05_approx_percentile",
+        "c06_domain_mixture",
+        "c07_span_dedup",
+        "c08_unigram_logprob",
+        "s04_ivfpq_search",
+        "t08_cms_heavy_hitters",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
