@@ -83,3 +83,59 @@ __all__ = [
     "read_accumulated_pairs",
     "streaming_neardup_ingest",
 ]
+
+
+# --------------------------------------------------------------------------
+# streaming count-min-sketch accumulation
+
+_SKETCH_SCHEMA = "row int, bucket bigint, cnt bigint"
+
+
+def streaming_cms_ingest(
+    stream_items: DataFrame,
+    item_col: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+):
+    """Accumulate a count-min sketch over a stream: each micro-batch
+    writes ITS OWN grid (<= depth*width rows) into an epoch-keyed
+    subdirectory, and the accumulated sketch is the cell-wise sum of
+    all epochs (read_accumulated_sketch). Correct because CMS grids
+    are mergeable — sketch(A ∪ B) == sketch(A) + sketch(B) cell-wise,
+    the property pinned in tests/test_sketch.py — and exactly-once
+    because a replayed epoch overwrites itself (the
+    streaming_neardup_ingest recipe). State per epoch is bounded by
+    the grid, never by stream volume."""
+    from ..operators.sketch import count_min_sketch
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        count_min_sketch(
+            batch_df, item_col, depth=depth, width=width, salt=salt
+        ).write.mode("overwrite").parquet(
+            os.path.join(sketch_path, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream_items.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_accumulated_sketch(spark, sketch_path: str) -> DataFrame:
+    """Cell-wise sum of every ingested epoch's grid — the CMS of
+    everything streamed so far (empty grid before the first epoch)."""
+    try:
+        epochs = spark.read.schema(_SKETCH_SCHEMA).parquet(
+            os.path.join(sketch_path, "*")
+        )
+    except Exception:
+        return spark.createDataFrame([], _SKETCH_SCHEMA)
+    from pyspark.sql import functions as F
+
+    return epochs.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))

@@ -109,3 +109,51 @@ def test_sketch_entry_sits_after_driver_window():
     names = list(entry.queries())
     assert names.index("t08_cms_heavy_hitters") >= 50
     assert "t08_cms_heavy_hitters" in entry.oracle_sql()
+
+
+def test_streaming_cms_accumulates_to_batch_sketch(spark, sf_dir, tmp_path):
+    """Grams arrive in two micro-batches (availableNow +
+    maxFilesPerTrigger=1); each epoch persists its own grid and the
+    cell-wise sum of epochs must equal the one-shot batch sketch —
+    mergeability doing real streaming work, with epoch-overwrite
+    idempotence."""
+    from kmeanwithmapreduce_spark.streaming.ingest import (
+        read_accumulated_sketch,
+        streaming_cms_ingest,
+    )
+
+    grams = _grams(spark, sf_dir)
+    src = str(tmp_path / "src")
+    grams.where(F.crc32("gram") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    grams.where(F.crc32("gram") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_cms_ingest(
+        stream,
+        "gram",
+        sketch_path=str(tmp_path / "sketch"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        width=_W,
+    )
+    q.awaitTermination(120)
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "sketch" / "epoch=*"))) >= 2
+    acc = {
+        (r.row, r.bucket): r.cnt
+        for r in read_accumulated_sketch(spark, str(tmp_path / "sketch")).collect()
+    }
+    full = {
+        (r.row, r.bucket): r.cnt
+        for r in count_min_sketch(
+            spark.read.parquet(src), "gram", width=_W
+        ).collect()
+    }
+    assert acc == full
