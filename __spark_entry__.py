@@ -7,9 +7,11 @@
   Part B + training-data-pipeline extensions + windowed events +
   K-Means itself). The FIRST 50 entries are the frozen driver
   CORRECTNESS window (unchanged since round 2); round-5 extensions
-  (c01-c04 cleaning ops: decontamination / repetition / PII scrub /
-  chunking, plus j05 approx-percentile) register after k03 and are
-  oracle-verified by the in-repo parity sweep.
+  register after k03 and are oracle-verified by the in-repo parity
+  sweep: c01-c05 cleaning (decontamination / repetition / PII scrub /
+  chunking / token-budget sampling), j05 approx-percentile, c06-c08
+  curation (domain-mixture sampling / span-level dedup / unigram-LM
+  scoring), s04 IVF-PQ search, t08 count-min heavy hitters.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible
   query, plus golden-row VALUES oracles for the deterministic iterative
   pipelines — 49 of 50. k02/t06/m03/s03 all use the same recipe: fully

@@ -341,6 +341,10 @@ def prepare_training_corpus(
     decontamination_threshold: float = 0.3,
     repetition_thresholds: tuple[float, float] | None = None,
     scrub_pii: bool = False,
+    lm_reference: DataFrame | None = None,
+    lm_logprob_min: float = -10.0,
+    mixture_weights: dict[str, int] | None = None,
+    span_dedup_tokens: int | None = None,
 ) -> dict[str, int]:
     """The whole training-data preparation pipeline as ONE composition of
     the engine's operators, documents table in → sharded parquet out:
@@ -354,13 +358,25 @@ def prepare_training_corpus(
     4. optional repetition filter (``repetition_thresholds`` =
        (top_frac, dup_frac) over 2-grams — the Gopher signals; docs at
        or beyond either bound are dropped);
-    5. optional deterministic per-language downsampling
+    5. optional LM-quality filter (``lm_reference``: a reference corpus
+       DataFrame; docs scoring below ``lm_logprob_min`` mean token
+       log-probability under its unigram LM are dropped — the
+       CCNet-shaped model-based filter, curation.unigram_logprob);
+    6. optional domain-mixture rebalance (``mixture_weights``: integer
+       token-share weights over ``source`` — curation's exact-integer
+       downsampling; sources absent from the table are dropped);
+    7. optional deterministic per-language downsampling
        (stratified_sample; strata absent from ``lang_rates`` keep rate
        1.0);
-    6. optional PII scrubbing of the surviving text (``scrub_pii``;
+    8. optional sub-document span dedup (``span_dedup_tokens``: C4-style
+       duplicate-span removal at that window size; text is REWRITTEN to
+       the surviving spans, n_chars refreshed, emptied docs dropped —
+       applied after the doc-level filters so their signals read the
+       original text);
+    9. optional PII scrubbing of the surviving text (``scrub_pii``;
        redaction totals land in the stats as ``pii_redactions`` via the
        same single-pass observe mechanism);
-    7. reproducible hash-sharded export (write_training_shards).
+    10. reproducible hash-sharded export (write_training_shards).
 
     When ``collect_stats``, per-stage funnel counts come back via
     ``DataFrame.observe`` metrics — collected DURING the single export
@@ -424,10 +440,40 @@ def prepare_training_corpus(
             kept.join(repetitive, "doc_id", "left_anti"), "after_repetition"
         )
 
+    if lm_reference is not None:
+        from .curation import unigram_logprob
+
+        fluent = (
+            unigram_logprob(kept, lm_reference)
+            .where(F.col("mean_logprob") >= lm_logprob_min)
+            .select("doc_id")
+        )
+        kept = _tap(kept.join(fluent, "doc_id", "left_semi"), "after_lm_filter")
+
+    if mixture_weights is not None:
+        from .curation import domain_mixture_sample
+
+        mixed = domain_mixture_sample(kept, mixture_weights).select("doc_id")
+        kept = _tap(kept.join(mixed, "doc_id", "left_semi"), "after_mixture")
+
     if lang_rates:
         kept = _tap(
             stratified_sample(kept, "lang", lang_rates, "doc_id", default_rate=1.0),
             "after_sample",
+        )
+
+    if span_dedup_tokens is not None:
+        from .curation import span_dedup
+
+        rewritten = span_dedup(kept, span=span_dedup_tokens).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+        kept = _tap(
+            kept.drop("text")
+            .join(rewritten, "doc_id")
+            .where(F.length("text") > 0)
+            .withColumn("n_chars", F.length("text")),
+            "after_span_dedup",
         )
 
     if scrub_pii:
@@ -473,6 +519,10 @@ def prepare_training_corpus(
                 if repetition_thresholds
                 else None,
                 "scrub_pii": scrub_pii,
+                "lm_filtered": lm_reference is not None,
+                "lm_logprob_min": lm_logprob_min if lm_reference is not None else None,
+                "mixture_weights": mixture_weights,
+                "span_dedup_tokens": span_dedup_tokens,
                 "checkpoint": checkpoint,
             },
         )

@@ -334,3 +334,60 @@ def test_components_reliable_checkpoint_path(spark, tmp_path):
     assert got == _union_find(edges)
     # checkpoint files actually landed in the reliable dir
     assert any((tmp_path / "ckpt").rglob("*"))
+
+
+def test_prepare_training_corpus_with_curation_stages(spark, sf_dir, tmp_path):
+    """Second round-5 batch composed into the pipeline: unigram-LM
+    quality filter, domain-mixture rebalance, and span-level dedup —
+    funnel monotone through the new taps, text actually rewritten by
+    span dedup (never longer, n_chars refreshed), manifest records the
+    new knobs."""
+    import json
+
+    from kmeanwithmapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+        read_corpus_manifest,
+    )
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source").isin("src0", "src1")).select(
+        "doc_id", "text"
+    )
+    weights = {f"src{i}": (2 if i < 10 else 1) for i in range(18)}  # 18/19 excl
+    out = str(tmp_path / "corpus_curated")
+    stats = prepare_training_corpus(
+        spark,
+        sf_dir,
+        out,
+        n_shards=4,
+        lm_reference=ref,
+        lm_logprob_min=-3.6,
+        mixture_weights=weights,
+        span_dedup_tokens=2,
+    )
+    assert (
+        stats["input"]
+        >= stats["after_dedup"]
+        >= stats["after_quality"]
+        >= stats["after_lm_filter"]
+        >= stats["after_mixture"]
+        >= stats["after_span_dedup"]
+        > 0
+    )
+    # the mixture excludes src18/src19 entirely -> must actually drop rows
+    assert stats["after_mixture"] < stats["after_lm_filter"]
+    back = spark.read.parquet(out)
+    assert back.count() == stats["after_span_dedup"]
+    assert sorted(back.columns) == sorted(docs.columns)
+    joined = back.select("doc_id", "text", "n_chars").join(
+        docs.select("doc_id", F.col("text").alias("orig")), "doc_id"
+    )
+    assert joined.where(F.length("text") > F.length("orig")).count() == 0
+    assert joined.where(F.length("text") != F.col("n_chars")).count() == 0
+    # span dedup must have rewritten at least one surviving document
+    assert joined.where(F.length("text") < F.length("orig")).count() > 0
+    cfg = read_corpus_manifest(spark, out)["config"]
+    assert cfg["lm_filtered"] is True and cfg["lm_logprob_min"] == -3.6
+    assert cfg["mixture_weights"] == weights
+    assert cfg["span_dedup_tokens"] == 2
