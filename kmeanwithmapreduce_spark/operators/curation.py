@@ -393,6 +393,143 @@ def shuffle_for_training(
     )
 
 
+# --------------------------------------------------------------------------
+# semantic deduplication (SemDeDup)
+
+
+def semantic_neardup_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    threshold: float = 0.5,
+    blocks: int = 4,
+) -> DataFrame:
+    """Cosine near-duplicate pairs RESTRICTED to rows sharing
+    ``cell_col`` — the d05 block-pair cogrouped GEMM with the cell in
+    the group key, so each task multiplies one (cell, left-block,
+    right-block) brick and cross-cell pairs are never materialized.
+    Returns (id_a, id_b, cosine), id_a < id_b, cosine floored to 1e-4.
+
+    This is the quadratic-cost knob of SemDeDup: total work drops from
+    N² to Σ_c N_c² — with balanced cells, a 1/n_cells fraction — which
+    is the published recipe's entire scaling argument (they run k=50k
+    clusters over LAION). Each side shuffles ``blocks``-fold
+    replicated; size blocks so a brick's rows fit one task's memory.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    bl = F.sequence(F.lit(0), F.lit(blocks - 1))
+    left = base.select(
+        "vid",
+        "vec",
+        "cell",
+        F.pmod(F.col("vid"), F.lit(blocks)).cast("int").alias("bi"),
+        F.explode(bl).alias("bj"),
+    )
+    right = base.select(
+        F.col("vid").alias("r_vid"),
+        F.col("vec").alias("r_vec"),
+        F.col("cell").alias("cell"),
+        F.explode(bl).alias("bi"),
+        F.pmod(F.col("vid"), F.lit(blocks)).cast("int").alias("bj"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return empty
+        a_ids = lpdf["vid"].to_numpy(dtype=np.int64)
+        a = np.asarray(lpdf["vec"].tolist(), dtype=np.float64)
+        b_ids = rpdf["r_vid"].to_numpy(dtype=np.int64)
+        b = np.asarray(rpdf["r_vec"].tolist(), dtype=np.float64)
+        an = np.sqrt((a * a).sum(1))
+        bn = np.sqrt((b * b).sum(1))
+        sims = (a @ b.T) / (an[:, None] * bn[None, :])
+        sims = np.floor(sims * 10000.0) / 10000.0
+        ii, jj = np.where(sims >= threshold)
+        keep = a_ids[ii] < b_ids[jj]
+        return pd.DataFrame(
+            {
+                "id_a": a_ids[ii][keep],
+                "id_b": b_ids[jj][keep],
+                "cosine": sims[ii, jj][keep],
+            }
+        )
+
+    return (
+        left.groupBy("cell", "bi", "bj")
+        .cogroup(right.groupBy("cell", "bi", "bj"))
+        .applyInPandas(gemm, out_schema)
+    )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cells: int = 8,
+    threshold: float = 0.3,
+    blocks: int = 4,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    space with the engine's own K-Means, find cosine near-duplicates
+    WITHIN each cluster only, resolve pairs to duplicate clusters
+    (connected components) and keep one canonical vector per cluster.
+    Returns (vec_id, cluster_id, is_canonical) — the keep-list shape of
+    corpus.dup_clusters, fed by semantic instead of lexical pairs.
+
+    Compared with d05's exact all-pairs, the cell restriction is the
+    whole point: candidate work is Σ_c N_c² (the published recipe
+    accepts missing cross-cluster duplicates — borderline vectors land
+    near a centroid boundary, and raising n_probe-style recall belongs
+    to the ANN layer, not the dedup pass).
+    """
+    from .corpus import dup_clusters
+    from .similarity import _train_ivf
+
+    cells, _centroids = _train_ivf(spark, sf_dir, n_cells)
+    vecs = cells.select("vec_id", "features", F.col("cluster").alias("cell"))
+    pairs = semantic_neardup_pairs(
+        vecs,
+        id_col="vec_id",
+        vec_col="features",
+        cell_col="cell",
+        threshold=threshold,
+        blocks=blocks,
+    )
+    out = dup_clusters(
+        cells.select("vec_id"),
+        pairs,
+        id_col="vec_id",
+        src="id_a",
+        dst="id_b",
+        checkpoint=checkpoint,
+    )
+    # dup_clusters emits the corpus keep-list shape (doc_id, ...);
+    # restore the embedding id name, preserving the checkpoint handle
+    # release_components expects.
+    renamed = out.withColumnRenamed("doc_id", "vec_id")
+    renamed._spark_graft_ckpts = getattr(out, "_spark_graft_ckpts", ())
+    return renamed
+
+
 CURATION_QUERIES = {
     "c06_domain_mixture": (c06_domain_mixture, C06_SQL),
     "c07_span_dedup": (c07_span_dedup, C07_SQL),

@@ -274,3 +274,65 @@ def test_shuffle_for_training_no_global_single_partition_sort(spark, sf_dir):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+
+
+def test_semantic_pairs_match_numpy_within_cell_replica(spark, sf_dir):
+    """The cell-restricted GEMM must produce exactly the same-cell
+    subset of the brute-force cosine pair set."""
+    import numpy as np
+
+    from kmeanwithmapreduce_spark.operators.curation import (
+        semantic_neardup_pairs,
+    )
+    from kmeanwithmapreduce_spark.operators.similarity import _train_ivf
+
+    cells, _ = _train_ivf(spark, sf_dir, 8)
+    rows = cells.select("vec_id", "features", "cluster").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.features for r in rows], dtype=np.float64)
+    cell = np.array([r.cluster for r in rows])
+    n = (X * X).sum(1) ** 0.5
+    sims = np.floor((X @ X.T) / (n[:, None] * n[None, :]) * 10000) / 10000
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if (
+                ids[i] < ids[j]
+                and cell[i] == cell[j]
+                and sims[i, j] >= 0.3
+            ):
+                want.add((int(ids[i]), int(ids[j])))
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_neardup_pairs(
+            cells.select("vec_id", "features", F.col("cluster").alias("cell")),
+            id_col="vec_id",
+            vec_col="features",
+            cell_col="cell",
+            threshold=0.3,
+        ).collect()
+    }
+    assert got == want
+    assert want  # threshold 0.3 must actually produce pairs here
+
+
+def test_semantic_dedup_keep_list_invariants(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.corpus import release_components
+    from kmeanwithmapreduce_spark.operators.curation import semantic_dedup
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    keep = semantic_dedup(spark, sf_dir)
+    out = keep.toPandas()
+    release_components(keep)  # toPandas() was the last action
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    # full cover, one row per vector
+    assert len(out) == n_vecs and out["vec_id"].is_unique
+    # exactly one canonical per cluster, and it is the cluster minimum
+    for cid, grp in out.groupby("cluster_id"):
+        assert grp["is_canonical"].sum() == 1
+        assert grp.loc[grp["is_canonical"], "vec_id"].iloc[0] == grp["vec_id"].min()
+        assert grp["vec_id"].min() == cid
