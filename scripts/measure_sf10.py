@@ -7,10 +7,13 @@ Usage: python scripts/measure_sf10.py [sf_dir]  (default /tmp/sf10)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-from kmeanwithmapreduce_spark.session import get_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kmeanwithmapreduce_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
