@@ -60,7 +60,20 @@ def canon(rows):
     return sorted(out)
 
 for name in ["k01_kmeans_lineitem", "k02_kmeans_compat", "t06_tfidf_kmeans",
-             "m03_cluster_decoded", "s03_ivf_search"]:
+             "m03_cluster_decoded", "s03_ivf_search", "s04_ivfpq_search"]:
+    cols = qs[name](spark, sf).columns
+    got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
+    want = canon(con.execute(
+        "SELECT " + ", ".join(sorted(cols)) + " FROM (" + osql[name] + ")"
+    ).fetchall())
+    assert got == want, (name, got[:3], want[:3])
+
+# round-5 extensions whose determinism rests on exact integer / grid
+# arithmetic (c06 decimal cross-product, c07 span ownership, t08 CMS
+# buckets) or rounded transcendentals (c08): full-value parity under
+# the hostile session pins session-layout independence
+for name in ["c06_domain_mixture", "c07_span_dedup",
+             "c08_unigram_logprob", "t08_cms_heavy_hitters"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(
