@@ -142,7 +142,11 @@ def heavy_hitters(
 
     At 100 TB: pass-1 state is depth·width counters; pass-2 aggregates
     only rows whose item survived the filter — the full distinct-gram
-    space is never keyed."""
+    space is never keyed. The three passes each re-evaluate ``items``
+    (lazy lineage); when the item stream is expensive to produce
+    (an n-gram explode over raw text), persist it before calling —
+    the operator deliberately leaves caching policy to the caller
+    rather than pinning executor memory itself."""
     sketch = count_min_sketch(
         items, item_col, depth=depth, width=width, salt=salt
     )
