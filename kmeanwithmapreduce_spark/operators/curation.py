@@ -51,16 +51,13 @@ _ARGMIN_SCALE = 1_000_000  # integer-division scale for the argmin rule
 
 
 def _u32_draw(key_col, salt: str):
-    """Uniform integer draw on [0, 2^32): first 8 hex chars of
-    md5(salt:key). Same cross-engine pattern as dedup.py / corpus.py
-    (DuckDB twin: CAST('0x' || substr(md5(..),1,8) AS BIGINT))."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt), key_col.cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    """Uniform integer draw on [0, 2^32) from md5(salt:key) — the
+    shared cross-engine pattern (functions.hashing)."""
+    from ..functions.hashing import md5_prefix_u32
+
+    return md5_prefix_u32(
+        F.concat_ws(":", F.lit(salt), key_col.cast("string"))
+    )
 
 
 def domain_mixture_sample(
@@ -105,6 +102,16 @@ def domain_mixture_sample(
     bad = {s: w for s, w in weights.items() if int(w) != w or w < 0}
     if bad:
         raise ValueError(f"weights must be non-negative integers, got {bad}")
+    # the exactness bound (docstring: u ≤10 digits · tok ≤~14 · w ≤6
+    # stays inside DECIMAL(38,0)) is enforced, not assumed: an
+    # over-wide weight would overflow the decimal product to NULL
+    # (ANSI off) and silently drop whole sources
+    too_big = {s: w for s, w in weights.items() if w > _ARGMIN_SCALE}
+    if too_big:
+        raise ValueError(
+            f"weights must be <= {_ARGMIN_SCALE} (relative integer "
+            f"ratios, not token counts), got {too_big}"
+        )
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
     t = docs.select(id_col, source_col, n_tok.alias("n_tokens"))
     totals = {
@@ -163,8 +170,11 @@ j AS (
   FROM tot JOIN w USING ({source_col}) WHERE w._w > 0
 ),
 m AS (
+  -- HUGEINT: at the module's design point (~14-digit per-source token
+  -- totals) _tok * 1e6 overflows BIGINT; the Python driver side uses
+  -- arbitrary-precision ints, so the twin must not overflow first
   SELECT _w AS w_m, _tok AS tok_m FROM j
-  ORDER BY (_tok * {_ARGMIN_SCALE} // _w), {source_col} LIMIT 1
+  ORDER BY (CAST(_tok AS HUGEINT) * {_ARGMIN_SCALE} // _w), {source_col} LIMIT 1
 )
 SELECT t.{source_col}, t.{id_col}, t.n_tokens
 FROM t JOIN j ON t.{source_col} = j.{source_col}, m
@@ -304,11 +314,23 @@ def unigram_logprob(
     ref_toks = reference.select(
         F.explode(F.split(F.col(text_col), " ")).alias("t")
     )
-    vocab = ref_toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    n_total, v_size = vocab.agg(
-        F.sum("c").cast("bigint"), F.count(F.lit(1))
-    ).first()
+    # One reference scan: the unigram table is vocabulary-sized — the
+    # same bound that justifies broadcasting it — so collecting it once
+    # and re-creating a literal frame costs a broadcast's worth of
+    # driver memory and avoids re-tokenizing the reference corpus for
+    # the (N, V) constants (the lazy two-branch plan evaluated the
+    # explode+groupBy twice).
+    vocab_rows = [
+        (r["t"], int(r["c"]))
+        for r in ref_toks.groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    if not vocab_rows:
+        raise ValueError("unigram_logprob: reference corpus is empty")
+    n_total = sum(c for _t, c in vocab_rows)
+    v_size = len(vocab_rows)
     denom = float(n_total + v_size + 1)
+    spark = docs.sparkSession
+    vocab = spark.createDataFrame(vocab_rows, "t string, c bigint")
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("t")
     )

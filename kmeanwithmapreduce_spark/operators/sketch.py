@@ -45,18 +45,13 @@ _WIDTH = 1024
 
 
 def _bucket(col, row: int, width: int, salt: str):
-    """Row-salted md5 bucket in [0, width) — same cross-engine integer
-    pattern as dedup/corpus/curation (DuckDB twin:
-    CAST('0x' || substr(md5(..), 1, 8) AS BIGINT) % width)."""
+    """Row-salted md5 bucket in [0, width) — the shared cross-engine
+    pattern (functions.hashing); DuckDB twin takes '% width' on the
+    same u32."""
+    from ..functions.hashing import md5_prefix_u32
+
     return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(salt), F.lit(row), col)), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % width
+        md5_prefix_u32(F.concat_ws(":", F.lit(salt), F.lit(row), col)) % width
     )
 
 
@@ -77,7 +72,13 @@ def count_min_sketch(
     map-side-combined groupBy. Shuffle volume is ≤ depth·width rows per
     input split, NOT per occurrence — the partial aggregation is the
     whole point of the structure.
+
+    NULL items are excluded (a NULL is "no item", not a countable
+    value) — without the filter Spark's concat_ws would silently skip
+    the NULL and hash the bare salt, a bucket the DuckDB twin ('..' ||
+    item → NULL) can never reproduce.
     """
+    items = items.where(F.col(item_col).isNotNull())
     rows = items.select(
         F.posexplode(
             F.array(
@@ -104,8 +105,13 @@ def cms_estimate(
     min over depth rows of that item's counter (missing cell = 0 —
     only possible when the item never occurred). Returns
     (item_col, est). The sketch side is ≤ depth·width rows →
-    broadcast; candidates stay distributed."""
-    c = candidates.select(item_col).distinct()
+    broadcast; candidates stay distributed. NULL candidates are
+    excluded (count_min_sketch never counted them)."""
+    c = (
+        candidates.select(item_col)
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
     probes = c.select(
         item_col,
         F.posexplode(

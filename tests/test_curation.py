@@ -336,3 +336,17 @@ def test_semantic_dedup_keep_list_invariants(spark, sf_dir):
         assert grp["is_canonical"].sum() == 1
         assert grp.loc[grp["is_canonical"], "vec_id"].iloc[0] == grp["vec_id"].min()
         assert grp["vec_id"].min() == cid
+
+
+def test_unigram_logprob_empty_reference_raises(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="reference corpus is empty"):
+        unigram_logprob(docs, docs.where(F.lit(False)))
+
+
+def test_mixture_rejects_oversized_weights(spark, sf_dir):
+    # weights are relative ratios; a token-count-sized weight would
+    # overflow the decimal(38,0) product and silently NULL-drop sources
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="relative integer ratios"):
+        domain_mixture_sample(docs, {"src0": 10**15, "src1": 1})

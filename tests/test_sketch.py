@@ -157,3 +157,23 @@ def test_streaming_cms_accumulates_to_batch_sketch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert acc == full
+
+
+def test_cms_null_items_excluded(spark):
+    rows = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "gram string"
+    )
+    clean = rows.where(F.col("gram").isNotNull())
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in count_min_sketch(rows, "gram", width=_W).collect()
+    }
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in count_min_sketch(clean, "gram", width=_W).collect()
+    }
+    assert got == want
+    est = cms_estimate(
+        count_min_sketch(rows, "gram", width=_W), rows, "gram", width=_W
+    ).collect()
+    assert sorted(r.gram for r in est) == ["a", "b"]
