@@ -28,7 +28,7 @@ ALL_QUERIES = {
 # sweep (tests/test_oracle_parity.py extends its case list with them).
 from .curation import CURATION_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
-from .pq import S04_SQL, s04_ivfpq_search
+from .pq import S04_SQL, S05_SQL, s04_ivfpq_search, s05_ivfpq_residual_search
 from .sketch import SKETCH_QUERIES
 
 EXTRA_QUERIES = {
@@ -37,6 +37,7 @@ EXTRA_QUERIES = {
     **CURATION_QUERIES,
     "s04_ivfpq_search": (s04_ivfpq_search, S04_SQL),
     **SKETCH_QUERIES,
+    "s05_ivfpq_residual_search": (s05_ivfpq_residual_search, S05_SQL),
 }
 
 __all__ = [

@@ -299,6 +299,13 @@ def s04_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(spark, sf_dir)
 
 
+def s05_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper for the by_residual mode (the FAISS IVFPQ
+    default; 2x the recall of s04 at the same 16-bit budget on this
+    corpus) — own golden-row VALUES oracle (S05_SQL)."""
+    return ivfpq_search(spark, sf_dir, by_residual=True)
+
+
 # Golden-row oracle (the s03/K01 recipe): the whole pipeline — coarse
 # quantizer, sample-trained codebooks, encode argmins, fixed-order ADC
 # sums, 1e-4 floor — is a pure function of corpus content, verified
@@ -397,6 +404,105 @@ FROM (
     (4, 1612, 0.93, 5), (4, 1692, 0.9138, 4),
     (4, 1769, 0.9394, 7), (4, 1812, 0.9308, 6),
     (4, 1887, 0.8754, 2), (4, 1897, 0.9532, 10)
+  ) v(query_id, vec_id, adc, rk)
+  WHERE (SELECT c FROM nrows) = 600000
+)
+"""
+
+
+# s05 golden rows: same protocol as S04_SQL (engine + vanilla session,
+# double runs, three sfs) for the by_residual pipeline.
+S05_SQL = """
+WITH nrows AS (SELECT count(*) AS c FROM lineitem)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adc AS DOUBLE) AS adc,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT * FROM (VALUES
+    (0, 12, 0.8065, 4), (0, 155, 0.8371, 8),
+    (0, 212, 0.8231, 6), (0, 282, 0.8227, 5),
+    (0, 349, 0.7634, 2), (0, 350, 0.8441, 9),
+    (0, 393, 0.8292, 7), (0, 394, 0.8441, 10),
+    (0, 402, 0.7994, 3), (0, 497, 0.6118, 1),
+    (1, 75, 0.8747, 6), (1, 129, 0.8335, 2),
+    (1, 197, 0.8836, 7), (1, 247, 0.8339, 3),
+    (1, 248, 0.8969, 9), (1, 257, 0.8988, 10),
+    (1, 260, 0.8683, 4), (1, 314, 0.8856, 8),
+    (1, 440, 0.8709, 5), (1, 455, 0.74, 1),
+    (2, 79, 0.9329, 7), (2, 90, 0.8149, 1),
+    (2, 132, 0.8568, 3), (2, 185, 0.893, 6),
+    (2, 217, 0.8734, 4), (2, 291, 0.9429, 9),
+    (2, 302, 0.8856, 5), (2, 441, 0.9383, 8),
+    (2, 453, 0.8236, 2), (2, 459, 0.9437, 10),
+    (3, 32, 0.8541, 4), (3, 72, 0.8091, 3),
+    (3, 84, 0.8944, 9), (3, 107, 0.877, 6),
+    (3, 156, 0.7806, 2), (3, 278, 0.8558, 5),
+    (3, 301, 0.8813, 7), (3, 317, 0.8919, 8),
+    (3, 374, 0.9011, 10), (3, 426, 0.7753, 1),
+    (4, 40, 0.8131, 5), (4, 98, 0.8279, 7),
+    (4, 100, 0.8501, 10), (4, 143, 0.7932, 2),
+    (4, 186, 0.7873, 1), (4, 193, 0.7997, 4),
+    (4, 195, 0.8398, 9), (4, 240, 0.7954, 3),
+    (4, 425, 0.8276, 6), (4, 464, 0.8347, 8)
+  ) v(query_id, vec_id, adc, rk)
+  WHERE (SELECT c FROM nrows) = 6000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 36, 0.8111, 4), (0, 84, 0.8166, 5),
+    (0, 131, 0.8233, 6), (0, 165, 0.6728, 1),
+    (0, 229, 0.801, 3), (0, 320, 0.8815, 10),
+    (0, 345, 0.8332, 7), (0, 365, 0.7836, 2),
+    (0, 478, 0.8373, 8), (0, 498, 0.8382, 9),
+    (1, 27, 0.7061, 1), (1, 34, 0.8116, 9),
+    (1, 64, 0.7805, 5), (1, 124, 0.8133, 10),
+    (1, 166, 0.729, 2), (1, 195, 0.7465, 4),
+    (1, 268, 0.7916, 6), (1, 353, 0.7933, 7),
+    (1, 414, 0.7935, 8), (1, 477, 0.7406, 3),
+    (2, 68, 0.9359, 9), (2, 71, 0.9326, 7),
+    (2, 100, 0.8198, 3), (2, 193, 0.8784, 4),
+    (2, 244, 0.7244, 1), (2, 248, 0.9461, 10),
+    (2, 395, 0.7472, 2), (2, 418, 0.9255, 5),
+    (2, 426, 0.9352, 8), (2, 440, 0.9272, 6),
+    (3, 129, 0.8425, 10), (3, 192, 0.84, 9),
+    (3, 283, 0.7947, 4), (3, 341, 0.7862, 1),
+    (3, 343, 0.8142, 7), (3, 377, 0.8345, 8),
+    (3, 396, 0.7945, 3), (3, 421, 0.8057, 6),
+    (3, 437, 0.7909, 2), (3, 449, 0.8044, 5),
+    (4, 14, 0.9477, 9), (4, 81, 0.9215, 7),
+    (4, 212, 0.9007, 6), (4, 237, 0.8537, 3),
+    (4, 247, 0.9258, 8), (4, 346, 0.8418, 2),
+    (4, 366, 0.8991, 4), (4, 384, 0.9497, 10),
+    (4, 408, 0.9001, 5), (4, 496, 0.8287, 1)
+  ) v(query_id, vec_id, adc, rk)
+  WHERE (SELECT c FROM nrows) = 60000
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 66, 0.7116, 1), (0, 488, 0.7586, 4),
+    (0, 947, 0.7749, 7), (0, 1119, 0.7453, 2),
+    (0, 1120, 0.754, 3), (0, 1576, 0.7834, 10),
+    (0, 1591, 0.7661, 6), (0, 1775, 0.78, 9),
+    (0, 1817, 0.7625, 5), (0, 1966, 0.7751, 8),
+    (1, 300, 0.7631, 9), (1, 514, 0.7529, 7),
+    (1, 659, 0.7135, 1), (1, 692, 0.7319, 5),
+    (1, 914, 0.718, 3), (1, 1159, 0.761, 8),
+    (1, 1175, 0.7666, 10), (1, 1364, 0.7288, 4),
+    (1, 1580, 0.7426, 6), (1, 1711, 0.7143, 2),
+    (2, 95, 0.791, 9), (2, 169, 0.7792, 7),
+    (2, 494, 0.7532, 3), (2, 1026, 0.7638, 5),
+    (2, 1053, 0.7605, 4), (2, 1158, 0.7665, 6),
+    (2, 1203, 0.789, 8), (2, 1303, 0.7352, 1),
+    (2, 1395, 0.7961, 10), (2, 1592, 0.7469, 2),
+    (3, 214, 0.7479, 10), (3, 263, 0.6618, 1),
+    (3, 271, 0.7384, 6), (3, 376, 0.742, 7),
+    (3, 551, 0.7154, 2), (3, 778, 0.747, 9),
+    (3, 1001, 0.7158, 3), (3, 1124, 0.7326, 5),
+    (3, 1567, 0.7438, 8), (3, 1617, 0.7216, 4),
+    (4, 76, 0.7171, 2), (4, 492, 0.7744, 5),
+    (4, 526, 0.7835, 9), (4, 662, 0.784, 10),
+    (4, 924, 0.7523, 3), (4, 1370, 0.7659, 4),
+    (4, 1423, 0.7762, 6), (4, 1762, 0.7126, 1),
+    (4, 1826, 0.7789, 7), (4, 1988, 0.783, 8)
   ) v(query_id, vec_id, adc, rk)
   WHERE (SELECT c FROM nrows) = 600000
 )

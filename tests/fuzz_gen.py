@@ -769,6 +769,59 @@ class FuzzGen:
         )
         return build, sql
 
+    def _q_union_agg(self):
+        """UNION ALL of two differently-filtered branches of one table,
+        then a grouped aggregate over the union — the composition where
+        union column resolution / duplicate preservation drift would
+        surface (plain _q_setop aggregates nothing downstream)."""
+        r = self.rng
+        t = r.choice(
+            [tb for tb in TABLES if TABLES[tb]["num"] and TABLES[tb]["cat"]]
+        )
+        branches = []
+        for _ in range(2):
+            rel = Relation([t], [])
+            f = self._filter(rel)
+            if f is not None:
+                rel.filters.append(f)
+            branches.append(rel)
+        _t, num = r.choice([(t, c) for c in TABLES[t]["num"]])
+        cat = r.choice(TABLES[t]["cat"])
+
+        def build(spark, sf_dir):
+            from kmeanwithmapreduce_spark.sources.readers import load_table
+
+            parts = []
+            for rel in branches:
+                df = load_table(spark, sf_dir, t)
+                for f in rel.filters:
+                    df = df.where(f.spark)
+                parts.append(
+                    df.select(F.col(cat).alias("g"), F.col(num).alias("x"))
+                )
+            return (
+                parts[0]
+                .unionByName(parts[1])
+                .groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    (
+                        F.sum(F.round(F.col("x") * 100).cast("long")) / 100.0
+                    ).alias("sx"),
+                )
+            )
+
+        branch_sql = " UNION ALL ".join(
+            f"SELECT {cat} AS g, {num} AS x FROM {t}{rel.where_sql()}"
+            for rel in branches
+        )
+        sql = (
+            "SELECT g, count(*) AS cnt,"
+            " (sum(CAST(round((x) * 100) AS BIGINT)) / 100.0) AS sx"
+            f" FROM ({branch_sql}) u GROUP BY g"
+        )
+        return build, sql
+
     def query(self):
         """One random (build_fn, sql) pair."""
         r = self.rng
@@ -777,11 +830,13 @@ class FuzzGen:
             return self._q_setop()
         if shape < 0.17:
             return self._q_exists()
+        if shape < 0.22:
+            return self._q_union_agg()
         rel = self._relation()
-        if shape < 0.50:
+        if shape < 0.52:
             return self._q_aggregation(rel)
-        if shape < 0.73:
+        if shape < 0.74:
             return self._q_projection(rel)
-        if shape < 0.83:
+        if shape < 0.84:
             return self._q_topk(rel)
         return self._q_window(rel)

@@ -377,6 +377,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "c08_unigram_logprob",
         "s04_ivfpq_search",
         "t08_cms_heavy_hitters",
+        "s05_ivfpq_residual_search",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -185,3 +185,11 @@ def test_by_residual_improves_recall_at_same_bits(spark, sf_dir):
     raw, res = spark_recall(False), spark_recall(True)
     assert res > raw
     assert res >= 0.3  # measured 0.42; generous floor
+
+
+def test_s05_entry_sits_after_driver_window():
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    assert names.index("s05_ivfpq_residual_search") >= 50
+    assert "s05_ivfpq_residual_search" in entry.oracle_sql()
