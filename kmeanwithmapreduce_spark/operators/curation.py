@@ -197,6 +197,144 @@ _C06_WEIGHTS = {f"src{i}": (3 if i % 2 == 0 else 1) for i in range(19)}
 C06_SQL = domain_mixture_sample_sql("documents", _C06_WEIGHTS)
 
 
+def domain_mixture_upsample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "c09",
+) -> DataFrame:
+    """The UP-sampling dual of :func:`domain_mixture_sample`: hit the
+    target token-share ratios by REPEATING under-represented sources
+    instead of dropping over-represented ones — how real mixtures
+    handle small, high-value domains (epoch multipliers: a 0.3%-of-
+    tokens domain weighted to 3% is seen ~10 times per epoch).
+
+    Semantics: the relatively most over-represented source ``M`` —
+    exact rule ``argmax_s (tok_s·SCALE // w_s, s)`` — keeps every
+    document exactly once; every other source gets repeat factor
+    ``r_s = (w_s·tok_M) / (w_M·tok_s) ≥ 1`` per document: ``⌊r_s⌋``
+    copies always, plus one more iff the document's uniform draw
+    ``u ∈ [0, 2^32)`` satisfies
+
+        u · (w_M · tok_s)  <  2^32 · ((w_s·tok_M) mod (w_M·tok_s))
+
+    — floor and fractional-part both in EXACT integer arithmetic
+    (DECIMAL(38,0) / HUGEINT), the c06 discipline, so the emitted
+    multiset is a pure function of (corpus, weights, salt). Sources
+    absent from ``weights`` (or weighted 0) are dropped.
+
+    Returns (source_col, id_col, n_tokens, copy) — one row per copy,
+    ``copy`` = 0-based repeat index (callers vary a training-order
+    seed by ``copy`` to shuffle repeats apart). One small aggregation
+    + a broadcast join + one generate; zero corpus-side shuffles.
+    """
+    bad = {s: w for s, w in weights.items() if int(w) != w or w < 0}
+    if bad:
+        raise ValueError(f"weights must be non-negative integers, got {bad}")
+    too_big = {s: w for s, w in weights.items() if w > _ARGMIN_SCALE}
+    if too_big:
+        raise ValueError(
+            f"weights must be <= {_ARGMIN_SCALE} (relative integer "
+            f"ratios, not token counts), got {too_big}"
+        )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    t = docs.select(id_col, source_col, n_tok.alias("n_tokens"))
+    totals = {
+        r[source_col]: int(r["_tok"])
+        for r in t.groupBy(source_col).agg(F.sum("n_tokens").alias("_tok")).collect()
+    }
+    present = {s: int(w) for s, w in weights.items() if s in totals and w > 0}
+    if not present:
+        raise ValueError("no weighted source present in the corpus")
+    M = max(present, key=lambda s: (totals[s] * _ARGMIN_SCALE // present[s], s))
+    w_M, tok_M = present[M], totals[M]
+    rows = []
+    for s, w in sorted(present.items()):
+        num, den = w * tok_M, w_M * totals[s]
+        rows.append((s, num // den, num % den, den))
+    spark = docs.sparkSession
+    rates = spark.createDataFrame(
+        rows, f"{source_col} string, _base long, _rem long, _den long"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = _u32_draw(F.col(id_col), salt)
+    extra = (dec(u) * dec(F.col("_den"))) < (
+        dec(F.lit(_U32)) * dec(F.col("_rem"))
+    )
+    copies = (F.col("_base") + extra.cast("long")).cast("int")
+    # copies can be 0 only when the integer-division argmax rule ties
+    # two sources whose true ratios differ below the SCALE granularity;
+    # the guard keeps sequence() ascending (Spark would otherwise emit
+    # a DESCENDING [1, 0] for sequence(1, 0)) and matches the twin's
+    # empty range(0, 0).
+    return (
+        t.join(F.broadcast(rates), source_col)
+        .withColumn("_copies", copies)
+        .where(F.col("_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
+        .select(source_col, id_col, "n_tokens", "copy")
+    )
+
+
+def domain_mixture_upsample_sql(
+    table: str,
+    weights: dict[str, int],
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "c09",
+) -> str:
+    """DuckDB twin of domain_mixture_upsample — same integer argmax
+    rule, same exact floor/remainder repeat arithmetic."""
+    vals = ", ".join(f"('{s}', {int(w)})" for s, w in sorted(weights.items()))
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {source_col},
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+), w({source_col}, _w) AS (VALUES {vals}),
+tot AS (
+  SELECT {source_col}, SUM(n_tokens) AS _tok FROM t GROUP BY {source_col}
+),
+j AS (
+  SELECT tot.{source_col}, w._w, tot._tok
+  FROM tot JOIN w USING ({source_col}) WHERE w._w > 0
+),
+m AS (
+  SELECT _w AS w_m, _tok AS tok_m FROM j
+  ORDER BY (CAST(_tok AS HUGEINT) * {_ARGMIN_SCALE} // _w) DESC,
+           {source_col} DESC LIMIT 1
+),
+r AS (
+  SELECT j.{source_col},
+         (CAST(j._w AS HUGEINT) * m.tok_m) // (CAST(m.w_m AS HUGEINT) * j._tok)
+           AS _base,
+         (CAST(j._w AS HUGEINT) * m.tok_m) % (CAST(m.w_m AS HUGEINT) * j._tok)
+           AS _rem,
+         CAST(m.w_m AS HUGEINT) * j._tok AS _den
+  FROM j, m
+),
+c AS (
+  SELECT t.{source_col}, t.{id_col}, t.n_tokens,
+         CAST(r._base + CASE WHEN
+             CAST(CAST(('0x' || substr(md5('{salt}:' ||
+                 CAST(t.{id_col} AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT)
+               * r._den
+             < CAST({_U32} AS HUGEINT) * r._rem
+           THEN 1 ELSE 0 END AS INT) AS copies
+  FROM t JOIN r ON t.{source_col} = r.{source_col}
+)
+SELECT {source_col}, {id_col}, n_tokens, CAST(g.copy AS INT) AS copy
+FROM c, LATERAL (
+  SELECT UNNEST(range(0, c.copies)) AS copy
+) g
+"""
+
+
 # --------------------------------------------------------------------------
 # span-level (sub-document) dedup
 
@@ -552,8 +690,22 @@ def semantic_dedup(
     return renamed
 
 
+def c09_domain_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsample the documents table to a mixture where every third
+    source carries 4x weight — exercises multi-copy emission, the
+    kept-once argmax source, and fractional-copy draws at once."""
+    d = load_table(spark, sf_dir, "documents")
+    return domain_mixture_upsample(d, _C09_WEIGHTS)
+
+
+_C09_WEIGHTS = {f"src{i}": (4 if i % 3 == 0 else 1) for i in range(20)}
+
+C09_SQL = domain_mixture_upsample_sql("documents", _C09_WEIGHTS)
+
+
 CURATION_QUERIES = {
     "c06_domain_mixture": (c06_domain_mixture, C06_SQL),
     "c07_span_dedup": (c07_span_dedup, C07_SQL),
     "c08_unigram_logprob": (c08_unigram_logprob, C08_SQL),
+    "c09_domain_mixture_upsample": (c09_domain_mixture_upsample, C09_SQL),
 }

@@ -375,6 +375,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "c06_domain_mixture",
         "c07_span_dedup",
         "c08_unigram_logprob",
+        "c09_domain_mixture_upsample",
         "s04_ivfpq_search",
         "t08_cms_heavy_hitters",
         "s05_ivfpq_residual_search",

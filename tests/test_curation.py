@@ -350,3 +350,61 @@ def test_mixture_rejects_oversized_weights(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="relative integer ratios"):
         domain_mixture_sample(docs, {"src0": 10**15, "src1": 1})
+
+
+# --------------------------------------------------------------------------
+# domain_mixture_upsample
+
+
+def test_upsample_argmax_source_kept_exactly_once(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.curation import (
+        domain_mixture_upsample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # src19 hugely over-weighted relative? invert: give src19 weight 1 and
+    # everything else 50 -> src19 is the most over-represented per unit
+    # weight and must be emitted exactly once per doc; others repeat.
+    weights = {f"src{i}": 50 for i in range(19)} | {"src19": 1}
+    out = domain_mixture_upsample(docs, weights).toPandas()
+    per_doc = out.groupby("doc_id").size()
+    src19_docs = set(
+        r.doc_id
+        for r in docs.where(F.col("source") == "src19").select("doc_id").collect()
+    )
+    assert all(per_doc[d] == 1 for d in src19_docs)
+    # every other source repeats ~50x
+    others = out[~out["doc_id"].isin(src19_docs)]
+    assert others.groupby("doc_id").size().min() >= 40
+
+
+def test_upsample_token_shares_near_target(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.curation import (
+        _C09_WEIGHTS,
+        c09_domain_mixture_upsample,
+    )
+
+    out = c09_domain_mixture_upsample(spark, sf_dir).toPandas()
+    shares = out.groupby("source")["n_tokens"].sum()
+    total = shares.sum()
+    wsum = sum(_C09_WEIGHTS.values())
+    for s, w in _C09_WEIGHTS.items():
+        assert abs(shares.get(s, 0) / total - w / wsum) < 0.035, s
+
+
+def test_upsample_deterministic_and_no_drops(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.curation import (
+        domain_mixture_upsample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": 1 + i % 4 for i in range(20)}
+    a = domain_mixture_upsample(docs, weights).toPandas()
+    b = domain_mixture_upsample(docs.repartition(11), weights).toPandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "copy"]].values))  # noqa: E731
+    assert key(a) == key(b)
+    # upsampling never drops a weighted document
+    assert set(a["doc_id"]) == set(r.doc_id for r in docs.select("doc_id").collect())
+    # copy indices are dense per doc
+    for d, grp in a.groupby("doc_id"):
+        assert sorted(grp["copy"]) == list(range(len(grp)))
