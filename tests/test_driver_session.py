@@ -60,7 +60,8 @@ def canon(rows):
     return sorted(out)
 
 for name in ["k01_kmeans_lineitem", "k02_kmeans_compat", "t06_tfidf_kmeans",
-             "m03_cluster_decoded", "s03_ivf_search", "s04_ivfpq_search"]:
+             "m03_cluster_decoded", "s03_ivf_search", "s04_ivfpq_search",
+             "s05_ivfpq_residual_search"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(
@@ -73,7 +74,8 @@ for name in ["k01_kmeans_lineitem", "k02_kmeans_compat", "t06_tfidf_kmeans",
 # buckets) or rounded transcendentals (c08): full-value parity under
 # the hostile session pins session-layout independence
 for name in ["c06_domain_mixture", "c07_span_dedup",
-             "c08_unigram_logprob", "t08_cms_heavy_hitters"]:
+             "c08_unigram_logprob", "c09_domain_mixture_upsample",
+             "t08_cms_heavy_hitters"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(
