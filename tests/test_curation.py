@@ -408,3 +408,38 @@ def test_upsample_deterministic_and_no_drops(spark, sf_dir):
     # copy indices are dense per doc
     for d, grp in a.groupby("doc_id"):
         assert sorted(grp["copy"]) == list(range(len(grp)))
+
+
+def test_span_dedup_hot_span_50k_docs(spark):
+    """The 'stop span' regime: one span shared by 50k documents. The
+    ownership min-groupBy must map-side combine (partial_min below the
+    Exchange — O(1) state per span key, unlike a posting-list build),
+    and first-occurrence semantics must hold exactly: the hot span
+    survives only in doc 0, every doc keeps its own unique span."""
+    n = 50_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("hh hh u"),
+            F.col("id").cast("string"),
+            F.lit(" v"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = span_dedup(docs, span=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan  # map-side combine on the hot key
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_dropped").alias("dropped"),
+        F.sum(F.col("text_clean").startswith("hh hh").cast("long")).alias(
+            "kept_hot"
+        ),
+        F.sum((F.col("n_spans") == 2).cast("long")).alias("two_span"),
+        F.sum((F.length("text_clean") > 0).cast("long")).alias("nonempty"),
+    ).first()
+    assert agg.n_docs == n
+    assert agg.dropped == n - 1  # every doc but the owner drops the hot span
+    assert agg.kept_hot == 1
+    assert agg.two_span == n
+    assert agg.nonempty == n  # unique spans always survive
