@@ -345,6 +345,7 @@ def prepare_training_corpus(
     lm_logprob_min: float = -10.0,
     mixture_weights: dict[str, int] | None = None,
     span_dedup_tokens: int | None = None,
+    training_order_seed: str | None = None,
 ) -> dict[str, int]:
     """The whole training-data preparation pipeline as ONE composition of
     the engine's operators, documents table in → sharded parquet out:
@@ -495,7 +496,12 @@ def prepare_training_corpus(
 
     try:
         write_training_shards(
-            kept, out_path, n_shards, "doc_id", max_records_per_file
+            kept,
+            out_path,
+            n_shards,
+            "doc_id",
+            max_records_per_file,
+            training_order_seed=training_order_seed,
         )
     finally:
         # the export was the last action over the components state —
@@ -523,6 +529,7 @@ def prepare_training_corpus(
                 "lm_logprob_min": lm_logprob_min if lm_reference is not None else None,
                 "mixture_weights": mixture_weights,
                 "span_dedup_tokens": span_dedup_tokens,
+                "training_order_seed": training_order_seed,
                 "checkpoint": checkpoint,
             },
         )
@@ -586,14 +593,36 @@ def write_training_shards(
     n_shards: int,
     key_col: str,
     max_records_per_file: int | None = None,
+    training_order_seed: str | None = None,
 ) -> None:
     """Export a corpus as hash-sharded parquet: shard membership is a
     pure function of ``key_col`` (stable run-to-run and cluster-size-
     independent — resumable/reproducible training), and
     ``maxRecordsPerFile`` additionally splits any hot shard so no file
-    exceeds the loader's streaming budget."""
-    out = df.repartition(n_shards, F.col(key_col))
-    w = out.write.mode("overwrite")
+    exceeds the loader's streaming budget.
+
+    With ``training_order_seed``, rows additionally carry a
+    deterministic GLOBAL training order (curation.shuffle_for_training:
+    shard = seeded md5 draw, ``pos`` = rank of an independent draw
+    within the shard): the output is ``shard=N/`` directories whose
+    files hold rows in ``pos`` order, plus the ``pos`` column for
+    resume pointers — a reproducible shuffled epoch with no global
+    sort (each shard sorts only its own slice). Vary the seed per
+    epoch for independent permutations of the same corpus."""
+    if training_order_seed is not None:
+        from .curation import shuffle_for_training
+
+        out = (
+            shuffle_for_training(
+                df, n_shards=n_shards, seed=training_order_seed, id_col=key_col
+            )
+            .repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "pos")
+        )
+        w = out.write.mode("overwrite").partitionBy("shard")
+    else:
+        out = df.repartition(n_shards, F.col(key_col))
+        w = out.write.mode("overwrite")
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     w.parquet(path)

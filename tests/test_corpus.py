@@ -391,3 +391,53 @@ def test_prepare_training_corpus_with_curation_stages(spark, sf_dir, tmp_path):
     assert cfg["lm_filtered"] is True and cfg["lm_logprob_min"] == -3.6
     assert cfg["mixture_weights"] == weights
     assert cfg["span_dedup_tokens"] == 2
+
+
+def test_write_training_shards_with_training_order(spark, sf_dir, tmp_path):
+    """Ordered export: shard=N directories, pos monotone in file order,
+    assignment equal to shuffle_for_training's, export deterministic."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kmeanwithmapreduce_spark.operators.corpus import write_training_shards
+    from kmeanwithmapreduce_spark.operators.curation import shuffle_for_training
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "ordered")
+    write_training_shards(
+        docs, out, 4, "doc_id", training_order_seed="epoch0"
+    )
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 4
+    # pos is monotone within each file (parquet preserves write order)
+    for d in dirs:
+        for f in glob.glob(d + "/*.parquet"):
+            pos = pq.read_table(f, columns=["pos"])["pos"].to_pylist()
+            assert pos == sorted(pos)
+    back = spark.read.parquet(out).select("doc_id", "shard", "pos")
+    want = shuffle_for_training(docs, n_shards=4, seed="epoch0").select(
+        "doc_id", "shard", "pos"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, want.collect()))
+    # lossless: every document exactly once
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_prepare_training_corpus_training_order_knob(spark, sf_dir, tmp_path):
+    from kmeanwithmapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+        read_corpus_manifest,
+    )
+
+    out = str(tmp_path / "ordered_corpus")
+    stats = prepare_training_corpus(
+        spark, sf_dir, out, n_shards=4, training_order_seed="epoch1"
+    )
+    back = spark.read.parquet(out)
+    assert "pos" in back.columns and "shard" in back.columns
+    assert back.count() == stats["after_quality"]
+    cfg = read_corpus_manifest(spark, out)["config"]
+    assert cfg["training_order_seed"] == "epoch1"
