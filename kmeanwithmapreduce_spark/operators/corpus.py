@@ -327,6 +327,28 @@ WHERE (CAST(('0x' || substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 8))
 """
 
 
+def read_training_shards(
+    spark,
+    path: str,
+    shard: int | None = None,
+) -> DataFrame:
+    """Read an ordered-epoch export back (write_training_shards with
+    ``training_order_seed``): all shards, or one ``shard`` directory —
+    partition pruning keeps the scan to that directory — ordered by
+    ``pos`` so iteration order equals training order regardless of
+    file split or task interleaving. (For unordered exports just use
+    ``spark.read.parquet``; there is no order to restore.)"""
+    df = spark.read.parquet(path)
+    if "pos" not in df.columns or "shard" not in df.columns:
+        raise ValueError(
+            f"{path} is not an ordered export (no shard/pos columns); "
+            "write it with training_order_seed=..."
+        )
+    if shard is not None:
+        df = df.where(F.col("shard") == int(shard))
+    return df.orderBy("shard", "pos")
+
+
 def prepare_training_corpus(
     spark,
     sf_dir: str,

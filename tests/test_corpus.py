@@ -441,3 +441,31 @@ def test_prepare_training_corpus_training_order_knob(spark, sf_dir, tmp_path):
     assert back.count() == stats["after_quality"]
     cfg = read_corpus_manifest(spark, out)["config"]
     assert cfg["training_order_seed"] == "epoch1"
+
+
+def test_read_training_shards_restores_order_and_prunes(spark, sf_dir, tmp_path):
+    from kmeanwithmapreduce_spark.operators.corpus import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "epoch")
+    write_training_shards(docs, out, 4, "doc_id", training_order_seed="e0")
+    one = read_training_shards(spark, out, shard=2)
+    rows = one.select("shard", "pos").collect()
+    assert all(r.shard == 2 for r in rows)
+    assert [r.pos for r in rows] == list(range(len(rows)))  # training order
+    # partition pruning reaches the scan
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+    full = read_training_shards(spark, out)
+    assert full.count() == docs.count()
+    # unordered export refuses cleanly
+    flat = str(tmp_path / "flat")
+    write_training_shards(docs, flat, 4, "doc_id")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an ordered export"):
+        read_training_shards(spark, flat)
