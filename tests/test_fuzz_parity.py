@@ -81,3 +81,41 @@ def test_fuzz_generator_is_deterministic(duck, domains):
         a = FuzzGen(SEED * 1_000_003 + idx, domains).query()[1]
         b = FuzzGen(SEED * 1_000_003 + idx, domains).query()[1]
         assert a == b
+
+
+def test_duckdb_rollup_join_equivalence_divergence(spark, duck):
+    """Characterized divergence (seed 95959, idx 125): DuckDB 1.0.0
+    propagates a join equality INTO grouping-set NULL-extension —
+    ROLLUP(x, y) over `a JOIN b ON x = y` fills the rolled-away y with
+    x's value in subtotal rows, where the standard (PostgreSQL, Spark's
+    Expand) emits NULL. Pinned on a minimal case so a future DuckDB
+    upgrade that fixes it fails HERE (then re-allow join-equated rollup
+    keys in the grammar, fuzz_gen._q_aggregation)."""
+    sql = """
+    WITH a(x) AS (VALUES (1), (2)), b(y) AS (VALUES (1), (2))
+    SELECT x, y, count(*) AS c FROM a JOIN b ON x = y
+    GROUP BY ROLLUP (x, y)
+    """
+    duck_rows = sorted(
+        duck.execute(sql).fetchall(), key=lambda r: (r[0] is None, r)
+    )
+    # DuckDB: subtotal rows carry y = x (no NULL-extended y at all)
+    assert duck_rows == [(1, 1, 1), (1, 1, 1), (2, 2, 1), (2, 2, 1), (None, None, 2)]
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(1,), (2,)], "y int")
+    got = sorted(
+        map(
+            tuple,
+            a.join(b, F.col("x") == F.col("y"))
+            .rollup("x", "y")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect(),
+        ),
+        key=lambda r: (r[0] is None, r[0] or 0, r[1] is None, r[1] or 0),
+    )
+    # Spark: standard NULL-extension — the (x, NULL) subtotals exist
+    assert got == [
+        (1, 1, 1), (1, None, 1), (2, 2, 1), (2, None, 1), (None, None, 2)
+    ]
