@@ -30,6 +30,7 @@ from .curation import CURATION_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
 from .pq import S04_SQL, S05_SQL, s04_ivfpq_search, s05_ivfpq_residual_search
 from .sketch import SKETCH_QUERIES
+from .temporal import TEMPORAL_QUERIES
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
@@ -38,6 +39,7 @@ EXTRA_QUERIES = {
     "s04_ivfpq_search": (s04_ivfpq_search, S04_SQL),
     **SKETCH_QUERIES,
     "s05_ivfpq_residual_search": (s05_ivfpq_residual_search, S05_SQL),
+    **TEMPORAL_QUERIES,
 }
 
 __all__ = [

@@ -1,0 +1,231 @@
+"""Temporal / interval operators beyond the as-of and range joins of
+``joins_advanced.py``: the large-build-side BINNED range join (the scale
+path j02's docstring promises) and sweep-line interval analytics
+(max-concurrency). Reference parity: the reference engine has no
+temporal surface at all (MinhTuanCoder/KmeanWithMapreduce is a single
+K-Means job); these belong to the "range/interval join" and "window
+analytics" rows of SURVEY §2 Part B.
+
+Scale notes:
+- j06 replaces the O(N x M) BroadcastNestedLoopJoin of j02 with an
+  EQUI-join on a time bucket plus a residual interval filter. Build
+  side replication is x(interval_len/bucket); probe side stays 1 row
+  per event. Because the join key is an equi key, Catalyst is free to
+  pick BHJ for a small build side and SMJ/shuffle-hash for a large one
+  (AQE decides at runtime) — the shape survives a build side of any
+  size, which the nested loop does not.
+- q31's sweep line turns interval-overlap counting into a running sum
+  over +1/-1 endpoints: one window partitioned by user_id (bounded
+  per-key state: a user's own events), then a tiny histogram groupBy.
+  Partitioning by the entity key (not event_type, ~5 whale groups) is
+  what keeps the window splittable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import ensure_min_parallelism, load_table
+from .joins_advanced import _CAMPAIGNS, J02_SQL
+
+_DAY = 86400
+
+
+def range_join_binned(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = _DAY,
+) -> DataFrame:
+    """Equi-join ``events`` to half-open ``[start, end)`` intervals via a
+    time bucket: explode each interval into the buckets it covers, join
+    on the event's bucket, keep rows passing the exact residual filter.
+
+    Exact same result set as the nested-loop interval join (each event's
+    bucket is unique, so an (event, interval) pair can match at most
+    once — no post-join dedup needed). Choose ``bucket_seconds`` near
+    the typical interval length: replication factor is
+    ceil(len/bucket)+1 while residual selectivity per bucket stays high.
+    """
+    binned = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(start_col) / bucket_seconds),
+                # end is exclusive: the last covered instant is end-1s
+                F.floor((F.unix_timestamp(end_col) - F.lit(1)) / bucket_seconds),
+            )
+        ),
+    )
+    probe = events.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(ts_col) / bucket_seconds)
+    )
+    return (
+        probe.join(binned, "_bucket")
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bucket")
+    )
+
+
+def j06_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j02's campaign attribution re-planned through the binned equi-join
+    — byte-identical results (same oracle, J02_SQL), scale-safe shape:
+    no BroadcastNestedLoopJoin anywhere in the plan (pinned)."""
+    e = ensure_min_parallelism(load_table(spark, sf_dir, "events"))
+    camp = spark.createDataFrame(
+        _CAMPAIGNS, "campaign_id int, start_ts timestamp, end_ts timestamp"
+    )
+    return (
+        range_join_binned(e, camp)
+        .groupBy("campaign_id", "start_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+J06_SQL = J02_SQL  # identical semantics, different physical plan
+
+
+# --------------------------------------------------------------------------
+# q31 — sweep-line max concurrency: treat every event as a half-open
+# 30-minute activity interval [ts, ts+30min); per user, the maximum
+# number of simultaneously-open intervals; output the histogram of that
+# per-user maximum. Endpoint ordering (t, delta) closes intervals BEFORE
+# opening ones at the same instant, so touching intervals ([a,b), [b,c))
+# never count as concurrent. Within an equal-(t, delta) tie group the
+# running sum moves monotonically, so the group's max is order-invariant
+# — the property that makes the ROWS-frame prefix sum engine-portable.
+def q31_concurrency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    span = F.expr("INTERVAL 30 MINUTES")
+    pts = e.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        e.select("user_id", (F.col("ts") + span).alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_user = (
+        pts.withColumn("cur", F.sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(F.max("cur").cast("bigint").alias("max_concurrent"))
+    )
+    return per_user.groupBy("max_concurrent").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+Q31_SQL = """
+WITH pts AS (
+  SELECT user_id, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT user_id, ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events
+),
+run AS (
+  SELECT user_id,
+         sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+  FROM pts
+),
+per_user AS (
+  SELECT user_id, CAST(max(cur) AS BIGINT) AS max_concurrent
+  FROM run GROUP BY user_id
+)
+SELECT max_concurrent, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user
+GROUP BY max_concurrent
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — gaps-and-islands interval coalescing: merge each user's
+# overlapping/touching 30-minute activity intervals into maximal
+# islands, then report per-user island count and total covered time.
+# All time arithmetic is exact BIGINT MICROSECONDS (unix_micros /
+# epoch_us): second-granularity helpers disagree across engines on
+# sub-second timestamps (unix_timestamp truncates, DuckDB's epoch()
+# rounds) — a ±1 s drift this oracle would catch. Island detection is
+# the classic cumulative-max trick: a new island starts where an
+# interval's start exceeds the running max of all previous ends; the
+# island id is then a running count of starts. One window partition per
+# user (bounded state), histogram-sized output.
+def q32_coalesced_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    span_us = 1800 * 1_000_000
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(span_us)).alias("t"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "t")
+    prev_max_end = F.max("t").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_start"), F.max("t").alias("is_end")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("is_end") - F.col("is_start")).cast("bigint").alias("covered_us"),
+    )
+
+
+Q32_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + 1800 * 1000000 AS t
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, t,
+         CASE WHEN max(t) OVER (PARTITION BY user_id ORDER BY s, t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(t) OVER (PARTITION BY user_id ORDER BY s, t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, t,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT user_id, island, min(s) AS is_start, max(t) AS is_end
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(is_end - is_start) AS BIGINT) AS covered_us
+FROM per_island
+GROUP BY user_id
+"""
+
+
+TEMPORAL_QUERIES = {
+    "j06_range_join_binned": (j06_range_join_binned, J06_SQL),
+    "q31_concurrency_histogram": (q31_concurrency_histogram, Q31_SQL),
+    "q32_coalesced_intervals": (q32_coalesced_intervals, Q32_SQL),
+}

@@ -379,6 +379,9 @@ def test_cleaning_entries_sit_after_driver_window():
         "s04_ivfpq_search",
         "t08_cms_heavy_hitters",
         "s05_ivfpq_residual_search",
+        "j06_range_join_binned",
+        "q31_concurrency_histogram",
+        "q32_coalesced_intervals",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -35,7 +35,8 @@ qs, osql = e.queries(), e.oracle_sql()
 # the events-based, timestamp-emitting queries are the ones a hostile
 # session breaks; check full values on one of each shape
 for name in ["w01_tumbling", "q17_monthly_trend", "q19_sessionization",
-             "j02_range_join_campaigns", "j01_asof_last_purchase", "w03_session"]:
+             "j02_range_join_campaigns", "j06_range_join_binned",
+             "j01_asof_last_purchase", "w03_session"]:
     got = sorted(map(str, qs[name](spark, sf).collect()))
     n_want = len(con.execute(osql[name]).fetchall())
     assert len(got) == n_want, (name, len(got), n_want)
@@ -75,7 +76,10 @@ for name in ["k01_kmeans_lineitem", "k02_kmeans_compat", "t06_tfidf_kmeans",
 # the hostile session pins session-layout independence
 for name in ["c06_domain_mixture", "c07_span_dedup",
              "c08_unigram_logprob", "c09_domain_mixture_upsample",
-             "t08_cms_heavy_hitters"]:
+             "t08_cms_heavy_hitters",
+             # sweep-line temporal ops: ts arithmetic in, pure ints out —
+             # any session-tz leak into the epoch math shifts these
+             "q31_concurrency_histogram", "q32_coalesced_intervals"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(

@@ -1,0 +1,146 @@
+"""Temporal/interval operators (operators/temporal.py): the binned
+range join's equivalence to the nested-loop form and its scale-shape
+plan pin, plus hand-computed sweep-line and island-coalescing cases.
+DuckDB value parity for all three registry entries is covered by the
+ORACLE_CASES sweep in test_oracle_parity.py (they are EXTRA_QUERIES)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeanwithmapreduce_spark.operators import temporal as T
+from kmeanwithmapreduce_spark.operators.joins_advanced import (
+    j02_range_join_campaigns,
+)
+from kmeanwithmapreduce_spark.plans import explain_str
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_j06_equals_j02(spark, sf_dir):
+    """The binned equi-join must reproduce the nested-loop interval join
+    row for row — same oracle, different physical plan."""
+    assert _sorted_rows(T.j06_range_join_binned(spark, sf_dir)) == _sorted_rows(
+        j02_range_join_campaigns(spark, sf_dir)
+    )
+
+
+def test_j06_plan_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The whole point of j06: no BroadcastNestedLoopJoin anywhere. The
+    join must be hash-based on the bucket key so a large build side
+    degrades to SMJ/shuffle-hash instead of O(N x M)."""
+    plan = explain_str(T.j06_range_join_binned(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # an actual (equi) join is present
+
+
+def test_range_join_binned_bucket_size_invariant(spark, sf_dir):
+    """Results are a pure function of the interval predicate — the
+    bucket width only re-shapes the plan (replication vs residual
+    selectivity), never the answer."""
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    camp = spark.createDataFrame(
+        T._CAMPAIGNS, "campaign_id int, start_ts timestamp, end_ts timestamp"
+    )
+    base = _sorted_rows(
+        T.range_join_binned(e, camp).select("event_id", "campaign_id")
+    )
+    for bucket in (3600, 6 * 3600, 7 * 86400):
+        got = _sorted_rows(
+            T.range_join_binned(e, camp, bucket_seconds=bucket).select(
+                "event_id", "campaign_id"
+            )
+        )
+        assert got == base, f"bucket_seconds={bucket} changed the result"
+
+
+def test_range_join_binned_exclusive_end_boundary(spark):
+    """Half-open semantics at the exact end instant, including an end
+    timestamp precisely on a bucket edge (the -1s correction's target:
+    an event AT end_ts must not match, one microsecond before must)."""
+    day = datetime(2024, 3, 1)
+    events = spark.createDataFrame(
+        [
+            (1, day),                                   # == start: in
+            (2, day + timedelta(days=2)),               # inside: in
+            (3, day + timedelta(days=3)),               # == end: OUT
+            (4, day + timedelta(days=3, microseconds=-1)),  # end-1us: in
+            (5, day + timedelta(days=-1)),              # before: out
+        ],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(7, day, day + timedelta(days=3))],
+        "campaign_id int, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        r.event_id for r in T.range_join_binned(events, iv).select("event_id").collect()
+    )
+    assert got == [1, 2, 4]
+
+
+def test_q31_hand_computed(spark):
+    """3 users: one with 3 mutually-overlapping events, one whose two
+    events touch exactly at the 30-min boundary (NOT concurrent — the
+    close-before-open tie rule), one singleton."""
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: starts at 0, +10min, +20min -> all 3 open at +20min
+        (1, 1, t0), (2, 1, t0 + timedelta(minutes=10)),
+        (3, 1, t0 + timedelta(minutes=20)),
+        # user 2: second event starts exactly when the first closes
+        (4, 2, t0), (5, 2, t0 + timedelta(minutes=30)),
+        # user 3: alone
+        (6, 3, t0),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, t: e  # the operator only reads events
+        out = {
+            r.max_concurrent: r.n_users
+            for r in T.q31_concurrency_histogram(spark, "ignored").collect()
+        }
+    finally:
+        T.load_table = orig
+    assert out == {3: 1, 1: 2}
+
+
+def test_q32_hand_computed(spark):
+    """user 1: two overlapping + one separate event -> 2 islands,
+    covered 50min + 30min; user 2: one event -> 1 island, 30min."""
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + timedelta(minutes=20)),   # overlaps 1 -> island [0, 50)
+        (3, 1, t0 + timedelta(hours=3)),      # separate island
+        (4, 2, t0),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, t: e
+        out = {
+            r.user_id: (r.n_islands, r.covered_us)
+            for r in T.q32_coalesced_intervals(spark, "ignored").collect()
+        }
+    finally:
+        T.load_table = orig
+    us = 60 * 1_000_000
+    assert out == {1: (2, 50 * us + 30 * us), 2: (1, 30 * us)}
+
+
+def test_q31_q32_single_user_window_partitioning(spark, sf_dir):
+    """Scale pin: the sweep-line windows partition by user_id (bounded
+    per-key state), never by event_type or globally (SinglePartition)."""
+    for fn in (T.q31_concurrency_histogram, T.q32_coalesced_intervals):
+        plan = explain_str(fn(spark, sf_dir))
+        assert "SinglePartition" not in plan, fn.__name__
