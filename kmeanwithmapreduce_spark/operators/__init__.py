@@ -29,7 +29,7 @@ ALL_QUERIES = {
 from .curation import CURATION_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
 from .pq import S04_SQL, S05_SQL, s04_ivfpq_search, s05_ivfpq_residual_search
-from .sketch import SKETCH_QUERIES
+from .sketch import SKETCH_QUERIES, T09_SQL, t09_hll_mergeable
 from .temporal import TEMPORAL_QUERIES
 
 EXTRA_QUERIES = {
@@ -40,6 +40,7 @@ EXTRA_QUERIES = {
     **SKETCH_QUERIES,
     "s05_ivfpq_residual_search": (s05_ivfpq_residual_search, S05_SQL),
     **TEMPORAL_QUERIES,
+    "t09_hll_mergeable": (t09_hll_mergeable, T09_SQL),
 }
 
 __all__ = [

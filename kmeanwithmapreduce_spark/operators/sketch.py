@@ -231,6 +231,97 @@ WHERE exact.exact_cnt >= 30
 """
 
 
+# --------------------------------------------------------------------------
+# t09 — mergeable HyperLogLog sketches (Spark 4's Apache DataSketches
+# HLL surface: hll_sketch_agg / hll_union_agg / hll_sketch_estimate).
+# The CMS above answers "how OFTEN"; HLL answers "how MANY distinct"
+# in lg_k * ~1 byte registers per key — the structure behind
+# incremental distinct-user counts over a sharded / streamed corpus.
+# HLL union is register-wise max: associative, commutative, LOSSLESS
+# with respect to the final estimate, so per-shard sketches persisted
+# today union with tomorrow's batch to the exact same estimate a full
+# recount would give — no corpus rescan (the minhash_bands /
+# streaming_cms_ingest accumulation pattern, applied to cardinality).
+#
+# Oracle discipline is j03/j05's: the estimate itself is
+# engine-specific, so the compared columns are the exact count plus
+# semantic booleans each engine must satisfy — Spark genuinely computes
+# merged-equals-direct over its sketch lattice; DuckDB asserts its own
+# HLL (approx_count_distinct) sits inside the same accuracy band.
+
+
+def hll_shard_sketches(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_shards: int = 16,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch per (key, shard): the persistable unit of an
+    incremental distinct-count index. Sharding is md5-based (layout-
+    independent) so the SAME value always lands in the same shard —
+    re-ingesting a duplicate value touches a sketch that already
+    contains it, keeping accumulated estimates duplicate-proof."""
+    from ..functions.hashing import md5_prefix_u32
+
+    return (
+        df.withColumn(
+            "_shard", (md5_prefix_u32(F.col(value_col).cast("string")) % n_shards)
+        )
+        .groupBy(*key_cols, "_shard")
+        .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch"))
+    )
+
+
+def hll_merge_estimate(sketches: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Union per-shard (or per-batch) sketches and estimate: the read
+    side of the incremental index. Input column ``hll_sketch`` is the
+    binary sketch column hll_shard_sketches emits (parquet-storable)."""
+    return sketches.groupBy(*key_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("n_distinct_est")
+    )
+
+
+def t09_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: exact distinct users, a boolean pinning that the
+    16-shard merged estimate equals the direct whole-relation estimate
+    (HLL union losslessness — the property that licenses incremental
+    accumulation), and a 5% accuracy band vs the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    direct = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("_d"),
+    )
+    merged = hll_merge_estimate(
+        hll_shard_sketches(e, ["event_type"], "user_id"), ["event_type"]
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.col("n_distinct_est") == F.col("_d")).alias("merged_equals_direct"),
+            (
+                F.abs(F.col("_d") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+T09_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS merged_equals_direct,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= 0.05 * count(DISTINCT user_id) AS hll_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
+# t09 registers separately in operators/__init__.py (appended at the
+# END of EXTRA_QUERIES — registry positions are append-only so the
+# documented positions of earlier entries never shift).
 SKETCH_QUERIES = {
     "t08_cms_heavy_hitters": (t08_cms_heavy_hitters, T08_SQL),
 }

@@ -382,6 +382,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "j06_range_join_binned",
         "q31_concurrency_histogram",
         "q32_coalesced_intervals",
+        "t09_hll_mergeable",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

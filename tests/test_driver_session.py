@@ -79,7 +79,8 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              "t08_cms_heavy_hitters",
              # sweep-line temporal ops: ts arithmetic in, pure ints out —
              # any session-tz leak into the epoch math shifts these
-             "q31_concurrency_histogram", "q32_coalesced_intervals"]:
+             "q31_concurrency_histogram", "q32_coalesced_intervals",
+             "t09_hll_mergeable"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(

@@ -177,3 +177,99 @@ def test_cms_null_items_excluded(spark):
         count_min_sketch(rows, "gram", width=_W), rows, "gram", width=_W
     ).collect()
     assert sorted(r.gram for r in est) == ["a", "b"]
+
+
+# --------------------------------------------------------------------------
+# t09 — mergeable HLL sketches
+
+
+def test_hll_merged_estimate_shard_count_invariant(spark, sf_dir):
+    """HLL union is register-wise max — the estimate from merged shard
+    sketches must equal the direct whole-relation estimate under ANY
+    sharding (1, 8, 64 shards)."""
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.operators.sketch import (
+        hll_merge_estimate,
+        hll_shard_sketches,
+    )
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    direct = {
+        r.event_type: r.est
+        for r in e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+                "est"
+            )
+        )
+        .collect()
+    }
+    for n_shards in (1, 8, 64):
+        merged = {
+            r.event_type: r.n_distinct_est
+            for r in hll_merge_estimate(
+                hll_shard_sketches(e, ["event_type"], "user_id", n_shards=n_shards),
+                ["event_type"],
+            ).collect()
+        }
+        assert merged == direct, f"n_shards={n_shards}"
+
+
+def test_hll_persisted_index_accumulates_incrementally(spark, sf_dir, tmp_path):
+    """The incremental-index contract (the minhash_bands pattern for
+    cardinality): persist batch-1 sketches to parquet, union them with
+    batch-2 sketches read-modify-free, and land on the estimate a full
+    recount over batch-1 ∪ batch-2 would give — including the
+    duplicate-value case (overlapping user_ids across batches must not
+    double-count)."""
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.operators.sketch import (
+        hll_merge_estimate,
+        hll_shard_sketches,
+    )
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    b1 = e.where(F.col("event_id") % 2 == 0)
+    b2 = e.where(F.col("event_id") % 2 == 1)  # same users appear in both
+    idx = str(tmp_path / "hll_index")
+    hll_shard_sketches(b1, ["event_type"], "user_id").write.parquet(idx)
+
+    accumulated = hll_merge_estimate(
+        spark.read.parquet(idx).unionByName(
+            hll_shard_sketches(b2, ["event_type"], "user_id")
+        ),
+        ["event_type"],
+    )
+    full = hll_merge_estimate(
+        hll_shard_sketches(e, ["event_type"], "user_id"), ["event_type"]
+    )
+    got = {r.event_type: r.n_distinct_est for r in accumulated.collect()}
+    want = {r.event_type: r.n_distinct_est for r in full.collect()}
+    assert got == want
+
+
+def test_hll_accuracy_band(spark, sf_dir):
+    """t09's semantic booleans hold: merged==direct and the lgK=12
+    estimate lands within 5% of exact on the real corpus."""
+    from kmeanwithmapreduce_spark.operators.sketch import t09_hll_mergeable
+
+    rows = t09_hll_mergeable(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_equals_direct, r
+        assert r.hll_within_5pct, r
+
+
+def test_hll_sketch_column_is_storable_binary(spark, sf_dir):
+    """The sketch column must be a plain BINARY — storable in parquet /
+    shippable through shuffles without a custom type."""
+    from kmeanwithmapreduce_spark.operators.sketch import hll_shard_sketches
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    schema = dict(hll_shard_sketches(e, ["event_type"], "user_id").dtypes)
+    assert schema["hll_sketch"] == "binary"
