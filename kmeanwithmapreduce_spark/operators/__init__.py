@@ -29,6 +29,7 @@ ALL_QUERIES = {
 from .curation import CURATION_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
 from .pq import S04_SQL, S05_SQL, s04_ivfpq_search, s05_ivfpq_residual_search
+from .scd import SCD_QUERIES
 from .sketch import SKETCH_QUERIES, T09_SQL, t09_hll_mergeable
 from .temporal import TEMPORAL_QUERIES
 
@@ -41,6 +42,7 @@ EXTRA_QUERIES = {
     "s05_ivfpq_residual_search": (s05_ivfpq_residual_search, S05_SQL),
     **TEMPORAL_QUERIES,
     "t09_hll_mergeable": (t09_hll_mergeable, T09_SQL),
+    **SCD_QUERIES,
 }
 
 __all__ = [

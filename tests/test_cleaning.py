@@ -383,6 +383,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "q31_concurrency_histogram",
         "q32_coalesced_intervals",
         "t09_hll_mergeable",
+        "c10_scd2_customer",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
