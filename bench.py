@@ -51,9 +51,15 @@ def main() -> int:
         ALL_QUERIES,
         CLEANING_QUERIES,
         CURATION_QUERIES,
+        EXTRA_QUERIES,
     )
 
-    ALL_QUERIES = {**ALL_QUERIES, **CLEANING_QUERIES, **CURATION_QUERIES}
+    ALL_QUERIES = {
+        **ALL_QUERIES,
+        **CLEANING_QUERIES,
+        **CURATION_QUERIES,
+        **EXTRA_QUERIES,
+    }
 
     headline = [
         "q01_pricing_summary",
@@ -89,6 +95,14 @@ def main() -> int:
         "c06_domain_mixture",
         "c07_span_dedup",
         "c08_unigram_logprob",
+        # round-5 temporal/sketch/SCD additions (BASELINE §I targets):
+        # j06 is the equi-join re-plan of j02 (same answer — their delta
+        # is the nested-loop vs binned-join cost at the same sf)
+        "j06_range_join_binned",
+        "q31_concurrency_histogram",
+        "q32_coalesced_intervals",
+        "t09_hll_mergeable",
+        "c10_scd2_customer",
     ]
 
     timings: dict[str, float] = {}
