@@ -103,6 +103,8 @@ def main() -> int:
         "q32_coalesced_intervals",
         "t09_hll_mergeable",
         "c10_scd2_customer",
+        "c11_split_assign",
+        "c12_per_group_topk",
     ]
 
     timings: dict[str, float] = {}

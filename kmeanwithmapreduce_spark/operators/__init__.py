@@ -26,7 +26,7 @@ ALL_QUERIES = {
 # Round-5 additions register after k03 in __spark_entry__.queries()
 # (positions 51+) and carry the same oracle discipline via the in-repo
 # sweep (tests/test_oracle_parity.py extends its case list with them).
-from .curation import CURATION_QUERIES
+from .curation import CURATION_QUERIES, SPLIT_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
 from .pq import S04_SQL, S05_SQL, s04_ivfpq_search, s05_ivfpq_residual_search
 from .scd import SCD_QUERIES
@@ -43,6 +43,7 @@ EXTRA_QUERIES = {
     **TEMPORAL_QUERIES,
     "t09_hll_mergeable": (t09_hll_mergeable, T09_SQL),
     **SCD_QUERIES,
+    **SPLIT_QUERIES,
 }
 
 __all__ = [

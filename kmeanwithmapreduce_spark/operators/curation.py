@@ -703,9 +703,135 @@ _C09_WEIGHTS = {f"src{i}": (4 if i % 3 == 0 else 1) for i in range(20)}
 C09_SQL = domain_mixture_upsample_sql("documents", _C09_WEIGHTS)
 
 
+# --------------------------------------------------------------------------
+# c11 — deterministic train/val/test split assignment. Fractions are
+# EXACT integer parts-per-million; cut points are exact integers in the
+# u32 draw space (floor(2^32 * cum_ppm / 10^6), computed in unbounded
+# Python int — no float rates anywhere, the c06 discipline). The
+# assignment is therefore a pure function of (key, salt, fractions):
+# stable under repartition, rerun, engine, and incremental arrival —
+# a document added next month lands in the same split it would have
+# landed in today, which is what makes eval sets trustworthy.
+# Scale: one narrow projection, zero shuffle until the caller's use.
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions_ppm: dict[str, int] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column. ``fractions_ppm`` maps split name ->
+    exact parts-per-million; must sum to exactly 1_000_000."""
+    fr = fractions_ppm or {"train": 980_000, "val": 10_000, "test": 10_000}
+    if sum(fr.values()) != 1_000_000:
+        raise ValueError(f"fractions_ppm must sum to 1_000_000, got {sum(fr.values())}")
+    u = _u32_draw(F.col(key_col), salt)
+    names = list(fr)
+    cum = 0
+    expr = F.lit(names[-1])  # the last band needs no upper test
+    conds = []
+    for name in names[:-1]:
+        cum += fr[name]
+        conds.append((name, (1 << 32) * cum // 1_000_000))
+    for name, thr in reversed(conds):
+        expr = F.when(u < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(
+    table: str,
+    key_col: str = "doc_id",
+    fractions_ppm: dict[str, int] | None = None,
+    salt: str = "split-v1",
+) -> str:
+    """DuckDB twin of split_assign's CASE chain (same exact cut points)."""
+    fr = fractions_ppm or {"train": 980_000, "val": 10_000, "test": 10_000}
+    u = (
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT)"
+    )
+    names = list(fr)
+    cum = 0
+    whens = []
+    for name in names[:-1]:
+        cum += fr[name]
+        thr = (1 << 32) * cum // 1_000_000
+        whens.append(f"WHEN {u} < {thr} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"
+
+
+def c11_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry shape: exact per-(source, split) document counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(d)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+C11_SQL = (
+    "SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs FROM ("
+    + split_assign_sql("documents")
+    + ") GROUP BY source, split"
+)
+
+
+# --------------------------------------------------------------------------
+# c12 — deterministic per-group top-k sample: the k hash-smallest
+# documents of every language ("give me 20 inspection docs per lang,
+# the same 20 every run"). The rank filter plans as WindowGroupLimit
+# (partial BEFORE the shuffle, like q09): each map task forwards at
+# most k rows per group, so shuffle volume is #groups x k x #tasks-ish,
+# never the corpus — the scale answer to "sample per whale group".
+_C12_K = 20
+
+
+def per_group_topk_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: str = "topk-v1"
+) -> DataFrame:
+    w = Window.partitionBy(group_col).orderBy(
+        _u32_draw(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def c12_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return per_group_topk_sample(d, "lang", "doc_id", _C12_K).select(
+        "lang", "doc_id", "rk"
+    )
+
+
+C12_SQL = f"""
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('topk-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {_C12_K}
+"""
+
+
 CURATION_QUERIES = {
     "c06_domain_mixture": (c06_domain_mixture, C06_SQL),
     "c07_span_dedup": (c07_span_dedup, C07_SQL),
     "c08_unigram_logprob": (c08_unigram_logprob, C08_SQL),
     "c09_domain_mixture_upsample": (c09_domain_mixture_upsample, C09_SQL),
+}
+
+# c11/c12 register at the END of EXTRA_QUERIES (operators/__init__.py)
+# — registry positions are append-only.
+SPLIT_QUERIES = {
+    "c11_split_assign": (c11_split_assign, C11_SQL),
+    "c12_per_group_topk": (c12_per_group_topk, C12_SQL),
 }

@@ -384,6 +384,8 @@ def test_cleaning_entries_sit_after_driver_window():
         "q32_coalesced_intervals",
         "t09_hll_mergeable",
         "c10_scd2_customer",
+        "c11_split_assign",
+        "c12_per_group_topk",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

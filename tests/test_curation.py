@@ -443,3 +443,104 @@ def test_span_dedup_hot_span_50k_docs(spark):
     assert agg.kept_hot == 1
     assert agg.two_span == n
     assert agg.nonempty == n  # unique spans always survive
+
+
+# --------------------------------------------------------------------------
+# c11 — deterministic split assignment / c12 — per-group top-k sample
+
+
+def test_split_assign_layout_and_subset_invariant(spark, sf_dir):
+    """A doc's split is a pure function of (key, salt): identical under
+    repartition AND when assigned within any subset of the corpus (the
+    incremental-arrival property eval sets depend on)."""
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.operators.curation import split_assign
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = {
+        r.doc_id: r.split
+        for r in split_assign(d).select("doc_id", "split").collect()
+    }
+    repart = {
+        r.doc_id: r.split
+        for r in split_assign(d.repartition(13)).select("doc_id", "split").collect()
+    }
+    assert repart == full
+    subset = {
+        r.doc_id: r.split
+        for r in split_assign(d.where(F.col("doc_id") % 2 == 0))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert subset == {k: v for k, v in full.items() if k % 2 == 0}
+
+
+def test_split_assign_rates_and_total(spark, sf_dir):
+    """Every row gets exactly one split; the train share lands near its
+    ppm target (binomial band, wide enough for sf0.001's 500 docs)."""
+    from kmeanwithmapreduce_spark.operators.curation import split_assign
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fr = {"train": 800_000, "val": 100_000, "test": 100_000}
+    counts = dict(
+        split_assign(d, fractions_ppm=fr)
+        .groupBy("split")
+        .count()
+        .rdd.map(lambda r: (r["split"], r["count"]))
+        .collect()
+    )
+    n = d.count()
+    assert sum(counts.values()) == n
+    assert set(counts) <= set(fr)
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.08
+
+
+def test_split_assign_rejects_bad_fractions(spark, sf_dir):
+    import pytest as _pytest
+
+    from kmeanwithmapreduce_spark.operators.curation import split_assign
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        split_assign(d, fractions_ppm={"train": 1, "val": 2})
+
+
+def test_per_group_topk_bounded_and_deterministic(spark, sf_dir):
+    """<= k rows per group, rk dense 1..n_g, identical selection under
+    repartition."""
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.operators.curation import per_group_topk_sample
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = per_group_topk_sample(d, "lang", "doc_id", 5)
+    per_group = out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rk").alias("mx")
+    )
+    bad = per_group.where((F.col("n") > 5) | (F.col("mx") != F.col("n"))).count()
+    assert bad == 0
+    a = sorted((r.lang, r.doc_id) for r in out.select("lang", "doc_id").collect())
+    b = sorted(
+        (r.lang, r.doc_id)
+        for r in per_group_topk_sample(d.repartition(17), "lang", "doc_id", 5)
+        .select("lang", "doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_per_group_topk_plans_window_group_limit(spark, sf_dir):
+    """Scale pin: the rank filter must push a partial WindowGroupLimit
+    below the shuffle (map tasks forward <= k rows per group), the q09
+    property that keeps whale groups off the wire."""
+    from kmeanwithmapreduce_spark.operators.curation import c12_per_group_topk
+    from kmeanwithmapreduce_spark.plans import explain_str
+
+    plan = explain_str(c12_per_group_topk(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan

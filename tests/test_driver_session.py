@@ -80,7 +80,8 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              # sweep-line temporal ops: ts arithmetic in, pure ints out —
              # any session-tz leak into the epoch math shifts these
              "q31_concurrency_histogram", "q32_coalesced_intervals",
-             "t09_hll_mergeable", "c10_scd2_customer"]:
+             "t09_hll_mergeable", "c10_scd2_customer",
+             "c11_split_assign", "c12_per_group_topk"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(
