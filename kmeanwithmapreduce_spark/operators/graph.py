@@ -70,8 +70,12 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
 
+    # materialize the sink set ONCE — the per-iteration dangling-mass
+    # probe is then a semi join against this small frame, not a
+    # re-aggregation of the full edge relation every round
+    dangling_nodes = ckpt(nodes.join(deg, "node", "left_anti"))
     ranks = ckpt(nodes.select("node", F.lit(1.0 / n).alias("rank")))
-    old_ckpts = [ed, ranks]
+    old_ckpts = [ed, dangling_nodes, ranks]
     for _ in range(max_iter):
         contribs = (
             ed.join(ranks, "node")
@@ -84,7 +88,9 @@ def pagerank(
         )
         # dangling nodes (no out-edges) spread their mass uniformly
         dangling = (
-            ranks.join(deg, "node", "left_anti").agg(F.sum("rank")).first()[0]
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.sum("rank"))
+            .first()[0]
             or 0.0
         )
         new_ranks = ckpt(

@@ -103,11 +103,17 @@ J06_SQL = J02_SQL  # identical semantics, different physical plan
 def q31_concurrency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     span = F.expr("INTERVAL 30 MINUTES")
+    # ONE scan: each event explodes into its open/close endpoints (a
+    # union of two selects would scan the 100 TB events table twice)
     pts = e.select(
-        "user_id", F.col("ts").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        e.select("user_id", (F.col("ts") + span).alias("t"), F.lit(-1).alias("delta"))
-    )
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct((F.col("ts") + span).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("_p"),
+    ).select("user_id", "_p.t", "_p.delta")
     w = (
         Window.partitionBy("user_id")
         .orderBy("t", "delta")

@@ -139,3 +139,57 @@ def read_accumulated_sketch(spark, sketch_path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return epochs.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# streaming HLL accumulation — the cardinality twin of the CMS path
+# above: per-micro-batch per-(key, shard) DataSketches HLL sketches
+# land in epoch-keyed subdirs; the accumulated estimate is the union
+# over all epochs. Correct because HLL union is register-wise max
+# (associative/commutative/estimate-lossless — pinned in
+# tests/test_sketch.py), so replayed values and cross-epoch duplicates
+# never double-count; exactly-once because a replayed epoch overwrites
+# its own subdir. State per epoch: #keys x n_shards sketches of
+# 2^lg_k registers, never stream volume.
+
+
+def streaming_hll_ingest(
+    stream_items: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    *,
+    n_shards: int = 16,
+    lg_k: int = 12,
+):
+    from ..operators.sketch import hll_shard_sketches
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        hll_shard_sketches(
+            batch_df, key_cols, value_col, n_shards=n_shards, lg_k=lg_k
+        ).write.mode("overwrite").parquet(
+            os.path.join(sketch_path, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream_items.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_accumulated_hll(spark, key_cols: list[str], sketch_path: str) -> DataFrame:
+    """Union every ingested epoch's sketches per key and estimate — the
+    distinct count of everything streamed so far."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketch import hll_merge_estimate
+
+    try:
+        epochs = spark.read.parquet(os.path.join(sketch_path, "*"))
+    except Exception:
+        schema = ", ".join(f"{c} string" for c in key_cols)
+        return spark.createDataFrame([], f"{schema}, n_distinct_est bigint")
+    return hll_merge_estimate(epochs, key_cols)

@@ -273,3 +273,60 @@ def test_hll_sketch_column_is_storable_binary(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     schema = dict(hll_shard_sketches(e, ["event_type"], "user_id").dtypes)
     assert schema["hll_sketch"] == "binary"
+
+
+def test_streaming_hll_accumulates_to_batch_estimate(spark, sf_dir, tmp_path):
+    """user_ids arrive in two micro-batches with OVERLAPPING values
+    across epochs (the duplicate case CMS counts double but HLL must
+    not); the accumulated union estimate must equal the one-shot batch
+    estimate over everything streamed."""
+    import glob
+
+    from kmeanwithmapreduce_spark.operators.sketch import (
+        hll_merge_estimate,
+        hll_shard_sketches,
+    )
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+    from kmeanwithmapreduce_spark.streaming.ingest import (
+        read_accumulated_hll,
+        streaming_hll_ingest,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    # overlapping halves: both contain every even event_id's rows' users
+    e.where(F.col("user_id") % 3 != 0).coalesce(1).write.mode("overwrite").parquet(src)
+    e.where(F.col("user_id") % 3 != 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_hll_ingest(
+        stream,
+        ["event_type"],
+        "user_id",
+        sketch_path=str(tmp_path / "hll"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(glob.glob(str(tmp_path / "hll" / "epoch=*"))) >= 2
+    acc = {
+        r.event_type: r.n_distinct_est
+        for r in read_accumulated_hll(spark, ["event_type"], str(tmp_path / "hll")).collect()
+    }
+    full = {
+        r.event_type: r.n_distinct_est
+        for r in hll_merge_estimate(
+            hll_shard_sketches(spark.read.parquet(src), ["event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    assert acc == full
+
+
+def test_read_accumulated_hll_empty(spark, tmp_path):
+    from kmeanwithmapreduce_spark.streaming.ingest import read_accumulated_hll
+
+    out = read_accumulated_hll(spark, ["event_type"], str(tmp_path / "nope"))
+    assert out.count() == 0
