@@ -105,6 +105,8 @@ def main() -> int:
         "c10_scd2_customer",
         "c11_split_assign",
         "c12_per_group_topk",
+        "t10_theta_setops",
+        "t11_kll_quantiles",
     ]
 
     timings: dict[str, float] = {}

@@ -30,7 +30,15 @@ from .curation import CURATION_QUERIES, SPLIT_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
 from .pq import S04_SQL, S05_SQL, s04_ivfpq_search, s05_ivfpq_residual_search
 from .scd import SCD_QUERIES
-from .sketch import SKETCH_QUERIES, T09_SQL, t09_hll_mergeable
+from .sketch import (
+    SKETCH_QUERIES,
+    T09_SQL,
+    T10_SQL,
+    T11_SQL,
+    t09_hll_mergeable,
+    t10_theta_setops,
+    t11_kll_quantiles,
+)
 from .temporal import TEMPORAL_QUERIES
 
 EXTRA_QUERIES = {
@@ -44,6 +52,8 @@ EXTRA_QUERIES = {
     "t09_hll_mergeable": (t09_hll_mergeable, T09_SQL),
     **SCD_QUERIES,
     **SPLIT_QUERIES,
+    "t10_theta_setops": (t10_theta_setops, T10_SQL),
+    "t11_kll_quantiles": (t11_kll_quantiles, T11_SQL),
 }
 
 __all__ = [

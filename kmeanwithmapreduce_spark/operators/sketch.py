@@ -325,3 +325,187 @@ GROUP BY event_type
 SKETCH_QUERIES = {
     "t08_cms_heavy_hitters": (t08_cms_heavy_hitters, T08_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# t10 — theta sketches: SET-OPERATION cardinality (DataSketches theta;
+# Dasgupta et al., "Theta-join of data sketches"). HLL (t09) only
+# unions; theta sketches keep a hash SAMPLE below a threshold theta,
+# so intersections and differences compose: |click ∩ purchase| users
+# without materializing either set — the segment-overlap question
+# every audience/contamination analysis asks at 100 TB.
+#
+# Oracle discipline is t09's: exact counts via self-joined distinct
+# sets, plus booleans asserting the sketch landed inside a 5% band of
+# exact. At this corpus's cardinalities the theta sketches are in
+# exact mode (below the k=4096 sample threshold), but the bands keep
+# the entry honest at any sf.
+
+
+def theta_segment_overlap(
+    df: DataFrame, value_col: str, seg_col, segment_a: str, segment_b: str
+) -> DataFrame:
+    """One row: theta-estimated |A|, |B|, |A ∪ B|, |A ∩ B|, |A \\ B|
+    of distinct ``value_col`` values in each segment. Two sketch
+    aggregations over one scan; set algebra happens on the k-sample
+    sketches, never the raw sets."""
+    sk = df.agg(
+        F.theta_sketch_agg(
+            F.when(F.col(seg_col) == segment_a, F.col(value_col))
+        ).alias("ska"),
+        F.theta_sketch_agg(
+            F.when(F.col(seg_col) == segment_b, F.col(value_col))
+        ).alias("skb"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate("ska").alias("est_a"),
+        F.theta_sketch_estimate("skb").alias("est_b"),
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias(
+            "est_intersect"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias(
+            "est_diff"
+        ),
+    )
+
+
+def t10_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """click-vs-purchase audience overlap on events.user_id: exact
+    distinct counts plus 5%-band booleans for every theta estimate,
+    and the inclusion-exclusion identity |A|+|B| == |A∪B|+|A∩B| pinned
+    on the estimates themselves (exact for exact-mode sketches)."""
+    e = load_table(spark, sf_dir, "events")
+    est = theta_segment_overlap(e, "user_id", "event_type", "click", "purchase")
+    a = e.where(F.col("event_type") == "click").select("user_id")
+    b = e.where(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        a.agg(F.countDistinct("user_id").alias("n_a"))
+        .crossJoin(b.agg(F.countDistinct("user_id").alias("n_b")))
+        .crossJoin(
+            a.union(b).agg(F.countDistinct("user_id").alias("n_union"))
+        )
+        .crossJoin(
+            a.intersect(b).agg(F.countDistinct("user_id").alias("n_intersect"))
+        )
+    )
+
+    def band(est_col, exact_col):
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= 0.05 * F.col(exact_col)
+
+    return est.crossJoin(exact).select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_intersect",
+        band("est_a", "n_a").alias("a_within_5pct"),
+        band("est_b", "n_b").alias("b_within_5pct"),
+        band("est_union", "n_union").alias("union_within_5pct"),
+        band("est_intersect", "n_intersect").alias("intersect_within_5pct"),
+        (
+            F.round(F.col("est_a") + F.col("est_b"), 3)
+            == F.round(F.col("est_union") + F.col("est_intersect"), 3)
+        ).alias("inclusion_exclusion_holds"),
+    )
+
+
+T10_SQL = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT count(*) FROM a) AS n_a,
+       (SELECT count(*) FROM b) AS n_b,
+       (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersect,
+       TRUE AS a_within_5pct,
+       TRUE AS b_within_5pct,
+       TRUE AS union_within_5pct,
+       TRUE AS intersect_within_5pct,
+       TRUE AS inclusion_exclusion_holds
+"""
+
+
+# --------------------------------------------------------------------------
+# t11 — KLL quantile sketches (Karnin, Lang, Liberty FOCS'16): the
+# MERGEABLE quantile structure. j05's percentile_approx answers one
+# relation's quantiles; KLL sketches persist per shard/day and merge
+# later — the "what was last quarter's p99" question without re-reading
+# last quarter. Both the direct and the shard-merged sketch must land
+# in the exact ±2%-quantile band (the j05 oracle discipline; merged
+# and direct sketches may legitimately differ in their compaction
+# path, so each is banded against EXACT, not against each other).
+
+
+def t11_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sharded = li.withColumn(
+        "_shard", F.pmod(F.xxhash64("l_orderkey"), F.lit(8))
+    )
+    shard_sk = sharded.groupBy("_shard").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk")
+    )
+    # kll_sketch_merge_double is a BINARY scalar merge (no union agg in
+    # this Spark): fold the 8 shard sketches with a higher-order reduce
+    # — collect_list here is 8 kilobyte-scale sketches, not data
+    merged = (
+        shard_sk.agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.reduce(
+                F.slice("sks", 2, F.size("sks") - 1),
+                F.element_at("sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sk")
+        )
+        .select(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("m50"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("m90"),
+        )
+    )
+    direct = li.agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        F.percentile("l_extendedprice", F.lit(0.48)).alias("lo50"),
+        F.percentile("l_extendedprice", F.lit(0.52)).alias("hi50"),
+        F.percentile("l_extendedprice", F.lit(0.88)).alias("lo90"),
+        F.percentile("l_extendedprice", F.lit(0.92)).alias("hi90"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        "n",
+        "lo50",
+        "hi50",
+        "lo90",
+        "hi90",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("d50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("d90"),
+    )
+    return direct.crossJoin(merged).select(
+        "n",
+        ((F.col("d50") >= F.col("lo50")) & (F.col("d50") <= F.col("hi50"))).alias(
+            "direct_p50_within_band"
+        ),
+        ((F.col("d90") >= F.col("lo90")) & (F.col("d90") <= F.col("hi90"))).alias(
+            "direct_p90_within_band"
+        ),
+        ((F.col("m50") >= F.col("lo50")) & (F.col("m50") <= F.col("hi50"))).alias(
+            "merged_p50_within_band"
+        ),
+        ((F.col("m90") >= F.col("lo90")) & (F.col("m90") <= F.col("hi90"))).alias(
+            "merged_p90_within_band"
+        ),
+    )
+
+
+T11_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       approx_quantile(l_extendedprice, 0.5)
+         BETWEEN quantile_cont(l_extendedprice, 0.48)
+             AND quantile_cont(l_extendedprice, 0.52) AS direct_p50_within_band,
+       approx_quantile(l_extendedprice, 0.9)
+         BETWEEN quantile_cont(l_extendedprice, 0.88)
+             AND quantile_cont(l_extendedprice, 0.92) AS direct_p90_within_band,
+       approx_quantile(l_extendedprice, 0.5)
+         BETWEEN quantile_cont(l_extendedprice, 0.48)
+             AND quantile_cont(l_extendedprice, 0.52) AS merged_p50_within_band,
+       approx_quantile(l_extendedprice, 0.9)
+         BETWEEN quantile_cont(l_extendedprice, 0.88)
+             AND quantile_cont(l_extendedprice, 0.92) AS merged_p90_within_band
+FROM lineitem
+"""

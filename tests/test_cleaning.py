@@ -386,6 +386,8 @@ def test_cleaning_entries_sit_after_driver_window():
         "c10_scd2_customer",
         "c11_split_assign",
         "c12_per_group_topk",
+        "t10_theta_setops",
+        "t11_kll_quantiles",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

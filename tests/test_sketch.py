@@ -330,3 +330,72 @@ def test_read_accumulated_hll_empty(spark, tmp_path):
 
     out = read_accumulated_hll(spark, ["event_type"], str(tmp_path / "nope"))
     assert out.count() == 0
+
+
+# --------------------------------------------------------------------------
+# t10 — theta set-operation sketches / t11 — KLL quantile sketches
+
+
+def test_theta_setops_exact_on_constructed_overlap(spark):
+    """Constructed segments with known |A|=60, |B|=50, |A∩B|=30: theta
+    sketches are in exact mode at this size, so every estimate must hit
+    the exact count (rounded)."""
+    from kmeanwithmapreduce_spark.operators.sketch import theta_segment_overlap
+
+    rows = [(i, "a") for i in range(60)] + [(i, "b") for i in range(30, 80)]
+    df = spark.createDataFrame(rows, "user_id long, seg string")
+    r = theta_segment_overlap(df, "user_id", "seg", "a", "b").first()
+    assert round(r.est_a) == 60
+    assert round(r.est_b) == 50
+    assert round(r.est_union) == 80
+    assert round(r.est_intersect) == 30
+    assert round(r.est_diff) == 30  # A \ B
+
+
+def test_t10_semantic_booleans_hold(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.sketch import t10_theta_setops
+
+    r = t10_theta_setops(spark, sf_dir).first()
+    assert r.a_within_5pct and r.b_within_5pct
+    assert r.union_within_5pct and r.intersect_within_5pct
+    assert r.inclusion_exclusion_holds
+    # overlap sanity on real events: intersection <= min side <= union
+    assert r.n_intersect <= min(r.n_a, r.n_b) <= r.n_union
+
+
+def test_kll_merge_fold_is_exact_below_k(spark):
+    """With n < the sketch's k the KLL stores every value — direct and
+    shard-merged sketches must return the IDENTICAL exact quantile."""
+    from pyspark.sql import functions as F
+
+    vals = [(float(i), i % 4) for i in range(120)]
+    df = spark.createDataFrame(vals, "v double, shard int")
+    direct = df.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("v"), F.lit(0.5)
+        ).alias("q")
+    ).first()["q"]
+    sks = df.groupBy("shard").agg(F.kll_sketch_agg_double("v").alias("sk"))
+    merged = (
+        sks.agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.kll_sketch_get_quantile_double(
+                F.reduce(
+                    F.slice("sks", 2, F.size("sks") - 1),
+                    F.element_at("sks", 1),
+                    lambda a, b: F.kll_sketch_merge_double(a, b),
+                ),
+                F.lit(0.5),
+            ).alias("q")
+        )
+        .first()["q"]
+    )
+    assert direct == merged
+
+
+def test_t11_bands_hold(spark, sf_dir):
+    from kmeanwithmapreduce_spark.operators.sketch import t11_kll_quantiles
+
+    r = t11_kll_quantiles(spark, sf_dir).first()
+    assert r.direct_p50_within_band and r.direct_p90_within_band
+    assert r.merged_p50_within_band and r.merged_p90_within_band
