@@ -107,6 +107,7 @@ def main() -> int:
         "c12_per_group_topk",
         "t10_theta_setops",
         "t11_kll_quantiles",
+        "v01_data_audit",
     ]
 
     timings: dict[str, float] = {}

@@ -29,6 +29,7 @@ ALL_QUERIES = {
 from .curation import CURATION_QUERIES, SPLIT_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
 from .pq import S04_SQL, S05_SQL, s04_ivfpq_search, s05_ivfpq_residual_search
+from .quality import QUALITY_QUERIES
 from .scd import SCD_QUERIES
 from .sketch import (
     SKETCH_QUERIES,
@@ -54,6 +55,7 @@ EXTRA_QUERIES = {
     **SPLIT_QUERIES,
     "t10_theta_setops": (t10_theta_setops, T10_SQL),
     "t11_kll_quantiles": (t11_kll_quantiles, T11_SQL),
+    **QUALITY_QUERIES,
 }
 
 __all__ = [

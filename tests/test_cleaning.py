@@ -388,6 +388,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "c12_per_group_topk",
         "t10_theta_setops",
         "t11_kll_quantiles",
+        "v01_data_audit",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -82,7 +82,7 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              "q31_concurrency_histogram", "q32_coalesced_intervals",
              "t09_hll_mergeable", "c10_scd2_customer",
              "c11_split_assign", "c12_per_group_topk",
-             "t10_theta_setops", "t11_kll_quantiles"]:
+             "t10_theta_setops", "t11_kll_quantiles", "v01_data_audit"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(
