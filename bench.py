@@ -47,19 +47,10 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from kmeanwithmapreduce_spark.operators import (
-        ALL_QUERIES,
-        CLEANING_QUERIES,
-        CURATION_QUERIES,
-        EXTRA_QUERIES,
-    )
+    from kmeanwithmapreduce_spark.operators import ALL_QUERIES, EXTRA_QUERIES
 
-    ALL_QUERIES = {
-        **ALL_QUERIES,
-        **CLEANING_QUERIES,
-        **CURATION_QUERIES,
-        **EXTRA_QUERIES,
-    }
+    # EXTRA_QUERIES already contains the cleaning/curation dicts
+    ALL_QUERIES = {**ALL_QUERIES, **EXTRA_QUERIES}
 
     headline = [
         "q01_pricing_summary",

@@ -758,7 +758,14 @@ def split_assign_sql(
         cum += fr[name]
         thr = (1 << 32) * cum // 1_000_000
         whens.append(f"WHEN {u} < {thr} THEN '{name}'")
-    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    # a single-split config has zero WHEN branches — 'CASE ELSE..END'
+    # is invalid SQL, so degrade to the bare literal (what the Spark
+    # twin's expr reduces to)
+    case = (
+        "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+        if whens
+        else f"'{names[-1]}'"
+    )
     return f"SELECT *, {case} AS split FROM {table}"
 
 

@@ -51,31 +51,35 @@ def pagerank(
     within 1e-9, not bit-exact)."""
     ckpt = _make_checkpointer(edges, checkpoint)
 
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
+    # emptiness check BEFORE any eager checkpoint exists — an early
+    # return must not leak a persisted RDD the caller can't release
+    if edges.limit(1).count() == 0:
+        return edges.select(F.col(src).alias("node"), F.lit(0.0).alias("rank"))
+
     deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    # one materialized (src, dst, out_deg) relation feeds every round
+    # materialize ONCE, iterate many: the (src, dst, out_deg) relation,
+    # the node set, and the sink set all derive from (possibly
+    # expensive) upstream plans — none may re-execute per round
     ed = ckpt(
         edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst")).join(
             deg, "node"
         )
     )
+    nodes = ckpt(
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
 
-    # materialize the sink set ONCE — the per-iteration dangling-mass
-    # probe is then a semi join against this small frame, not a
-    # re-aggregation of the full edge relation every round
+    # the per-iteration dangling-mass probe is a semi join against this
+    # small frame, not a re-aggregation of the full edge relation
     dangling_nodes = ckpt(nodes.join(deg, "node", "left_anti"))
     ranks = ckpt(nodes.select("node", F.lit(1.0 / n).alias("rank")))
-    old_ckpts = [ed, dangling_nodes, ranks]
+    old_ckpts = [ed, nodes, dangling_nodes, ranks]
     for _ in range(max_iter):
         contribs = (
             ed.join(ranks, "node")

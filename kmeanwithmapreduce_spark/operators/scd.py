@@ -117,10 +117,12 @@ def scd2_apply(
 # twin reconstructs the byte-identical inputs:
 #   keys % 10 in (0,1,2): segment rewritten to '<seg>_v2'  -> versioned
 #   keys % 10 == 3:       "change" carrying the same value -> no-op
-#   keys % 100 == 7:      a NEW key (base + 10_000_000), segment 'NEW'
+#   keys % 100 == 7:      a NEW key (-(base+1): the negative key space
+#                          cannot collide with real positive custkeys
+#                          at ANY scale factor — a fixed positive
+#                          offset would at sf ~67+), segment 'NEW'
 _T0 = "2024-01-01 00:00:00"
 _T1 = "2025-06-01 00:00:00"
-_NEW_KEY_OFFSET = 10_000_000
 
 
 def c10_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,7 +149,7 @@ def c10_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             c.where(F.col("c_custkey") % 100 == 7).select(
-                (F.col("c_custkey") + _NEW_KEY_OFFSET).alias("c_custkey"),
+                (-(F.col("c_custkey") + 1)).alias("c_custkey"),
                 F.lit("NEW").alias("c_mktsegment"),
                 ts1.alias("change_ts"),
             )
@@ -170,8 +172,8 @@ UNION ALL
 SELECT k, seg || '_v2', TIMESTAMP '{_T1}', NULL, TRUE
 FROM cur WHERE k % 10 < 3             -- the new versions
 UNION ALL
-SELECT k + {_NEW_KEY_OFFSET}, 'NEW', TIMESTAMP '{_T1}', NULL, TRUE
-FROM cur WHERE k % 100 = 7            -- brand-new keys
+SELECT -(k + 1), 'NEW', TIMESTAMP '{_T1}', NULL, TRUE
+FROM cur WHERE k % 100 = 7            -- brand-new keys (negative space)
 """
 
 

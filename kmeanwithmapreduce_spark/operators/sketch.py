@@ -460,19 +460,22 @@ def t11_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("m90"),
         )
     )
+    # ONE array-percentile: four scalar F.percentile calls each run
+    # their own sort-based aggregate (measured 5.7 s vs 2.0 s at sf0.1
+    # warm); the array form sorts once for all four band edges
     direct = li.agg(
         F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
-        F.percentile("l_extendedprice", F.lit(0.48)).alias("lo50"),
-        F.percentile("l_extendedprice", F.lit(0.52)).alias("hi50"),
-        F.percentile("l_extendedprice", F.lit(0.88)).alias("lo90"),
-        F.percentile("l_extendedprice", F.lit(0.92)).alias("hi90"),
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(p) for p in (0.48, 0.52, 0.88, 0.92)]),
+        ).alias("_qs"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     ).select(
         "n",
-        "lo50",
-        "hi50",
-        "lo90",
-        "hi90",
+        F.element_at("_qs", 1).alias("lo50"),
+        F.element_at("_qs", 2).alias("hi50"),
+        F.element_at("_qs", 3).alias("lo90"),
+        F.element_at("_qs", 4).alias("hi90"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("d50"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("d90"),
     )

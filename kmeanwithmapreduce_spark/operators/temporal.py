@@ -49,19 +49,26 @@ def range_join_binned(
     once — no post-join dedup needed). Choose ``bucket_seconds`` near
     the typical interval length: replication factor is
     ceil(len/bucket)+1 while residual selectivity per bucket stays high.
+
+    Bucket arithmetic is exact MICROSECONDS (unix_micros), the q32
+    discipline: second-truncating unix_timestamp would assign an
+    interval ending at a bucket edge + 0.5s a last bucket one too
+    early, silently dropping events in that final fraction of a
+    second.
     """
+    b_us = bucket_seconds * 1_000_000
     binned = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(start_col) / bucket_seconds),
-                # end is exclusive: the last covered instant is end-1s
-                F.floor((F.unix_timestamp(end_col) - F.lit(1)) / bucket_seconds),
+                F.floor(F.unix_micros(F.col(start_col)) / b_us),
+                # end is exclusive: the last covered instant is end-1µs
+                F.floor((F.unix_micros(F.col(end_col)) - F.lit(1)) / b_us),
             )
         ),
     )
     probe = events.withColumn(
-        "_bucket", F.floor(F.unix_timestamp(ts_col) / bucket_seconds)
+        "_bucket", F.floor(F.unix_micros(F.col(ts_col)) / b_us)
     )
     return (
         probe.join(binned, "_bucket")

@@ -544,3 +544,28 @@ def test_per_group_topk_plans_window_group_limit(spark, sf_dir):
     plan = explain_str(c12_per_group_topk(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+def test_split_assign_sql_single_split_is_valid(spark, sf_dir, duck):
+    """Review regression: a one-split config must emit valid SQL (a
+    zero-WHEN CASE is a parser error) and agree with the Spark twin."""
+    from kmeanwithmapreduce_spark.operators.curation import (
+        split_assign,
+        split_assign_sql,
+    )
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    fr = {"all": 1_000_000}
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: r.split
+        for r in split_assign(d, fractions_ppm=fr).select("doc_id", "split").collect()
+    }
+    want = dict(
+        duck.execute(
+            "SELECT doc_id, split FROM ("
+            + split_assign_sql("documents", fractions_ppm=fr)
+            + ")"
+        ).fetchall()
+    )
+    assert got == want and set(got.values()) == {"all"}

@@ -144,3 +144,28 @@ def test_q31_q32_single_user_window_partitioning(spark, sf_dir):
     for fn in (T.q31_concurrency_histogram, T.q32_coalesced_intervals):
         plan = explain_str(fn(spark, sf_dir))
         assert "SinglePartition" not in plan, fn.__name__
+
+
+def test_range_join_binned_subsecond_end_at_bucket_edge(spark):
+    """Review regression: an interval ending 0.5s AFTER a bucket edge
+    must still cover events in that final fraction (second-truncating
+    bucket math assigned the interval a last bucket one too early and
+    silently dropped them)."""
+    day = datetime(2024, 3, 1)
+    end = day + timedelta(days=1, microseconds=500_000)  # midnight + 0.5s
+    events = spark.createDataFrame(
+        [
+            (1, day + timedelta(days=1, microseconds=200_000)),  # in: < end
+            (2, end),                                            # == end: out
+            (3, day + timedelta(hours=12)),                      # in
+        ],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(7, day, end)], "campaign_id int, start_ts timestamp, end_ts timestamp"
+    )
+    got = sorted(
+        r.event_id
+        for r in T.range_join_binned(events, iv).select("event_id").collect()
+    )
+    assert got == [1, 3]
