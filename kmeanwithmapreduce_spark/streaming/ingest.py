@@ -193,3 +193,95 @@ def read_accumulated_hll(spark, key_cols: list[str], sketch_path: str) -> DataFr
         schema = ", ".join(f"{c} string" for c in key_cols)
         return spark.createDataFrame([], f"{schema}, n_distinct_est bigint")
     return hll_merge_estimate(epochs, key_cols)
+
+
+# --------------------------------------------------------------------------
+# streaming SCD2 — change-data-capture apply: each micro-batch of
+# change rows folds into a versioned dimension via operators/scd.py's
+# scd2_apply. SCD2 is a left FOLD, not a merge — unlike the CMS/HLL
+# paths above there is no commutative shortcut — so epochs must apply
+# in order, which availableNow + checkpointing guarantees.
+#
+# Snapshot-chain commit protocol: each epoch writes a FULL dimension
+# snapshot to epoch=N/ and parquet's own _SUCCESS marker is the
+# commit. Readers (and the next epoch) take the highest COMMITTED
+# epoch; a replayed epoch that already committed is skipped, and one
+# that died mid-write has no _SUCCESS, so the replay's overwrite
+# redoes it cleanly — exactly-once with no pointer-swap crash window
+# (a "promote current" step would lose the update if the job died
+# between marking the epoch done and swapping the pointer). Dimension
+# snapshots are tiny relative to the fact data they describe; a chain
+# of them is the SCD2 analog of the epoch-keyed sketch dirs above,
+# and old epochs are trivially GC-able (keep-last-K).
+#
+# Multi-change batches pre-aggregate to the LATEST change per key
+# (max_by over change_ts) before applying — scd2_apply's documented
+# one-change-per-key contract.
+
+
+def _committed_epochs(spark, dim_path: str) -> list[int]:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dim_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("epoch=") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def read_scd2_dim(spark, dim_path: str) -> DataFrame:
+    """The current dimension: highest committed epoch snapshot, or the
+    caller-written ``base`` bootstrap snapshot before any epoch."""
+    epochs = _committed_epochs(spark, dim_path)
+    sub = f"epoch={epochs[-1]}" if epochs else "base"
+    return spark.read.parquet(os.path.join(dim_path, sub))
+
+
+def streaming_scd2_ingest(
+    stream_changes: DataFrame,
+    dim_path: str,
+    checkpoint_path: str,
+    key: str,
+    attr_cols: list[str],
+    change_ts_col: str = "change_ts",
+):
+    """Fold a change stream into the SCD2 dimension chain at
+    ``dim_path`` (bootstrap: caller writes the initial snapshot to
+    ``<dim_path>/base`` first). Read the result with read_scd2_dim."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scd import scd2_apply
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _committed_epochs(spark, dim_path)
+        if epoch_id in done:  # replayed, already committed
+            return
+        latest = (
+            batch_df.groupBy(key)
+            .agg(
+                F.max_by(
+                    F.struct(*attr_cols, change_ts_col), F.col(change_ts_col)
+                ).alias("_c")
+            )
+            .select(key, "_c.*")
+        )
+        merged = scd2_apply(
+            read_scd2_dim(spark, dim_path), latest, key, attr_cols, change_ts_col
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(dim_path, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream_changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
