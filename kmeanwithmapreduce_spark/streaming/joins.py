@@ -44,3 +44,22 @@ def clicks_with_recent_purchase(
             >= F.col("click_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
         ),
     ).select("click_id", "c_user", "click_ts", "purchase_ts", "purchase_value")
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-STATIC join: enrich an unbounded stream with a (small)
+    dimension — the lookup-table pattern. The static side is marked
+    broadcast, so every micro-batch plans a BroadcastHashJoin with
+    ZERO streaming state (unlike a stream-stream join nothing is
+    buffered; the dim is re-resolvable per batch, which also means a
+    dim refreshed between batches — e.g. an SCD2 snapshot chain
+    advancing — is picked up on the next trigger when the caller
+    passes a lazily-read frame).
+
+    Composition with the SCD2 chain: pass
+    ``read_scd2_dim(spark, dim_path).where("is_current")`` to enrich
+    each event with the dimension attributes CURRENT at processing
+    time."""
+    return stream.join(F.broadcast(dim), key, how)
