@@ -40,7 +40,8 @@ from .sketch import (
     t10_theta_setops,
     t11_kll_quantiles,
 )
-from .temporal import TEMPORAL_QUERIES
+from .graph import GRAPH_QUERIES
+from .temporal import RESAMPLE_QUERIES, TEMPORAL_QUERIES
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
@@ -56,6 +57,8 @@ EXTRA_QUERIES = {
     "t10_theta_setops": (t10_theta_setops, T10_SQL),
     "t11_kll_quantiles": (t11_kll_quantiles, T11_SQL),
     **QUALITY_QUERIES,
+    **RESAMPLE_QUERIES,
+    **GRAPH_QUERIES,
 }
 
 __all__ = [

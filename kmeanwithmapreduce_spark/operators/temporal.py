@@ -237,8 +237,179 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q33 — time-series resample + forward fill (LOCF): per user, a dense
+# DAILY grid from their first to their last event day; each day carries
+# the value of that day's LAST event (ts desc, event_id desc — a total
+# order, so "last" is engine-portable), and days with no events inherit
+# the most recent prior value (last-observation-carried-forward). The
+# classic gap-fill that turns an irregular event stream into the
+# regular series a feature pipeline or forecaster consumes.
+#
+# Scale shape: the grid explodes per USER (sequence + explode — a
+# narrow map-side expansion bounded by the user's own day span, never a
+# global calendar cross join), the daily-last pick and the LOCF window
+# both partition by user (bounded per-key state), and the grid↔daily
+# join is an equi-join on (user_id, day) that shares the window's
+# hash partitioning. No SinglePartition anywhere; survives any user
+# count. LOCF copies values verbatim (zero float arithmetic), so the
+# filled series is bit-identical across engines.
+def q33_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        e.select("user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_day))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", "value", F.lit(1).alias("obs"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_filled"),
+        F.coalesce("obs", F.lit(0)).cast("int").alias("observed"),
+    )
+
+
+Q33_SQL = """
+WITH daily AS (
+  SELECT user_id, day, value, 1 AS obs FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+),
+joined AS (
+  SELECT g.user_id, g.day, d.value, coalesce(d.obs, 0) AS observed
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+)
+SELECT user_id, day,
+       last_value(value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_filled,
+       CAST(observed AS INT) AS observed
+FROM joined
+"""
+
+
+# --------------------------------------------------------------------------
+# q34 — ordered conversion funnel: how many users complete
+# signup → view → click → purchase with STRICTLY increasing timestamps
+# (a purchase logged before the user's click does not convert — the
+# property a naive per-type EXISTS check gets wrong). Stage k's entry
+# time is the user's earliest stage-k event AFTER their stage-(k-1)
+# entry time, i.e. the min-ts chain.
+#
+# Scale shape: four per-user MIN aggregates over frames that only
+# shrink (stage k joins events against the stage-(k-1) survivors on
+# user_id — a broadcastable frame after stage 1); per-user state is one
+# timestamp, so no whale-group risk, and every stage hashes by the same
+# user_id key so AQE reuses the exchange layout. Final stage counts are
+# four 1-row aggregates unioned — no collect.
+def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def next_stage(prev: DataFrame, etype: str, tcol: str, prev_tcol: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = next_stage(s1, "view", "t2", "t1")
+    s3 = next_stage(s2, "click", "t3", "t2")
+    s4 = next_stage(s3, "purchase", "t4", "t3")
+
+    def stage_row(df: DataFrame, stage: int, etype: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(etype).alias("event_type"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+
+    return (
+        stage_row(s1, 1, "signup")
+        .unionAll(stage_row(s2, 2, "view"))
+        .unionAll(stage_row(s3, 3, "click"))
+        .unionAll(stage_row(s4, 4, "purchase"))
+    )
+
+
+Q34_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t4
+  FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS stage, 'signup' AS event_type,
+       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+UNION ALL
+SELECT CAST(2 AS INT), 'view', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+UNION ALL
+SELECT CAST(3 AS INT), 'click', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+UNION ALL
+SELECT CAST(4 AS INT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s4)
+"""
+
+
 TEMPORAL_QUERIES = {
     "j06_range_join_binned": (j06_range_join_binned, J06_SQL),
     "q31_concurrency_histogram": (q31_concurrency_histogram, Q31_SQL),
     "q32_coalesced_intervals": (q32_coalesced_intervals, Q32_SQL),
+}
+
+RESAMPLE_QUERIES = {
+    "q33_gapfill_locf": (q33_gapfill_locf, Q33_SQL),
+    "q34_funnel": (q34_funnel, Q34_SQL),
 }

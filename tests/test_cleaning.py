@@ -389,6 +389,9 @@ def test_cleaning_entries_sit_after_driver_window():
         "t10_theta_setops",
         "t11_kll_quantiles",
         "v01_data_audit",
+        "q33_gapfill_locf",
+        "q34_funnel",
+        "g01_copurchase_triangles",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

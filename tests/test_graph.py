@@ -110,3 +110,109 @@ def test_top_authority_per_component(spark):
 def test_pagerank_empty_graph(spark):
     e = spark.createDataFrame([], "a long, b long")
     assert pagerank(e, max_iter=3).count() == 0
+
+
+# --------------------------------------------------------------------------
+# triangle census (g01)
+
+
+def _census(spark, pairs):
+    from kmeanwithmapreduce_spark.operators.corpus import release_components
+    from kmeanwithmapreduce_spark.operators.graph import triangle_census
+
+    edges = spark.createDataFrame(sorted(pairs), "p1 long, p2 long")
+    df = triangle_census(edges)
+    try:
+        return df.collect()[0]
+    finally:
+        release_components(df)
+
+
+def test_triangle_census_k4(spark):
+    """Complete graph K4: 4 nodes, 6 edges, 12 wedges (C(3,2) per
+    node), 4 triangles."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = _census(spark, k4)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+
+
+def test_triangle_census_whale_star(spark):
+    """A star (hub 0, leaves 1..10) plus one leaf-leaf edge: exactly 1
+    triangle. The hub is the whale node the degree orientation exists
+    for — every hub edge points AWAY from the leaves into the hub, so
+    the hub's out-degree is 0 and the wedge join never expands C(10,2)
+    pairs at the hub."""
+    star = [(0, leaf) for leaf in range(1, 11)] + [(1, 2)]
+    r = _census(spark, star)
+    # wedges: hub C(10,2)=45; leaves 1 and 2 have degree 2 -> 1 each
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (11, 11, 47, 1)
+
+
+def test_triangle_census_triangle_free(spark):
+    """Bipartite graphs have no triangles (C4 cycle)."""
+    c4 = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    r = _census(spark, c4)
+    assert (r.n_wedges, r.n_triangles) == (4, 0)
+
+
+def test_copurchase_edges_match_self_join(spark, sf_dir):
+    """The one-scan array-expansion edge generator must equal the
+    textbook lineitem self-join (the oracle's form)."""
+    from kmeanwithmapreduce_spark.operators.graph import copurchase_edges
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    got = {(r.p1, r.p2) for r in copurchase_edges(li).collect()}
+    a, b = li.alias("a"), li.alias("b")
+    want = {
+        (r.p1, r.p2)
+        for r in a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_triangle_census_scale_plan(spark, sf_dir):
+    """Scale pins: (a) the fact table is scanned ONCE — the census plan
+    reads the checkpointed edge/oriented-edge RDDs, never re-derives the
+    per-use upstream pipeline (lineitem scan + groupBy + distinct) at
+    every self-join; (b) wedge + closure joins are hash/merge equi-joins
+    — the only nested-loop joins are the two 1-row stat cross-joins
+    (each named twice in formatted explain: tree + details). g01 itself
+    then collects the 1-row census and releases the checkpoints."""
+    from kmeanwithmapreduce_spark.operators.corpus import release_components
+    from kmeanwithmapreduce_spark.operators.graph import (
+        copurchase_edges,
+        triangle_census,
+    )
+    from kmeanwithmapreduce_spark.plans import explain_str
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    df = triangle_census(copurchase_edges(li))
+    try:
+        plan = explain_str(df)
+        assert "Scan parquet" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 4
+    finally:
+        release_components(df)
+
+
+def test_g01_returns_local_one_row_frame(spark, sf_dir):
+    """The registry entry consumes the census eagerly and hands the
+    driver a 1-row literal frame — no checkpoint blocks outlive it."""
+    from kmeanwithmapreduce_spark.operators.graph import g01_copurchase_triangles
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = g01_copurchase_triangles(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].n_triangles > 0
+    # the entry leaves no new persisted/checkpointed blocks behind
+    assert jsc.getPersistentRDDs().size() <= before

@@ -169,3 +169,105 @@ def test_range_join_binned_subsecond_end_at_bucket_edge(spark):
         for r in T.range_join_binned(events, iv).select("event_id").collect()
     )
     assert got == [1, 3]
+
+
+# --------------------------------------------------------------------------
+# q33 gap-fill LOCF / q34 funnel
+
+
+def _with_events(spark, rows, fn):
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, t: e
+        return fn()
+    finally:
+        T.load_table = orig
+
+
+def test_q33_hand_computed(spark):
+    """user 1: two same-day events (the LATER value wins the day), a
+    one-day gap (filled from the prior day), a day whose last event has
+    a NULL value (observed but LOCF skips it), then a fresh value.
+    user 2: a single day."""
+    from datetime import datetime, timedelta
+
+    d1 = datetime(2024, 3, 1, 10, 0, 0)
+
+    def day(n, hour=12):
+        return d1 + timedelta(days=n, hours=hour - 10)
+
+    rows = [
+        (1, 1, "view", d1, 1.0),
+        (2, 1, "click", d1 + timedelta(hours=1), 2.0),   # later -> wins day 0
+        (3, 1, "view", day(2), None),                     # observed, null value
+        (4, 1, "purchase", day(3), 7.0),
+        (5, 2, "view", d1, 5.0),
+    ]
+
+    out = _with_events(
+        spark, rows, lambda: T.q33_gapfill_locf(spark, "ignored").collect()
+    )
+    got = {(r.user_id, str(r.day)): (r.value_filled, r.observed) for r in out}
+    assert got == {
+        (1, "2024-03-01"): (2.0, 1),
+        (1, "2024-03-02"): (2.0, 0),   # gap day: carried forward
+        (1, "2024-03-03"): (2.0, 1),   # observed but null -> LOCF
+        (1, "2024-03-04"): (7.0, 1),
+        (2, "2024-03-01"): (5.0, 1),
+    }
+
+
+def test_q33_scale_plan(spark, sf_dir):
+    """The grid explode and both windows stay partitioned by user —
+    never a global calendar cross join or SinglePartition sort."""
+    plan = explain_str(T.q33_gapfill_locf(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q34_hand_computed(spark):
+    """Ordering is what's under test: user 2's purchase PRECEDES their
+    click, so they reach stage 3 but never stage 4; user 3 has the whole
+    tail but no signup and counts nowhere; an equal-timestamp step
+    (user 5) does not advance (strict >)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        # user 1: clean full funnel
+        (1, 1, "signup", t0, None), (2, 1, "view", t0 + h, None),
+        (3, 1, "click", t0 + 2 * h, None), (4, 1, "purchase", t0 + 3 * h, None),
+        # user 2: purchase logged BEFORE the click
+        (5, 2, "signup", t0, None), (6, 2, "view", t0 + h, None),
+        (7, 2, "purchase", t0 + 2 * h, None), (8, 2, "click", t0 + 3 * h, None),
+        # user 3: no signup
+        (9, 3, "view", t0, None), (10, 3, "click", t0 + h, None),
+        (11, 3, "purchase", t0 + 2 * h, None),
+        # user 4: signup only
+        (12, 4, "signup", t0, None),
+        # user 5: purchase at exactly the click instant
+        (13, 5, "signup", t0, None), (14, 5, "view", t0 + h, None),
+        (15, 5, "click", t0 + 2 * h, None), (16, 5, "purchase", t0 + 2 * h, None),
+    ]
+    out = _with_events(spark, rows, lambda: T.q34_funnel(spark, "ignored").collect())
+    got = {r.stage: (r.event_type, r.n_users) for r in out}
+    assert got == {
+        1: ("signup", 4),     # users 1, 2, 4, 5
+        2: ("view", 3),       # users 1, 2, 5
+        3: ("click", 3),      # users 1, 2, 5
+        4: ("purchase", 1),   # user 1 only
+    }
+
+
+def test_q34_monotone_on_real_corpus(spark, sf_dir):
+    """Funnel counts can only shrink stage to stage."""
+    rows = sorted(
+        (r.stage, r.n_users) for r in T.q34_funnel(spark, sf_dir).collect()
+    )
+    counts = [n for _, n in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0
