@@ -99,6 +99,12 @@ def main() -> int:
         "t10_theta_setops",
         "t11_kll_quantiles",
         "v01_data_audit",
+        # round-5 resample/funnel additions (BASELINE §J targets). g01
+        # (triangle census) is NOT a bench entry: its cost is the exact
+        # 40M-wedge materialization (~7.7 s warm at sf0.1) — the s04/t08
+        # exclusion rule; SCALE.md carries its measured sf1 linearity.
+        "q33_gapfill_locf",
+        "q34_funnel",
     ]
 
     timings: dict[str, float] = {}
