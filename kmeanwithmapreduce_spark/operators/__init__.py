@@ -41,7 +41,7 @@ from .sketch import (
     t11_kll_quantiles,
 )
 from .graph import GRAPH_QUERIES
-from .temporal import RESAMPLE_QUERIES, TEMPORAL_QUERIES
+from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
@@ -59,6 +59,7 @@ EXTRA_QUERIES = {
     **QUALITY_QUERIES,
     **RESAMPLE_QUERIES,
     **GRAPH_QUERIES,
+    **ROLLING_QUERIES,
 }
 
 __all__ = [

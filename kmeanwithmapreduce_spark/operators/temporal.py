@@ -413,3 +413,102 @@ RESAMPLE_QUERIES = {
     "q33_gapfill_locf": (q33_gapfill_locf, Q33_SQL),
     "q34_funnel": (q34_funnel, Q34_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# q35 — rolling 7-day window feature: per event, this user's event
+# count and grid-exact value sum over [ts - 7d, ts] — a RANGE frame
+# with a time-interval bound, the frame type ROWS frames (q10) cannot
+# express (the peer set depends on TIME distance, not row distance).
+# The frame key is exact BIGINT MICROSECONDS (the q32 rule): Spark's
+# rangeBetween on unix_micros and the oracle's integer RANGE bound are
+# the same arithmetic, immune to the second-granularity truncation
+# drift and to calendar-interval ambiguity. The summed value is a
+# cents-integer grid (the q10 discipline) so the rolling sum is exact,
+# not merge-order ulp noise.
+#
+# Scale shape: one narrow scan + one user-partitioned window — Spark
+# evaluates a RANGE frame with a sliding two-pointer over each
+# partition (state bounded by the 7-day span per user), and the window
+# hash layout is the standard user_id key. No joins, no explode.
+def q35_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    span_us = 7 * 86400 * 1_000_000
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-span_us, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("sum_value_7d"),
+    )
+
+
+Q35_SQL = """
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+         AS sum_value_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# q36 — cohort retention matrix: users are cohorted by the week of
+# their FIRST event (weeks since a fixed anchor day, integer floor-div
+# on day counts — exact in both engines, no date_trunc locale/week-
+# start ambiguity), and counted as retained in week offset k when they
+# have any event in day range [7k, 7k+7) after their first day. The
+# product-analytics complement of q34's funnel: q34 measures ordered
+# conversion, q36 measures return-over-time.
+#
+# Scale shape: per-user min aggregate + a (user, day)-distinct, both
+# hashing user_id; the cohort join is user-keyed; the final matrix agg
+# is a count-distinct over (cohort_week, week_offset) — at most
+# n_weeks^2 output groups. All arithmetic is integer day counts.
+_COHORT_ANCHOR = "2024-01-01"
+
+
+def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("d").alias("f"))
+    anchor = F.lit(_COHORT_ANCHOR).cast("date")
+    return (
+        days.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("f"), anchor) / 7).alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("f")) / 7).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+Q36_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+firsts AS (
+  SELECT user_id, min(d) AS f FROM days GROUP BY user_id
+)
+SELECT CAST(date_diff('day', DATE '2024-01-01', f) // 7 AS BIGINT)
+         AS cohort_week,
+       CAST(date_diff('day', f, d) // 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT days.user_id) AS BIGINT) AS n_users
+FROM days JOIN firsts ON days.user_id = firsts.user_id
+GROUP BY 1, 2
+"""
+
+
+ROLLING_QUERIES = {
+    "q35_rolling_7day": (q35_rolling_7day, Q35_SQL),
+    "q36_cohort_retention": (q36_cohort_retention, Q36_SQL),
+}

@@ -392,6 +392,8 @@ def test_cleaning_entries_sit_after_driver_window():
         "q33_gapfill_locf",
         "q34_funnel",
         "g01_copurchase_triangles",
+        "q35_rolling_7day",
+        "q36_cohort_retention",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

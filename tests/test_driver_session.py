@@ -86,7 +86,10 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              # q33 emits DATE grid rows from ts (to_date is session-tz
              # sensitive), q34's funnel counts rest on raw ts ordering,
              # g01 on exact integer joins
-             "q33_gapfill_locf", "q34_funnel", "g01_copurchase_triangles"]:
+             "q33_gapfill_locf", "q34_funnel", "g01_copurchase_triangles",
+             # q35's RANGE frame key and q36's cohort weeks are epoch/
+             # day integer arithmetic from ts — session-tz sensitive
+             "q35_rolling_7day", "q36_cohort_retention"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(

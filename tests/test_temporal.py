@@ -271,3 +271,67 @@ def test_q34_monotone_on_real_corpus(spark, sf_dir):
     counts = [n for _, n in rows]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] > 0
+
+
+# --------------------------------------------------------------------------
+# q35 rolling RANGE-interval frame / q36 cohort retention
+
+
+def test_q35_hand_computed(spark):
+    """The RANGE frame is a TIME bound, not a row bound: an event
+    exactly 7 days back is inside the window (inclusive bound); one
+    microsecond past it is out. Duplicate-timestamp peers are all
+    included regardless of row order."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 10, 12, 0, 0)
+    d = timedelta(days=1)
+    us = timedelta(microseconds=1)
+    rows = [
+        (1, 1, "view", t0 - 8 * d, 1.0),          # > 7d before t0: out at t0
+        (2, 1, "view", t0 - 7 * d, 2.0),          # exactly 7d: in at t0
+        (3, 1, "view", t0 - 7 * d + us, 4.0),     # just inside
+        (4, 1, "view", t0, 8.0),
+        # user 2: two events at the SAME instant — peers see each other
+        (5, 2, "view", t0, 1.5),
+        (6, 2, "view", t0, 2.5),
+    ]
+    out = _with_events(
+        spark, rows, lambda: T.q35_rolling_7day(spark, "ignored").collect()
+    )
+    got = {r.event_id: (r.n_7d, r.sum_value_7d) for r in out}
+    assert got[1] == (1, 1.0)
+    assert got[2] == (2, 3.0)       # #2's window [t0-14d, t0-7d] holds #1, #2
+    assert got[3] == (3, 7.0)       # +1us slides the window over all three
+    assert got[4] == (3, 14.0)      # events 2, 3, 4; event 1 aged out
+    assert got[5] == (2, 4.0) and got[6] == (2, 4.0)
+
+
+def test_q36_hand_computed(spark):
+    """user 1 first-active in anchor week 0 and returns on day 8
+    (offset week 1); user 2 first-active day 9 (cohort week 1), never
+    returns; same-day repeat events collapse."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 9, 0, 0)  # anchor day
+    d = timedelta(days=1)
+    rows = [
+        (1, 1, "view", t0, None),
+        (2, 1, "view", t0 + timedelta(hours=2), None),  # same day, collapses
+        (3, 1, "view", t0 + 8 * d, None),               # offset week 1
+        (4, 2, "view", t0 + 9 * d, None),               # cohort week 1
+    ]
+    out = _with_events(
+        spark, rows, lambda: T.q36_cohort_retention(spark, "ignored").collect()
+    )
+    got = {(r.cohort_week, r.week_offset): r.n_users for r in out}
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_q35_q36_scale_plan(spark, sf_dir):
+    """Both stay user-partitioned — no SinglePartition window, no
+    cartesian anywhere."""
+    for fn in (T.q35_rolling_7day, T.q36_cohort_retention):
+        plan = explain_str(fn(spark, sf_dir))
+        assert "SinglePartition" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
