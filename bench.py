@@ -105,6 +105,8 @@ def main() -> int:
         # exclusion rule; SCALE.md carries its measured sf1 linearity.
         "q33_gapfill_locf",
         "q34_funnel",
+        "q35_rolling_7day",
+        "q36_cohort_retention",
     ]
 
     timings: dict[str, float] = {}

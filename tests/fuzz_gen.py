@@ -626,7 +626,15 @@ class FuzzGen:
         ot, oc = r.choice(nums)
         uk = rel.unique_key()
         order_cols = [oc] + [k for k in uk if k != oc]
-        wf = r.choice(["row_number", "rank", "dense_rank", "lag", "running_sum"])
+        wf = r.choice(
+            ["row_number", "rank", "dense_rank", "lag", "running_sum", "range_sum"]
+        )
+        # range_sum: RANGE frame over a cents-integer key (the q35 frame
+        # class). Value-distance peers make it deterministic without a
+        # unique-key tiebreak; NULL keys (left-join unmatched rows) are
+        # coalesced to a sentinel so both engines agree on their peer
+        # group instead of falling into engine-specific NULL-frame rules.
+        range_bound = r.choice([100, 5000, 250000])
 
         def build(spark, sf_dir):
             df = rel.build(spark, sf_dir)
@@ -639,6 +647,20 @@ class FuzzGen:
                 e = F.dense_rank().over(w)
             elif wf == "lag":
                 e = F.lag(F.col(oc), 1).over(w)
+            elif wf == "range_sum":
+                key = F.coalesce(
+                    F.round(F.col(oc) * 100).cast("long"),
+                    F.lit(-(10**15)),
+                )
+                wr = (
+                    Window.partitionBy(pc)
+                    .orderBy(key)
+                    .rangeBetween(-range_bound, 0)
+                )
+                e = (
+                    F.sum(F.round(F.col(oc) * 100).cast("long")).over(wr)
+                    / 100.0
+                )
             else:
                 # grid the running sum: ordered prefix sums of doubles
                 # need not associate identically across engines
@@ -660,6 +682,17 @@ class FuzzGen:
             we = f"{wf}() OVER (PARTITION BY {pc} ORDER BY {ob})"
         elif wf == "lag":
             we = f"lag({oc}, 1) OVER (PARTITION BY {pc} ORDER BY {ob})"
+        elif wf == "range_sum":
+            key_sql = (
+                f"coalesce(CAST(round(({oc}) * 100) AS BIGINT), "
+                f"-1000000000000000)"
+            )
+            we = (
+                f"(sum(CAST(round(({oc}) * 100) AS BIGINT)) OVER "
+                f"(PARTITION BY {pc} ORDER BY {key_sql} "
+                f"RANGE BETWEEN {range_bound} PRECEDING AND CURRENT ROW) "
+                "/ 100.0)"
+            )
         else:
             we = (
                 f"(sum(CAST(round(({oc}) * 100) AS BIGINT)) OVER "
