@@ -129,3 +129,25 @@ def test_j04_chunked_plan(spark, sf_dir):
     # nested-loop/cartesian shape here would be quadratic in events
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every registry entry (all 78: frozen window + extensions) obeys
+    the two invariants that hold with NO exceptions across the whole
+    surface: no CartesianProduct (a conditionless non-broadcast cross —
+    the O(N*M) scale-killer; broadcast nested-loops with a tiny build
+    side are legitimate and NOT banned), and no BatchEvalPython (a
+    row-at-a-time Python UDF in the plan; Arrow-batched pandas UDFs
+    plan as ArrowEvalPython/MapInPandas and are the sanctioned path).
+    Per-query pins elsewhere cover the sharper properties (pushdown,
+    single-Exchange windows, broadcast choice); this sweep is the
+    safety net that covers every FUTURE entry by construction.
+
+    Runs at sf0.001 because the eager entries (k01-k03, g01, s03-s05,
+    t06, m03) execute their fits/censuses while building the frame."""
+    import __spark_entry__ as entry
+
+    for name, fn in entry.queries().items():
+        plan = explain_str(fn(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
