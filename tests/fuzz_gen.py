@@ -627,8 +627,10 @@ class FuzzGen:
         uk = rel.unique_key()
         order_cols = [oc] + [k for k in uk if k != oc]
         wf = r.choice(
-            ["row_number", "rank", "dense_rank", "lag", "running_sum", "range_sum"]
+            ["row_number", "rank", "dense_rank", "lag", "running_sum", "range_sum",
+             "ntile", "percent_rank", "cume_dist"]
         )
+        ntile_n = r.choice([2, 3, 7])
         # range_sum: RANGE frame over a cents-integer key (the q35 frame
         # class). Value-distance peers make it deterministic without a
         # unique-key tiebreak; NULL keys (left-join unmatched rows) are
@@ -647,6 +649,14 @@ class FuzzGen:
                 e = F.dense_rank().over(w)
             elif wf == "lag":
                 e = F.lag(F.col(oc), 1).over(w)
+            elif wf == "ntile":
+                e = F.ntile(ntile_n).over(w)
+            elif wf == "percent_rank":
+                # exact ratio of BIGINTs — both engines compute
+                # (rank-1)/(n-1) in IEEE double, bit-equal
+                e = F.percent_rank().over(w)
+            elif wf == "cume_dist":
+                e = F.cume_dist().over(w)
             elif wf == "range_sum":
                 key = F.coalesce(
                     F.round(F.col(oc) * 100).cast("long"),
@@ -678,8 +688,10 @@ class FuzzGen:
         # Spark ASC defaults to NULLS FIRST, DuckDB to NULLS LAST — pin
         # it (order cols can be NULL under a left join's unmatched rows)
         ob = ", ".join(f"{c} NULLS FIRST" for c in order_cols)
-        if wf in ("row_number", "rank", "dense_rank"):
+        if wf in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
             we = f"{wf}() OVER (PARTITION BY {pc} ORDER BY {ob})"
+        elif wf == "ntile":
+            we = f"ntile({ntile_n}) OVER (PARTITION BY {pc} ORDER BY {ob})"
         elif wf == "lag":
             we = f"lag({oc}, 1) OVER (PARTITION BY {pc} ORDER BY {ob})"
         elif wf == "range_sum":
