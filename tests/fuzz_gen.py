@@ -838,6 +838,59 @@ class FuzzGen:
         )
         return build, sql
 
+    def _q_agg_join(self):
+        """Aggregate-then-join: the child fact rolls up by its FK, and
+        the PARENT left-joins the rollup — the shape that exercises
+        join-on-aggregate-output semantics (unmatched parents NULL-
+        extend the agg columns; NULL child FKs group but never match).
+        Distinct from _relation's join chains, which only ever join raw
+        tables, and from _q_union_agg, which aggregates after a union.
+        Grid-exact sums (the running grammar rule)."""
+        r = self.rng
+        edges = [
+            (lt, rt, lc, rc)
+            for lt, rt, lc, rc in JOIN_GRAPH
+            if TABLES[lt]["num"]
+        ]
+        lt, rt, lc, rc = r.choice(edges)
+        num = r.choice(TABLES[lt]["num"])
+        child_rel = Relation([lt], [])
+        child_f = self._filter(child_rel)
+        pk = UNIQUE_KEY[rt][0]
+
+        def build(spark, sf_dir):
+            from kmeanwithmapreduce_spark.sources.readers import load_table
+
+            child = load_table(spark, sf_dir, lt)
+            if child_f is not None:
+                child = child.where(child_f.spark)
+            agg = child.groupBy(F.col(lc).alias("k")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                (
+                    F.sum(F.round(F.col(num) * 100).cast("long")) / 100.0
+                ).alias("sx"),
+            )
+            parent = load_table(spark, sf_dir, rt)
+            return parent.join(
+                agg, F.col(rc) == F.col("k"), "left"
+            ).select(
+                pk,
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"),
+                F.coalesce(F.col("sx"), F.lit(0.0)).alias("sx"),
+            )
+
+        wh = f" WHERE {child_f.sql}" if child_f is not None else ""
+        sql = (
+            f"SELECT {pk}, CAST(coalesce(a.cnt, 0) AS BIGINT) AS cnt,"
+            " coalesce(a.sx, 0.0) AS sx"
+            f" FROM {rt} LEFT JOIN ("
+            f"SELECT {lc} AS k, CAST(count(*) AS BIGINT) AS cnt,"
+            f" (sum(CAST(round(({num}) * 100) AS BIGINT)) / 100.0) AS sx"
+            f" FROM {lt}{wh} GROUP BY {lc}"
+            f") a ON {rc} = a.k"
+        )
+        return build, sql
+
     def _q_union_agg(self):
         """UNION ALL of two differently-filtered branches of one table,
         then a grouped aggregate over the union — the composition where
@@ -901,6 +954,8 @@ class FuzzGen:
             return self._q_exists()
         if shape < 0.22:
             return self._q_union_agg()
+        if shape < 0.27:
+            return self._q_agg_join()
         rel = self._relation()
         if shape < 0.52:
             return self._q_aggregation(rel)
