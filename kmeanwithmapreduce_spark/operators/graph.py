@@ -225,9 +225,21 @@ def triangle_census(edges: DataFrame, checkpoint: str = "local") -> DataFrame:
     tri = wedges.join(e3, ["a", "c"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+    # exact integer wedge count: d*(d-1) is even, so DIV 2 is lossless;
+    # the per-node term goes through decimal(38,0) before the sum so a
+    # whale node (d ~ 1e6 -> 5e11 wedges) can never push the
+    # accumulation past double precision or wrap a long (the
+    # _edge_signature decimal precedent in corpus.py). coalesce: sum
+    # over an EMPTY edge list is NULL, and this column is documented as
+    # an exact count — 0 wedges, like pagerank's empty-graph contract.
     node_stats = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.sum((F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+        F.coalesce(
+            F.sum(F.expr("CAST(d * (d - 1) DIV 2 AS DECIMAL(38,0))")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_wedges"),
     )
     edge_count = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     result = node_stats.crossJoin(edge_count).crossJoin(tri).select(
@@ -284,7 +296,8 @@ tri AS (
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
-       (SELECT CAST(sum((d * (d - 1)) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT)
+          FROM deg) AS n_wedges,
        (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles
 """
 

@@ -461,9 +461,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 
 # --------------------------------------------------------------------------
 # q36 — cohort retention matrix: users are cohorted by the week of
-# their FIRST event (weeks since a fixed anchor day, integer floor-div
-# on day counts — exact in both engines, no date_trunc locale/week-
-# start ambiguity), and counted as retained in week offset k when they
+# their FIRST event (weeks since a fixed anchor day, FLOOR division on
+# integer day counts — spelled floor(x/7.0) in BOTH engines because
+# DuckDB's `//` truncates toward zero on negatives where Spark's
+# F.floor floors, a divergence for pre-anchor dates; no date_trunc
+# locale/week-start ambiguity), counted as retained in week offset k
+# when they
 # have any event in day range [7k, 7k+7) after their first day. The
 # product-analytics complement of q34's funnel: q34 measures ordered
 # conversion, q36 measures return-over-time.
@@ -499,9 +502,9 @@ WITH days AS (
 firsts AS (
   SELECT user_id, min(d) AS f FROM days GROUP BY user_id
 )
-SELECT CAST(date_diff('day', DATE '2024-01-01', f) // 7 AS BIGINT)
+SELECT CAST(floor(date_diff('day', DATE '2024-01-01', f) / 7.0) AS BIGINT)
          AS cohort_week,
-       CAST(date_diff('day', f, d) // 7 AS BIGINT) AS week_offset,
+       CAST(floor(date_diff('day', f, d) / 7.0) AS BIGINT) AS week_offset,
        CAST(count(DISTINCT days.user_id) AS BIGINT) AS n_users
 FROM days JOIN firsts ON days.user_id = firsts.user_id
 GROUP BY 1, 2

@@ -216,3 +216,12 @@ def test_g01_returns_local_one_row_frame(spark, sf_dir):
     assert len(rows) == 1 and rows[0].n_triangles > 0
     # the entry leaves no new persisted/checkpointed blocks behind
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_triangle_census_empty_graph(spark):
+    """Review regression: sum over an empty edge list is NULL — the
+    census must report 0 wedges (exact-count contract, pagerank's
+    empty-graph precedent), not a NULL the clustering-coefficient
+    division would propagate."""
+    r = _census(spark, [])
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (0, 0, 0, 0)

@@ -146,8 +146,9 @@ def test_registry_wide_plan_hygiene(spark):
     Runs at sf0.001 because the eager entries (k01-k03, g01, s03-s05,
     t06, m03) execute their fits/censuses while building the frame."""
     import __spark_entry__ as entry
+    from conftest import SF_DIR_001
 
     for name, fn in entry.queries().items():
-        plan = explain_str(fn(spark, "/root/testdata/sf0.001"))
+        plan = explain_str(fn(spark, SF_DIR_001))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name

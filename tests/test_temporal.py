@@ -335,3 +335,23 @@ def test_q35_q36_scale_plan(spark, sf_dir):
         plan = explain_str(fn(spark, sf_dir))
         assert "SinglePartition" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_q36_pre_anchor_cohort_floor_semantics(spark, duck):
+    """Review regression: DuckDB's // truncates toward zero where
+    Spark's floor() floors — a user first active 8 days BEFORE the
+    anchor must land in cohort week -2 in BOTH engines (the oracle now
+    spells floor(x/7.0) explicitly)."""
+    from datetime import datetime
+
+    rows = [(1, 1, "view", datetime(2023, 12, 24, 9, 0, 0), None)]
+    out = _with_events(
+        spark, rows, lambda: T.q36_cohort_retention(spark, "ignored").collect()
+    )
+    assert {(r.cohort_week, r.week_offset) for r in out} == {(-2, 0)}
+    # the oracle's expression, evaluated on the same date
+    (cw,) = duck.execute(
+        "SELECT CAST(floor(date_diff('day', DATE '2024-01-01',"
+        " DATE '2023-12-24') / 7.0) AS BIGINT)"
+    ).fetchone()
+    assert cw == -2
