@@ -254,8 +254,9 @@ GROUP BY user_id
 # hash partitioning. No SinglePartition anywhere; survives any user
 # count. LOCF copies values verbatim (zero float arithmetic), so the
 # filled series is bit-identical across engines.
-def q33_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+def gapfill_locf(e: DataFrame) -> DataFrame:
+    """Frame-level form over any events-shaped relation (user_id,
+    event_id, ts, value) — composed by analytics.build_events_mart."""
     w_day = Window.partitionBy("user_id", "day").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -284,6 +285,10 @@ def q33_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w_fill).alias("value_filled"),
         F.coalesce("obs", F.lit(0)).cast("int").alias("observed"),
     )
+
+
+def q33_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_locf(load_table(spark, sf_dir, "events"))
 
 
 Q33_SQL = """
@@ -333,8 +338,9 @@ FROM joined
 # timestamp, so no whale-group risk, and every stage hashes by the same
 # user_id key so AQE reuses the exchange layout. Final stage counts are
 # four 1-row aggregates unioned — no collect.
-def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+def funnel(events: DataFrame) -> DataFrame:
+    """Frame-level form — composed by analytics.build_events_mart."""
+    e = events.select("user_id", "event_type", "ts")
 
     def next_stage(prev: DataFrame, etype: str, tcol: str, prev_tcol: str) -> DataFrame:
         return (
@@ -367,6 +373,10 @@ def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage_row(s3, 3, "click"))
         .unionAll(stage_row(s4, 4, "purchase"))
     )
+
+
+def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(load_table(spark, sf_dir, "events"))
 
 
 Q34_SQL = """
@@ -431,8 +441,8 @@ RESAMPLE_QUERIES = {
 # evaluates a RANGE frame with a sliding two-pointer over each
 # partition (state bounded by the 7-day span per user), and the window
 # hash layout is the standard user_id key. No joins, no explode.
-def q35_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+def rolling_7day(e: DataFrame) -> DataFrame:
+    """Frame-level form — composed by analytics.build_events_mart."""
     span_us = 7 * 86400 * 1_000_000
     cents = F.round(F.col("value") * 100).cast("long")
     w = (
@@ -446,6 +456,10 @@ def q35_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
         (F.sum(cents).over(w).cast("double") / 100.0).alias("sum_value_7d"),
     )
+
+
+def q35_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_7day(load_table(spark, sf_dir, "events"))
 
 
 Q35_SQL = """
@@ -478,8 +492,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 _COHORT_ANCHOR = "2024-01-01"
 
 
-def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+def cohort_retention(e: DataFrame) -> DataFrame:
+    """Frame-level form — composed by analytics.build_events_mart."""
     days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
     firsts = days.groupBy("user_id").agg(F.min("d").alias("f"))
     anchor = F.lit(_COHORT_ANCHOR).cast("date")
@@ -493,6 +507,10 @@ def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(load_table(spark, sf_dir, "events"))
 
 
 Q36_SQL = """
