@@ -41,6 +41,7 @@ from .sketch import (
     t11_kll_quantiles,
 )
 from .graph import GRAPH_QUERIES
+from .sequences import SEQUENCE_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 
 EXTRA_QUERIES = {
@@ -60,6 +61,7 @@ EXTRA_QUERIES = {
     **RESAMPLE_QUERIES,
     **GRAPH_QUERIES,
     **ROLLING_QUERIES,
+    **SEQUENCE_QUERIES,
 }
 
 __all__ = [

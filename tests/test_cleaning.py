@@ -394,6 +394,8 @@ def test_cleaning_entries_sit_after_driver_window():
         "g01_copurchase_triangles",
         "q35_rolling_7day",
         "q36_cohort_retention",
+        "q37_transition_matrix",
+        "q38_leading_paths",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -89,7 +89,10 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              "q33_gapfill_locf", "q34_funnel", "g01_copurchase_triangles",
              # q35's RANGE frame key and q36's cohort weeks are epoch/
              # day integer arithmetic from ts — session-tz sensitive
-             "q35_rolling_7day", "q36_cohort_retention"]:
+             "q35_rolling_7day", "q36_cohort_retention",
+             # q37/q38 order events by (ts, event_id) — the tie rule and
+             # tz handling both live in the ts column
+             "q37_transition_matrix", "q38_leading_paths"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(

@@ -1,0 +1,75 @@
+"""Sequence-analysis operators (operators/sequences.py): hand-computed
+transition/path cases on constructed streams, the total-order
+(ts, event_id) tie rule, and scale plan pins (user-keyed windows,
+WindowGroupLimit for the rank<=k path prefix). DuckDB value parity is
+covered by the ORACLE_CASES sweep (they are EXTRA_QUERIES)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from kmeanwithmapreduce_spark.operators import sequences as S
+from kmeanwithmapreduce_spark.plans import explain_str
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_transition_matrix_hand_computed(spark):
+    """user 1: a>b>a gives transitions a->b, b->a; user 2: a single
+    event contributes nothing; transitions never cross users."""
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        (1, 1, "a", t0), (2, 1, "b", t0 + h), (3, 1, "a", t0 + 2 * h),
+        (4, 2, "c", t0),
+        (5, 3, "b", t0), (6, 3, "b", t0 + h),
+    ]
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in S.transition_matrix(_events(spark, rows)).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_transition_matrix_equal_instant_tie_rule(spark):
+    """Two events at the same instant order by event_id — the total
+    order both engines share."""
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(2, 1, "y", t0), (1, 1, "x", t0)]
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in S.transition_matrix(_events(spark, rows)).collect()
+    }
+    assert got == {("x", "y"): 1}
+
+
+def test_leading_paths_hand_computed(spark):
+    """Paths are the first k=3 steps in order; shorter histories give
+    shorter prefixes; identical paths aggregate."""
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        (1, 1, "a", t0), (2, 1, "b", t0 + h), (3, 1, "c", t0 + 2 * h),
+        (4, 1, "d", t0 + 3 * h),                       # beyond k: ignored
+        (5, 2, "a", t0), (6, 2, "b", t0 + h), (7, 2, "c", t0 + 2 * h),
+        (8, 3, "a", t0), (9, 3, "b", t0 + h),          # short prefix
+    ]
+    got = {
+        r.path: r.n_users
+        for r in S.leading_paths(_events(spark, rows)).collect()
+    }
+    assert got == {"a>b>c": 2, "a>b": 1}
+
+
+def test_sequences_scale_plans(spark, sf_dir):
+    """q37/q38 stay user-partitioned; q38's rank<=k filter plans as the
+    partial WindowGroupLimit (map tasks forward <= k rows per user)."""
+    plan37 = explain_str(S.q37_transition_matrix(spark, sf_dir))
+    assert "SinglePartition" not in plan37
+    plan38 = explain_str(S.q38_leading_paths(spark, sf_dir))
+    assert "SinglePartition" not in plan38
+    assert "WindowGroupLimit" in plan38
