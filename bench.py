@@ -107,6 +107,9 @@ def main() -> int:
         "q34_funnel",
         "q35_rolling_7day",
         "q36_cohort_retention",
+        # round-5 sequence-analysis additions (also §J targets)
+        "q37_transition_matrix",
+        "q38_leading_paths",
     ]
 
     timings: dict[str, float] = {}
