@@ -63,7 +63,7 @@ def build_events_mart(
 
     ``include_gapfill=True`` adds the q33 LOCF daily series as a fifth
     mart (off by default: its row count is users x days, an order
-    larger than the others). A ``_corpus_manifest.json`` with the
+    larger than the others). A ``_mart_manifest.json`` with the
     counts and every knob lands in ``out_dir`` (read back with
     ``read_events_manifest``)."""
     e = load_table(spark, sf_dir, "events").select(
@@ -95,6 +95,8 @@ def build_events_mart(
                 "include_gapfill": include_gapfill,
                 "marts": sorted(marts),
             },
+            stats_key="counts",
+            filename="_mart_manifest.json",
         )
         return stats
     finally:
@@ -103,5 +105,7 @@ def build_events_mart(
 
 
 def read_events_manifest(spark: SparkSession, out_dir: str) -> dict:
-    """Manifest reader (same Hadoop-FS path rules as the corpus one)."""
-    return read_corpus_manifest(spark, out_dir)
+    """Manifest reader (same Hadoop-FS path rules as the corpus one,
+    mart-specific filename and a 'counts' stats key — an events-mart
+    directory must not masquerade as a training corpus)."""
+    return read_corpus_manifest(spark, out_dir, filename="_mart_manifest.json")

@@ -558,7 +558,14 @@ def prepare_training_corpus(
     return stats
 
 
-def _write_manifest(spark, out_path: str, stats: dict, config: dict) -> None:
+def _write_manifest(
+    spark,
+    out_path: str,
+    stats: dict,
+    config: dict,
+    stats_key: str = "funnel",
+    filename: str = "_corpus_manifest.json",
+) -> None:
     """Reproducibility manifest next to the shards: the funnel counts
     and every knob that determined the corpus, so a consumer (or a
     re-run) can verify it has the exact same dataset without recounting.
@@ -571,10 +578,10 @@ def _write_manifest(spark, out_path: str, stats: dict, config: dict) -> None:
     import json
 
     payload = json.dumps(
-        {"funnel": stats, "config": config}, indent=2, sort_keys=True
+        {stats_key: stats, "config": config}, indent=2, sort_keys=True
     ).encode("utf-8")
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(out_path, "_corpus_manifest.json")
+    jpath = jvm.org.apache.hadoop.fs.Path(out_path, filename)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     out = fs.create(jpath, True)
     try:
@@ -583,7 +590,9 @@ def _write_manifest(spark, out_path: str, stats: dict, config: dict) -> None:
         out.close()
 
 
-def read_corpus_manifest(spark, out_path: str) -> dict:
+def read_corpus_manifest(
+    spark, out_path: str, filename: str = "_corpus_manifest.json"
+) -> dict:
     """Read back the manifest written by prepare_training_corpus.
     Goes through the Hadoop FileSystem API like the writer (any scheme);
     ``spark.read.text`` cannot be used here — Spark's file index hides
@@ -592,7 +601,7 @@ def read_corpus_manifest(spark, out_path: str) -> dict:
     import json
 
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(out_path, "_corpus_manifest.json")
+    jpath = jvm.org.apache.hadoop.fs.Path(out_path, filename)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     reader = jvm.java.io.BufferedReader(
         jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")

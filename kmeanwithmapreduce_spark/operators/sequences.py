@@ -86,7 +86,9 @@ def leading_paths(events: DataFrame, k: int = 3) -> DataFrame:
 
 
 def q38_leading_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return leading_paths(load_table(spark, sf_dir, "events"))
+    # k pinned explicitly: Q38_SQL hardcodes rn <= 3, so the registered
+    # pair must not ride on the helper's (changeable) default
+    return leading_paths(load_table(spark, sf_dir, "events"), k=3)
 
 
 Q38_SQL = """

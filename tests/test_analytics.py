@@ -67,7 +67,7 @@ def test_sessions_mart_consistency(spark, sf_dir, mart):
 def test_manifest_round_trip(spark, sf_dir, mart):
     out, stats = mart
     m = read_events_manifest(spark, out)
-    assert m["funnel"] == stats
+    assert m["counts"] == stats
     assert m["config"]["session_gap_s"] == 1800
     assert m["config"]["marts"] == sorted(MART_NAMES)
     assert set(stats) == set(MART_NAMES)
