@@ -285,3 +285,98 @@ def streaming_scd2_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# streaming transition matrix: the q37 sequence operator as continuous
+# ingest. Per epoch: transitions INSIDE the batch plus the boundary
+# pair from each user's stored last event into their first batch event
+# — computed by running the batch operator (transition_matrix) over
+# (state snapshot UNION batch), which is exactly right because every
+# state user contributes one row (no state-state pairs) and lag spans
+# the boundary. Correctness contract: per-user in-order delivery
+# across batches — the property a user-keyed Kafka topic gives
+# (sources/kafka.py's partition-by-key wire model); late cross-batch
+# events would need watermarked re-sort upstream.
+#
+# Exactly-once: increment grids land in epoch-keyed subdirs (additive,
+# like the CMS), and the per-user state snapshot chain's _SUCCESS is
+# the commit marker (the SCD2 recipe) — a replayed epoch recomputes
+# the IDENTICAL increments (prior state + batch rows are both
+# deterministic) and overwrites its own subdirs. State per epoch is
+# one row per user ever seen: bounded by user cardinality, the same
+# budget as the SCD2 dimension chain.
+
+_TRANS_STATE_SCHEMA = (
+    "user_id bigint, event_id bigint, event_type string, ts timestamp"
+)
+
+
+def streaming_transition_ingest(
+    stream_events: DataFrame, out_path: str, checkpoint_path: str
+):
+    """foreachBatch ingest maintaining <out_path>/increments (epoch
+    transition counts) and <out_path>/state (per-user last event
+    chain). Read the accumulated matrix with read_transition_matrix."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sequences import transition_matrix
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state_path = os.path.join(out_path, "state")
+        done = _committed_epochs(spark, state_path)
+        if epoch_id in done:  # replayed, already committed
+            return
+        prior = [ep for ep in done if ep < epoch_id]
+        if prior:
+            state = spark.read.schema(_TRANS_STATE_SCHEMA).parquet(
+                os.path.join(state_path, f"epoch={prior[-1]}")
+            )
+        else:
+            state = spark.createDataFrame([], _TRANS_STATE_SCHEMA)
+        batch = batch_df.select("user_id", "event_id", "event_type", "ts")
+        union = state.unionByName(batch)
+        transition_matrix(union).write.mode("overwrite").parquet(
+            os.path.join(out_path, "increments", f"epoch={epoch_id}")
+        )
+        # state snapshot LAST: its _SUCCESS is the epoch's commit marker
+        new_state = (
+            union.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_id", "event_type", "ts"),
+                    F.struct("ts", "event_id"),
+                ).alias("_s")
+            )
+            .select("user_id", "_s.*")
+        )
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream_events.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_transition_matrix(spark, out_path: str) -> DataFrame:
+    """Sum of every epoch's increment grid — the transition matrix of
+    everything streamed so far (equals batch transition_matrix over the
+    full stream; pinned in test_sequences). An increment epoch whose
+    state commit died mid-write is safe to include: the replay
+    recomputes the identical grid into the same subdir."""
+    from pyspark.sql import functions as F
+
+    try:
+        inc = spark.read.schema(
+            "from_type string, to_type string, n bigint"
+        ).parquet(os.path.join(out_path, "increments", "*"))
+    except Exception:
+        return spark.createDataFrame([], "from_type string, to_type string, n bigint")
+    return inc.groupBy("from_type", "to_type").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )

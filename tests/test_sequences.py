@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+from pyspark.sql import functions as F
+
 from kmeanwithmapreduce_spark.operators import sequences as S
 from kmeanwithmapreduce_spark.plans import explain_str
 
@@ -73,3 +75,89 @@ def test_sequences_scale_plans(spark, sf_dir):
     plan38 = explain_str(S.q38_leading_paths(spark, sf_dir))
     assert "SinglePartition" not in plan38
     assert "WindowGroupLimit" in plan38
+
+
+# --------------------------------------------------------------------------
+# streaming transition ingest
+
+
+def _split_events_by_time(spark, sf_dir, src):
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cut = e.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    early = e.where(F.unix_micros("ts") <= cut)
+    late = e.where(F.unix_micros("ts") > cut)
+    # written in time order: the per-user in-order delivery contract
+    # (same overwrite-then-append recipe the SCD2 stream test relies on)
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+    return e
+
+
+def test_streaming_transitions_equal_batch(spark, sf_dir, tmp_path):
+    """Events arrive in two time-ordered micro-batches; the accumulated
+    increment grids must equal batch q37 over the full stream —
+    boundary pairs (state user -> first batch event) included."""
+    from kmeanwithmapreduce_spark.streaming.ingest import (
+        read_transition_matrix,
+        streaming_transition_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    e = _split_events_by_time(spark, sf_dir, src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "trans")
+    q = streaming_transition_ingest(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    import glob
+
+    assert len(glob.glob(out + "/increments/epoch=*")) >= 2
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in read_transition_matrix(spark, out).collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in S.transition_matrix(e).collect()
+    }
+    assert got == want and sum(want.values()) > 0
+
+
+def test_streaming_transitions_restart_exactly_once(spark, sf_dir, tmp_path):
+    """A second start over the same source + checkpoint must not
+    double-count any increment epoch."""
+    from kmeanwithmapreduce_spark.streaming.ingest import (
+        read_transition_matrix,
+        streaming_transition_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    e = _split_events_by_time(spark, sf_dir, src)
+    out = str(tmp_path / "trans")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):
+        q = streaming_transition_ingest(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            ckpt,
+        )
+        q.awaitTermination(120)
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in read_transition_matrix(spark, out).collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in S.transition_matrix(e).collect()
+    }
+    assert got == want
