@@ -336,24 +336,38 @@ def streaming_transition_ingest(
         else:
             state = spark.createDataFrame([], _TRANS_STATE_SCHEMA)
         batch = batch_df.select("user_id", "event_id", "event_type", "ts")
-        union = state.unionByName(batch)
-        transition_matrix(union).write.mode("overwrite").parquet(
-            os.path.join(out_path, "increments", f"epoch={epoch_id}")
-        )
-        # state snapshot LAST: its _SUCCESS is the epoch's commit marker
-        new_state = (
-            union.groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct("event_id", "event_type", "ts"),
-                    F.struct("ts", "event_id"),
-                ).alias("_s")
+        # only state rows for users PRESENT in the batch can form a
+        # boundary pair — semi-join pruning keeps the window input
+        # bounded by the BATCH's users, not every user ever seen (a
+        # long-lived stream's per-epoch cost must not grow with
+        # lifetime cardinality). Persist: the pruned union feeds both
+        # the increments write and the state argmax (two actions).
+        batch_users = batch.select("user_id").distinct()
+        touched = state.join(batch_users, "user_id", "semi").unionByName(batch)
+        touched = touched.persist()
+        try:
+            transition_matrix(touched).write.mode("overwrite").parquet(
+                os.path.join(out_path, "increments", f"epoch={epoch_id}")
             )
-            .select("user_id", "_s.*")
-        )
-        new_state.write.mode("overwrite").parquet(
-            os.path.join(state_path, f"epoch={epoch_id}")
-        )
+            # state snapshot LAST: its _SUCCESS is the epoch's commit
+            # marker. Untouched users carry forward verbatim (anti
+            # join); touched users take their latest (ts, event_id) row.
+            new_state = (
+                touched.groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("event_id", "event_type", "ts"),
+                        F.struct("ts", "event_id"),
+                    ).alias("_s")
+                )
+                .select("user_id", "_s.*")
+            )
+            carried = state.join(batch_users, "user_id", "anti")
+            carried.unionByName(new_state).write.mode("overwrite").parquet(
+                os.path.join(state_path, f"epoch={epoch_id}")
+            )
+        finally:
+            touched.unpersist()
 
     return (
         stream_events.writeStream.foreachBatch(_ingest)

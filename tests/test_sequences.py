@@ -90,10 +90,22 @@ def _split_events_by_time(spark, sf_dir, src):
     cut = e.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
     early = e.where(F.unix_micros("ts") <= cut)
     late = e.where(F.unix_micros("ts") > cut)
-    # written in time order: the per-user in-order delivery contract
-    # (same overwrite-then-append recipe the SCD2 stream test relies on)
+    # written in time order: the per-user in-order delivery contract.
+    # FileStreamSource orders by modification time, so pin mtimes
+    # explicitly — back-to-back writes can tie on coarse filesystems,
+    # which would collapse both files into one batch or reorder them
+    import glob
+    import os
+    import time
+
     early.coalesce(1).write.mode("overwrite").parquet(src)
+    first = set(glob.glob(src + "/part-*.parquet"))
     late.coalesce(1).write.mode("append").parquet(src)
+    second = set(glob.glob(src + "/part-*.parquet")) - first
+    assert len(first) == 1 and len(second) == 1
+    now = time.time()
+    os.utime(first.pop(), (now - 60, now - 60))
+    os.utime(second.pop(), (now, now))
     return e
 
 
