@@ -1,10 +1,11 @@
 """Product-analytics mart builder — the events-side counterpart of
 ``corpus.prepare_training_corpus``: ONE pass over the events table
-fans out into the four standard marts (sessions, funnel, cohort
-retention, rolling features), written as parquet with the same
+fans out into the six standard marts (sessions, funnel, cohort
+retention, rolling features, transition matrix, leading paths),
+written as parquet with the same
 reproducibility manifest the corpus pipeline uses. Reference parity:
 the reference engine (a single K-Means job) has no analytics surface;
-this composes the engine's own q19/q34/q36/q35 operators, each of
+this composes the engine's own q19/q34/q36/q35/q37/q38 operators, each of
 which is individually oracle-verified in the registry.
 
 Scale notes:
@@ -30,10 +31,13 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .corpus import _write_manifest, read_corpus_manifest
+from .sequences import leading_paths, transition_matrix
 from .sessionize import sessionize_plain
 from .temporal import cohort_retention, funnel, gapfill_locf, rolling_7day
 
-MART_NAMES = ("sessions", "funnel", "retention", "rolling_7d")
+MART_NAMES = (
+    "sessions", "funnel", "retention", "rolling_7d", "transitions", "paths"
+)
 
 
 def session_stats(events: DataFrame, gap_s: int = 1800) -> DataFrame:
@@ -59,11 +63,11 @@ def build_events_mart(
     persist: bool = True,
     include_gapfill: bool = False,
 ) -> dict:
-    """Build and write the four marts; returns {mart: row_count}.
+    """Build and write the six marts; returns {mart: row_count}.
 
-    ``include_gapfill=True`` adds the q33 LOCF daily series as a fifth
-    mart (off by default: its row count is users x days, an order
-    larger than the others). A ``_mart_manifest.json`` with the
+    ``include_gapfill=True`` adds the q33 LOCF daily series as a
+    seventh mart (off by default: its row count is users x days, an
+    order larger than the others). A ``_mart_manifest.json`` with the
     counts and every knob lands in ``out_dir`` (read back with
     ``read_events_manifest``)."""
     e = load_table(spark, sf_dir, "events").select(
@@ -77,6 +81,8 @@ def build_events_mart(
             "funnel": funnel(e),
             "retention": cohort_retention(e),
             "rolling_7d": rolling_7day(e),
+            "transitions": transition_matrix(e),
+            "paths": leading_paths(e, k=3),
         }
         if include_gapfill:
             marts["daily_locf"] = gapfill_locf(e)

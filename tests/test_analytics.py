@@ -39,6 +39,8 @@ def test_marts_equal_registry_twins(spark, sf_dir, mart):
         "funnel": "q34_funnel",
         "retention": "q36_cohort_retention",
         "rolling_7d": "q35_rolling_7day",
+        "transitions": "q37_transition_matrix",
+        "paths": "q38_leading_paths",
     }
     for mart_name, qname in twins.items():
         got = _rows(spark.read.parquet(f"{out}/{mart_name}"))
