@@ -313,14 +313,28 @@ _TRANS_STATE_SCHEMA = (
 
 
 def streaming_transition_ingest(
-    stream_events: DataFrame, out_path: str, checkpoint_path: str
+    stream_events: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    on_late: str = "error",
 ):
     """foreachBatch ingest maintaining <out_path>/increments (epoch
     transition counts) and <out_path>/state (per-user last event
-    chain). Read the accumulated matrix with read_transition_matrix."""
+    chain). Read the accumulated matrix with read_transition_matrix.
+
+    ``on_late`` enforces the per-user in-order delivery contract
+    instead of assuming it: a batch event at or before the user's
+    stored last (ts, event_id) would silently corrupt the boundary
+    pair, so ``"error"`` (default) fails the query loudly — the
+    correct behavior for a keyed-topic source where out-of-order means
+    a broken upstream, not a data property. ``"permissive"`` skips the
+    check (callers that re-sort upstream with their own watermark)."""
     from pyspark.sql import functions as F
 
     from ..operators.sequences import transition_matrix
+
+    if on_late not in ("error", "permissive"):
+        raise ValueError(f"on_late must be 'error' or 'permissive', got {on_late!r}")
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -336,6 +350,23 @@ def streaming_transition_ingest(
         else:
             state = spark.createDataFrame([], _TRANS_STATE_SCHEMA)
         batch = batch_df.select("user_id", "event_id", "event_type", "ts")
+        if on_late == "error":
+            # one tiny agg + state join, bounded by the batch's users
+            firsts = batch.groupBy("user_id").agg(
+                F.min(F.struct("ts", "event_id")).alias("_first")
+            )
+            n_late = (
+                firsts.join(state, "user_id")
+                .where(F.col("_first") <= F.struct("ts", "event_id"))
+                .count()
+            )
+            if n_late:
+                raise RuntimeError(
+                    f"streaming_transition_ingest epoch {epoch_id}: "
+                    f"{n_late} user(s) delivered events at or before "
+                    "their committed last event — per-user in-order "
+                    "contract violated (on_late='error')"
+                )
         # only state rows for users PRESENT in the batch can form a
         # boundary pair — semi-join pruning keeps the window input
         # bounded by the BATCH's users, not every user ever seen (a

@@ -173,3 +173,57 @@ def test_streaming_transitions_restart_exactly_once(spark, sf_dir, tmp_path):
         for r in S.transition_matrix(e).collect()
     }
     assert got == want
+
+
+def test_streaming_transitions_late_events_fail_loudly(spark, sf_dir, tmp_path):
+    """Contract enforcement: a second batch delivering an event OLDER
+    than a user's committed last event must fail the query (silent
+    boundary-pair corruption is the alternative), and 'permissive'
+    must accept the same stream."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kmeanwithmapreduce_spark.sources.readers import load_table
+    from kmeanwithmapreduce_spark.streaming.ingest import (
+        streaming_transition_ingest,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cut = e.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    # LATE half first, EARLY half second: batch 2 violates in-order
+    e.where(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    first = set(glob.glob(src + "/part-*.parquet"))
+    e.where(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = set(glob.glob(src + "/part-*.parquet")) - first
+    now = time.time()
+    os.utime(first.pop(), (now - 60, now - 60))
+    os.utime(second.pop(), (now, now))
+
+    def run(mode, out, ckpt):
+        return streaming_transition_ingest(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            str(tmp_path / out),
+            str(tmp_path / ckpt),
+            on_late=mode,
+        )
+
+    import pytest as _pytest
+
+    q = run("error", "t_err", "ck_err")
+    with _pytest.raises(Exception, match="in-order contract violated"):
+        q.awaitTermination(120)
+
+    q2 = run("permissive", "t_perm", "ck_perm")
+    q2.awaitTermination(120)  # same stream, no raise
