@@ -349,34 +349,36 @@ def streaming_transition_ingest(
             )
         else:
             state = spark.createDataFrame([], _TRANS_STATE_SCHEMA)
-        batch = batch_df.select("user_id", "event_id", "event_type", "ts")
-        if on_late == "error":
-            # one tiny agg + state join, bounded by the batch's users
-            firsts = batch.groupBy("user_id").agg(
-                F.min(F.struct("ts", "event_id")).alias("_first")
-            )
-            n_late = (
-                firsts.join(state, "user_id")
-                .where(F.col("_first") <= F.struct("ts", "event_id"))
-                .count()
-            )
-            if n_late:
-                raise RuntimeError(
-                    f"streaming_transition_ingest epoch {epoch_id}: "
-                    f"{n_late} user(s) delivered events at or before "
-                    "their committed last event — per-user in-order "
-                    "contract violated (on_late='error')"
-                )
-        # only state rows for users PRESENT in the batch can form a
-        # boundary pair — semi-join pruning keeps the window input
-        # bounded by the BATCH's users, not every user ever seen (a
-        # long-lived stream's per-epoch cost must not grow with
-        # lifetime cardinality). Persist: the pruned union feeds both
-        # the increments write and the state argmax (two actions).
+        # persist the batch (it feeds the late check, the union, and
+        # the user list — one source read, not three) and the PRUNED
+        # state (only state rows for users PRESENT in the batch can
+        # form a boundary pair or be late — the semi join keeps every
+        # per-epoch computation bounded by the BATCH's users, not every
+        # user ever seen, and persisting it means the state snapshot is
+        # scanned exactly twice per epoch: once here, once for the
+        # carry-forward anti join — same as before the late check
+        # existed).
+        batch = batch_df.select("user_id", "event_id", "event_type", "ts").persist()
         batch_users = batch.select("user_id").distinct()
-        touched = state.join(batch_users, "user_id", "semi").unionByName(batch)
-        touched = touched.persist()
+        pruned = state.join(batch_users, "user_id", "semi").persist()
         try:
+            if on_late == "error":
+                firsts = batch.groupBy("user_id").agg(
+                    F.min(F.struct("ts", "event_id")).alias("_first")
+                )
+                n_late = (
+                    firsts.join(pruned, "user_id")
+                    .where(F.col("_first") <= F.struct("ts", "event_id"))
+                    .count()
+                )
+                if n_late:
+                    raise RuntimeError(
+                        f"streaming_transition_ingest epoch {epoch_id}: "
+                        f"{n_late} user(s) delivered events at or before "
+                        "their committed last event — per-user in-order "
+                        "contract violated (on_late='error')"
+                    )
+            touched = pruned.unionByName(batch)
             transition_matrix(touched).write.mode("overwrite").parquet(
                 os.path.join(out_path, "increments", f"epoch={epoch_id}")
             )
@@ -398,7 +400,8 @@ def streaming_transition_ingest(
                 os.path.join(state_path, f"epoch={epoch_id}")
             )
         finally:
-            touched.unpersist()
+            pruned.unpersist()
+            batch.unpersist()
 
     return (
         stream_events.writeStream.foreachBatch(_ingest)

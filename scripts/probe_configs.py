@@ -22,10 +22,13 @@ catches anything larger.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 from pyspark.sql import SparkSession
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 AXES = {
     "ansi_off": {"spark.sql.ansi.enabled": "false"},
@@ -58,6 +61,12 @@ def canon(rows) -> list[tuple]:
 
 
 def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] not in AXES:
+        print(
+            f"usage: python {sys.argv[0]} <axis> [sf_dir]\n"
+            f"axes: {' '.join(sorted(AXES))}"
+        )
+        return 2
     cfg = sys.argv[1]
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     master = "local[3]" if cfg == "tiny" else "local[8]"
@@ -67,7 +76,7 @@ def main() -> int:
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
@@ -80,8 +89,9 @@ def main() -> int:
         if name not in osql:
             continue
         try:
-            cols = qs[name](spark, sf).columns
-            got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
+            df = qs[name](spark, sf)
+            got = canon(df.select(*sorted(df.columns)).collect())
+            cols = df.columns
             want = canon(
                 con.execute(
                     "SELECT " + ", ".join(sorted(cols)) + " FROM (" + osql[name] + ")"

@@ -81,7 +81,17 @@ def test_sequences_scale_plans(spark, sf_dir):
 # streaming transition ingest
 
 
-def _split_events_by_time(spark, sf_dir, src):
+def _split_events_by_time(spark, sf_dir, src, order="in_order"):
+    """Split events at the median ts into two single-file parquet
+    batches with EXPLICIT modification times (FileStreamSource orders
+    by mtime; back-to-back writes can tie on coarse filesystems, which
+    would collapse both files into one batch or reorder them).
+    ``order="reversed"`` delivers the late half first — the in-order
+    contract violation the on_late check exists for."""
+    import glob
+    import os
+    import time
+
     from kmeanwithmapreduce_spark.sources.readers import load_table
 
     e = load_table(spark, sf_dir, "events").select(
@@ -90,17 +100,10 @@ def _split_events_by_time(spark, sf_dir, src):
     cut = e.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
     early = e.where(F.unix_micros("ts") <= cut)
     late = e.where(F.unix_micros("ts") > cut)
-    # written in time order: the per-user in-order delivery contract.
-    # FileStreamSource orders by modification time, so pin mtimes
-    # explicitly — back-to-back writes can tie on coarse filesystems,
-    # which would collapse both files into one batch or reorder them
-    import glob
-    import os
-    import time
-
-    early.coalesce(1).write.mode("overwrite").parquet(src)
+    batch1, batch2 = (early, late) if order == "in_order" else (late, early)
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
     first = set(glob.glob(src + "/part-*.parquet"))
-    late.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
     second = set(glob.glob(src + "/part-*.parquet")) - first
     assert len(first) == 1 and len(second) == 1
     now = time.time()
@@ -180,34 +183,12 @@ def test_streaming_transitions_late_events_fail_loudly(spark, sf_dir, tmp_path):
     than a user's committed last event must fail the query (silent
     boundary-pair corruption is the alternative), and 'permissive'
     must accept the same stream."""
-    import glob
-    import os
-    import time
-
-    from pyspark.sql import functions as F  # noqa: F811
-
-    from kmeanwithmapreduce_spark.sources.readers import load_table
     from kmeanwithmapreduce_spark.streaming.ingest import (
         streaming_transition_ingest,
     )
 
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", "ts"
-    )
-    cut = e.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
     src = str(tmp_path / "src")
-    # LATE half first, EARLY half second: batch 2 violates in-order
-    e.where(F.unix_micros("ts") > cut).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
-    first = set(glob.glob(src + "/part-*.parquet"))
-    e.where(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    second = set(glob.glob(src + "/part-*.parquet")) - first
-    now = time.time()
-    os.utime(first.pop(), (now - 60, now - 60))
-    os.utime(second.pop(), (now, now))
+    _split_events_by_time(spark, sf_dir, src, order="reversed")
 
     def run(mode, out, ckpt):
         return streaming_transition_ingest(
@@ -226,4 +207,5 @@ def test_streaming_transitions_late_events_fail_loudly(spark, sf_dir, tmp_path):
         q.awaitTermination(120)
 
     q2 = run("permissive", "t_perm", "ck_perm")
-    q2.awaitTermination(120)  # same stream, no raise
+    # must actually finish (a timeout would pass having verified nothing)
+    assert q2.awaitTermination(120)
