@@ -40,7 +40,7 @@ from .sketch import (
     t10_theta_setops,
     t11_kll_quantiles,
 )
-from .graph import GRAPH_QUERIES
+from .graph import BASKET_QUERIES, GRAPH_QUERIES
 from .sequences import SEQUENCE_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 
@@ -62,6 +62,7 @@ EXTRA_QUERIES = {
     **GRAPH_QUERIES,
     **ROLLING_QUERIES,
     **SEQUENCE_QUERIES,
+    **BASKET_QUERIES,
 }
 
 __all__ = [

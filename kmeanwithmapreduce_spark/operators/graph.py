@@ -304,3 +304,103 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
 GRAPH_QUERIES = {
     "g01_copurchase_triangles": (g01_copurchase_triangles, G01_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# q39 — market-basket association metrics over the same co-purchase
+# structure g01 counts triangles on: for the strongest part pairs,
+# support (orders containing both / all orders), confidence (both /
+# orders containing p1) and lift (support / product of marginals).
+# Every ratio is an IEEE division of exact integer counts, so both
+# engines compute bit-identical doubles — no rounding grid needed.
+# Top-k is total-ordered (n_ab desc, p1, p2): deterministic LIMIT.
+#
+# Scale shape: pair counts come from the same ONE-scan bounded-array
+# expansion as copurchase_edges (per-order <= 7 items, no fact
+# self-join); item marginals and the order count are map-side-combined
+# aggregates; the finisher joins are on the pair's two part keys
+# (broadcastable marginals at any realistic part cardinality vs pair
+# count). TakeOrderedAndProject handles the top-k without a global
+# sort.
+def q39_copurchase_lift(spark, sf_dir: str, k: int = 20) -> DataFrame:
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_counts = (
+        parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("e")
+        )
+        .groupBy("e.p1", "e.p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    item_counts = (
+        li.distinct()
+        .groupBy(F.col("l_partkey").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    n_orders = parts.count()  # k-row driver scalar, like k01's init
+    c1 = item_counts.select(
+        F.col("node").alias("p1"), F.col("n_item").alias("n_a")
+    )
+    c2 = item_counts.select(
+        F.col("node").alias("p2"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair_counts.join(c1, "p1")
+        .join(c2, "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab") / F.lit(n_orders)).alias("support"),
+            (F.col("n_ab") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_ab") * F.lit(n_orders))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "p1", "p2")
+        .limit(k)
+    )
+
+
+Q39_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_counts AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+item_counts AS (
+  SELECT l_partkey AS node, CAST(count(*) AS BIGINT) AS n_item
+  FROM li GROUP BY 1
+),
+n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM li)
+SELECT p1, p2, n_ab, c1.n_item AS n_a, c2.n_item AS n_b,
+       n_ab / (SELECT CAST(n AS DOUBLE) FROM n_ord) AS support,
+       n_ab / CAST(c1.n_item AS DOUBLE) AS confidence,
+       (n_ab * (SELECT n FROM n_ord))
+         / CAST(c1.n_item * c2.n_item AS DOUBLE) AS lift
+FROM pair_counts
+JOIN item_counts c1 ON p1 = c1.node
+JOIN item_counts c2 ON p2 = c2.node
+ORDER BY n_ab DESC, p1, p2
+LIMIT 20
+"""
+
+BASKET_QUERIES = {
+    "q39_copurchase_lift": (q39_copurchase_lift, Q39_SQL),
+}

@@ -396,6 +396,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "q36_cohort_retention",
         "q37_transition_matrix",
         "q38_leading_paths",
+        "q39_copurchase_lift",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -92,7 +92,10 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              "q35_rolling_7day", "q36_cohort_retention",
              # q37/q38 order events by (ts, event_id) — the tie rule and
              # tz handling both live in the ts column
-             "q37_transition_matrix", "q38_leading_paths"]:
+             "q37_transition_matrix", "q38_leading_paths",
+             # q39's support/confidence/lift are IEEE divisions of
+             # exact integer counts — bit-equal across engines
+             "q39_copurchase_lift"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(

@@ -225,3 +225,44 @@ def test_triangle_census_empty_graph(spark):
     division would propagate."""
     r = _census(spark, [])
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (0, 0, 0, 0)
+
+
+def test_q39_hand_computed_basket(spark):
+    """3 orders over 3 parts: (A,B), (A,B), (A,C). n_ab(A,B)=2,
+    support=2/3, confidence(A->B)=2/3, lift=(2*3)/(3*2)=1.0;
+    (A,C): 1/3, 1/3, lift=(1*3)/(3*1)=1.0; (B,C) never co-occur."""
+    from kmeanwithmapreduce_spark.operators import graph as G
+    from kmeanwithmapreduce_spark.sources import readers
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)],
+        "l_orderkey long, l_partkey long",
+    )
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda s, d, t: li
+        # the operator imports load_table lazily from ..sources.readers
+        rows = {
+            (r.p1, r.p2): r
+            for r in G.q39_copurchase_lift(spark, "ignored").collect()
+        }
+    finally:
+        readers.load_table = orig
+    assert set(rows) == {(10, 20), (10, 30)}
+    ab = rows[(10, 20)]
+    assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 3, 2)
+    assert ab.support == 2 / 3 and ab.confidence == 2 / 3 and ab.lift == 1.0
+    ac = rows[(10, 30)]
+    assert (ac.n_ab, ac.n_a, ac.n_b) == (1, 3, 1)
+    assert ac.lift == 1.0
+
+
+def test_q39_scale_plan(spark, sf_dir):
+    """Top-k via TakeOrderedAndProject (no global sort), no cartesian,
+    no fact self-join (single lineitem scan feeds the pair counts)."""
+    from kmeanwithmapreduce_spark.operators.graph import q39_copurchase_lift
+    from kmeanwithmapreduce_spark.plans import explain_str
+
+    plan = explain_str(q39_copurchase_lift(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
