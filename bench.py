@@ -110,6 +110,7 @@ def main() -> int:
         # round-5 sequence-analysis additions (also §J targets)
         "q37_transition_matrix",
         "q38_leading_paths",
+        "q39_copurchase_lift",
     ]
 
     timings: dict[str, float] = {}
