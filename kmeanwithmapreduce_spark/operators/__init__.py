@@ -41,6 +41,7 @@ from .sketch import (
     t11_kll_quantiles,
 )
 from .graph import BASKET_QUERIES, GRAPH_QUERIES
+from .relational import RFM_QUERIES
 from .sequences import SEQUENCE_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 
@@ -63,6 +64,7 @@ EXTRA_QUERIES = {
     **ROLLING_QUERIES,
     **SEQUENCE_QUERIES,
     **BASKET_QUERIES,
+    **RFM_QUERIES,
 }
 
 __all__ = [

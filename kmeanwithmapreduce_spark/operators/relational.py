@@ -1126,3 +1126,107 @@ RELATIONAL_QUERIES = {
     "q28_full_outer": (q28_full_outer, Q28_SQL),
     "q30_posexplode_embedding_dims": (q30_posexplode_embedding_dims, Q30_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# q40 — RFM customer segmentation: quartile-code every ordering
+# customer on Recency (days since their last order, against the
+# corpus's max order date), Frequency (order count) and Monetary
+# (cents-grid revenue), emit the 64-cell segment histogram. The
+# deliberate design choice is CUTPOINT BUCKETING, not ntile(4): a
+# global ntile needs one totally-ordered window (SinglePartition — the
+# scale-killer), while three exact percentile cutpoints are one scalar
+# aggregate each, broadcast as literals into a map-side CASE — the
+# same shape at any customer count.
+#
+# Cross-engine safety of the cutpoint compare: R/F/M are exact
+# INTEGERS. Spark's percentile and DuckDB's quantile_cont share the
+# p*(n-1) linear-interpolation definition; when the rank is integral
+# the cutpoint IS a data value (double-exact, both engines return it
+# bit-equal), and when it interpolates it lies strictly BETWEEN two
+# integers, where a last-ulp formula difference (the j05 caveat) can
+# never flip an integer <= cutpoint comparison.
+def q40_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("m_cents"),
+    )
+    anchor = per_cust.agg(F.max("last_d")).first()[0]
+    per_cust = per_cust.withColumn(
+        "r_days", F.datediff(F.lit(anchor), F.col("last_d")).cast("bigint")
+    )
+    cuts = per_cust.agg(
+        F.percentile("r_days", F.lit([0.25, 0.5, 0.75])).alias("rc"),
+        F.percentile("f", F.lit([0.25, 0.5, 0.75])).alias("fc"),
+        F.percentile("m_cents", F.lit([0.25, 0.5, 0.75])).alias("mc"),
+    ).first()
+
+    def code(col, c, invert=False):
+        # quartile 1..4; recency inverts (small r_days = best = 4)
+        q = (
+            F.when(F.col(col) <= c[0], 1)
+            .when(F.col(col) <= c[1], 2)
+            .when(F.col(col) <= c[2], 3)
+            .otherwise(4)
+        )
+        return (F.lit(5) - q) if invert else q
+
+    seg = F.concat(
+        F.lit("R"), code("r_days", cuts.rc, invert=True),
+        F.lit("F"), code("f", cuts.fc),
+        F.lit("M"), code("m_cents", cuts.mc),
+    )
+    return (
+        per_cust.select(seg.alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+Q40_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_d,
+         CAST(count(*) AS BIGINT) AS f,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+rdays AS (
+  SELECT *,
+         CAST(date_diff('day', last_d,
+                        (SELECT max(last_d) FROM per_cust)) AS BIGINT)
+           AS r_days
+  FROM per_cust
+),
+cuts AS (
+  SELECT quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.5) AS r2,
+         quantile_cont(r_days, 0.75) AS r3,
+         quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+         quantile_cont(f, 0.75) AS f3,
+         quantile_cont(m_cents, 0.25) AS m1, quantile_cont(m_cents, 0.5) AS m2,
+         quantile_cont(m_cents, 0.75) AS m3
+  FROM rdays
+),
+coded AS (
+  SELECT 'R' ||
+         (5 - CASE WHEN r_days <= r1 THEN 1 WHEN r_days <= r2 THEN 2
+                   WHEN r_days <= r3 THEN 3 ELSE 4 END) ||
+         'F' ||
+         CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2
+              WHEN f <= f3 THEN 3 ELSE 4 END ||
+         'M' ||
+         CASE WHEN m_cents <= m1 THEN 1 WHEN m_cents <= m2 THEN 2
+              WHEN m_cents <= m3 THEN 3 ELSE 4 END AS segment
+  FROM rdays, cuts
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_customers
+FROM coded GROUP BY segment
+"""
+
+RFM_QUERIES = {
+    "q40_rfm_segments": (q40_rfm_segments, Q40_SQL),
+}

@@ -397,6 +397,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "q37_transition_matrix",
         "q38_leading_paths",
         "q39_copurchase_lift",
+        "q40_rfm_segments",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -95,7 +95,11 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              "q37_transition_matrix", "q38_leading_paths",
              # q39's support/confidence/lift are IEEE divisions of
              # exact integer counts — bit-equal across engines
-             "q39_copurchase_lift"]:
+             "q39_copurchase_lift",
+             # q40's quartile coding compares exact ints against
+             # percentile cutpoints — the interpolation-ulp safety
+             # argument must hold under any session layout
+             "q40_rfm_segments"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(

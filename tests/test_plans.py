@@ -152,3 +152,47 @@ def test_registry_wide_plan_hygiene(spark):
         plan = explain_str(fn(spark, SF_DIR_001))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_q40_rfm_hand_computed(spark):
+    """4 customers engineered onto distinct quartiles of every
+    dimension; recency inverts (most recent buyer = R4). With n=4,
+    quartile cutpoints hit p*(n-1) ranks 0.75/1.5/2.25 — the
+    interpolating case the integer-compare safety argument covers."""
+    from datetime import date
+
+    from kmeanwithmapreduce_spark.operators import relational as R
+
+    rows = []
+    # cust 1: 1 order, oldest, small spend -> R1 F1 M1
+    rows += [(1, date(2024, 1, 1), 10.0)]
+    # cust 2: 2 orders, newer, mid spend -> R2 F2 M2
+    rows += [(2, date(2024, 2, 1), 20.0), (2, date(2024, 2, 10), 20.0)]
+    # cust 3: 3 orders -> R3 F3 M3
+    rows += [(3, date(2024, 3, 1), 30.0)] * 2 + [(3, date(2024, 3, 10), 30.0)]
+    # cust 4: 4 orders, most recent, biggest spend -> R4 F4 M4
+    rows += [(4, date(2024, 4, 1), 40.0)] * 3 + [(4, date(2024, 4, 10), 40.0)]
+    o = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    orig = R.load_table
+    try:
+        R.load_table = lambda s, d, t: o
+        got = {
+            r.segment: r.n_customers
+            for r in R.q40_rfm_segments(spark, "ignored").collect()
+        }
+    finally:
+        R.load_table = orig
+    assert got == {"R1F1M1": 1, "R2F2M2": 1, "R3F3M3": 1, "R4F4M4": 1}
+
+
+def test_q40_no_global_sort_window(spark, sf_dir):
+    """The whole point vs ntile(4): no SinglePartition window — the
+    cutpoints are scalar aggregates, the coding is map-side."""
+    from kmeanwithmapreduce_spark.operators import relational as R
+    from kmeanwithmapreduce_spark.plans import explain_str
+
+    plan = explain_str(R.q40_rfm_segments(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
