@@ -111,6 +111,7 @@ def main() -> int:
         "q37_transition_matrix",
         "q38_leading_paths",
         "q39_copurchase_lift",
+        "q40_rfm_segments",
     ]
 
     timings: dict[str, float] = {}
