@@ -42,7 +42,8 @@ from .sketch import (
 )
 from .graph import BASKET_QUERIES, GRAPH_QUERIES
 from .relational import RFM_QUERIES
-from .sequences import SEQUENCE_QUERIES
+from .search import SEARCH_QUERIES
+from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 
 EXTRA_QUERIES = {
@@ -65,6 +66,8 @@ EXTRA_QUERIES = {
     **SEQUENCE_QUERIES,
     **BASKET_QUERIES,
     **RFM_QUERIES,
+    **SEARCH_QUERIES,
+    **ATTRIBUTION_QUERIES,
 }
 
 __all__ = [

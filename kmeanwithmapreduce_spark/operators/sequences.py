@@ -110,7 +110,70 @@ GROUP BY path
 """
 
 
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value (cents
+    grid) is credited to the user's most recent PRECEDING non-purchase
+    event type in the (ts, event_id) total order; purchases with no
+    preceding touch credit 'direct'.
+
+    One user-keyed window carries a single running value (the last
+    non-purchase type seen — ``last(..., ignorenulls)`` over an
+    unbounded-preceding ROWS frame is O(1) state per user), then a
+    groupBy over at most |types|+1 cells. Same Exchange count as q37:
+    one hash shuffle on user_id, one tiny final agg. Revenue sums in
+    exact BIGINT cents (the q40 grid rule), so counts and sums are
+    bit-equal cross-engine.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    purchases = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        touch.alias("touch"),
+    ).where(F.col("event_type") == "purchase")
+    return purchases.groupBy(
+        F.coalesce(F.col("touch"), F.lit("direct")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+def q41_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+Q41_SQL = """
+WITH touched AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       sum(cents) AS revenue_cents
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY coalesce(touch, 'direct')
+"""
+
+
 SEQUENCE_QUERIES = {
     "q37_transition_matrix": (q37_transition_matrix, Q37_SQL),
     "q38_leading_paths": (q38_leading_paths, Q38_SQL),
+}
+
+ATTRIBUTION_QUERIES = {
+    "q41_last_touch_attribution": (q41_last_touch_attribution, Q41_SQL),
 }

@@ -398,6 +398,8 @@ def test_cleaning_entries_sit_after_driver_window():
         "q38_leading_paths",
         "q39_copurchase_lift",
         "q40_rfm_segments",
+        "s06_bm25_search",
+        "q41_last_touch_attribution",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

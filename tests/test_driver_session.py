@@ -99,7 +99,15 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              # q40's quartile coding compares exact ints against
              # percentile cutpoints — the interpolation-ulp safety
              # argument must hold under any session layout
-             "q40_rfm_segments"]:
+             "q40_rfm_segments",
+             # s06 folds driver-computed idf/avgdl literals into the
+             # scoring plan — the fold must be layout-independent and
+             # the 6-dp rounding must absorb libm/expr-chain ulps in
+             # the vanilla session too
+             "s06_bm25_search",
+             # q41 rests on the (ts, event_id) total order + ignore-nulls
+             # last() carry — both session-tz and layout sensitive
+             "q41_last_touch_attribution"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(

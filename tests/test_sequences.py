@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from kmeanwithmapreduce_spark.operators import sequences as S
 from kmeanwithmapreduce_spark.plans import explain_str
+from kmeanwithmapreduce_spark.plans.inspect import count_nodes
 
 
 def _events(spark, rows):
@@ -209,3 +210,70 @@ def test_streaming_transitions_late_events_fail_loudly(spark, sf_dir, tmp_path):
     q2 = run("permissive", "t_perm", "ck_perm")
     # must actually finish (a timeout would pass having verified nothing)
     assert q2.awaitTermination(120)
+
+
+# --------------------------------------------------------------------------
+# q41 — last-touch attribution
+
+
+def _vevents(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+
+
+def test_last_touch_attribution_hand_computed(spark):
+    """user 1: view -> purchase(10.00) -> click -> purchase(2.50):
+    first purchase credits 'view', second 'click' (the intervening
+    purchase is NOT a touch). user 2: purchase with no prior event ->
+    'direct'. user 3's click must not leak into user 2."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        (1, 1, "view", t0, 0.0),
+        (2, 1, "purchase", t0 + h, 10.0),
+        (3, 1, "click", t0 + 2 * h, 0.0),
+        (4, 1, "purchase", t0 + 3 * h, 2.5),
+        (5, 2, "purchase", t0, 7.0),
+        (6, 3, "click", t0 - h, 0.0),
+    ]
+    got = {
+        r.channel: (r.n_purchases, r.revenue_cents)
+        for r in S.last_touch_attribution(_vevents(spark, rows)).collect()
+    }
+    assert got == {
+        "view": (1, 1000),
+        "click": (1, 250),
+        "direct": (1, 700),
+    }
+
+
+def test_last_touch_equal_instant_tie_rule(spark):
+    """Touch and purchase at the same instant: event_id breaks the tie —
+    the touch with the smaller id precedes the purchase."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, "click", t0, 0.0),
+        (2, 1, "purchase", t0, 4.0),
+    ]
+    got = {
+        r.channel: r.revenue_cents
+        for r in S.last_touch_attribution(_vevents(spark, rows)).collect()
+    }
+    assert got == {"click": 400}
+
+
+def test_q41_plan_shape(spark, sf_dir):
+    """One user-keyed Window (single hash Exchange before it), no
+    SinglePartition, no join — q37's plan shape with a running last()
+    instead of lag()."""
+    plan = explain_str(S.q41_last_touch_attribution(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert count_nodes(plan, "Window") == 1, plan
+    assert "Join" not in plan, plan
