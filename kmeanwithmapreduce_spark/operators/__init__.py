@@ -26,12 +26,13 @@ ALL_QUERIES = {
 # Round-5 additions register after k03 in __spark_entry__.queries()
 # (positions 51+) and carry the same oracle discipline via the in-repo
 # sweep (tests/test_oracle_parity.py extends its case list with them).
-from .curation import CURATION_QUERIES, SPLIT_QUERIES
+from .curation import CURATION_QUERIES, SPLIT_QUERIES, WEIGHTED_SAMPLE_QUERIES
 from .joins_advanced import J05_SQL, j05_approx_percentile
 from .pq import S04_SQL, S05_SQL, s04_ivfpq_search, s05_ivfpq_residual_search
 from .quality import QUALITY_QUERIES
 from .scd import SCD_QUERIES
 from .sketch import (
+    BLOOM_QUERIES,
     SKETCH_QUERIES,
     T09_SQL,
     T10_SQL,
@@ -45,6 +46,7 @@ from .relational import RFM_QUERIES
 from .search import SEARCH_QUERIES
 from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
+from .versioning import VERSIONING_QUERIES
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
@@ -68,6 +70,9 @@ EXTRA_QUERIES = {
     **RFM_QUERIES,
     **SEARCH_QUERIES,
     **ATTRIBUTION_QUERIES,
+    **WEIGHTED_SAMPLE_QUERIES,
+    **VERSIONING_QUERIES,
+    **BLOOM_QUERIES,
 }
 
 __all__ = [

@@ -842,3 +842,84 @@ SPLIT_QUERIES = {
     "c11_split_assign": (c11_split_assign, C11_SQL),
     "c12_per_group_topk": (c12_per_group_topk, C12_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# c13 — deterministic weighted sampling without replacement
+# (Efraimidis–Spirakis A-ES, Inf. Proc. Letters 97(5), 2006): each row
+# draws u in (0,1) from the md5 hash family and ranks by key =
+# ln(u)/w, taking the k LARGEST keys (equivalent to u^(1/w) — the
+# classic reservoir form — but ln keeps the arithmetic in one libm
+# call). Selection probability is proportional to weight, and — unlike
+# rand()-based sampling — the draw is a pure function of (key, salt):
+# stable under repartition, rerun, engine, and incremental arrival.
+#
+# Cross-engine determinism: u = (u32 + 0.5) / 2^32 is EXACT double
+# arithmetic from an exact integer (power-of-two divisor), so ln() on
+# both engines sees the bit-identical argument; CPython's math is not
+# involved (both Spark's Math.log and DuckDB's std::log resolve the
+# same correctly-rounded-to-1ulp contract). Ranks compare rounded keys
+# (6 dp, the c08 discipline) with the id as tie-break, so a last-ulp
+# libm disagreement can only flip the selected set if two INDEPENDENT
+# md5 draws land within 1e-6 of each other AND straddle the k-th rank
+# — the j05-class negligible-probability caveat, documented not hidden.
+#
+# Scale: one narrow projection + one TakeOrderedAndProject — zero
+# shuffles, cluster-size-independent (the stratified_sample shape with
+# a weight knob). This is how a 100 TB corpus downsamples "prefer
+# longer/higher-quality documents" without a global sort.
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "ws-v1",
+) -> DataFrame:
+    """k-row weighted sample: the rows with the largest round(ln(u)/w, 6)
+    (ties by key). ``weight_col`` must be a positive numeric column —
+    nonpositive weights raise at plan build via an ANSI-safe guard."""
+    u32 = _u32_draw(F.col(key_col), salt)
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    # assert_true folds into the row pipeline: any nonpositive weight
+    # fails the job loudly instead of sampling garbage
+    w_ok = F.when(
+        F.col(weight_col) > 0, F.col(weight_col)
+    ).otherwise(F.raise_error(F.lit("weighted_sample: nonpositive weight")))
+    # + 0.0 canonicalizes IEEE -0.0 (a key in (-5e-7, 0) rounds to the
+    # zero whose SIGN the engines disagree on: Spark +0.0, DuckDB -0.0)
+    key = F.round(F.log(u) / w_ok, 6) + F.lit(0.0)
+    return (
+        df.select(F.col(key_col), F.col(weight_col), key.alias("es_key"))
+        .orderBy(F.desc("es_key"), key_col)
+        .limit(k)
+    )
+
+
+_C13_K = 25
+
+
+def c13_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample: n_chars-proportional draw —
+    the 'prefer longer documents' downsampling a token-budget corpus
+    build uses."""
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(d, _C13_K, "n_chars")
+
+
+C13_SQL = f"""
+SELECT doc_id, n_chars,
+       round(ln((CAST(('0x' || substr(md5('ws-v1:' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+             / n_chars, 6) + 0.0 AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id
+LIMIT {_C13_K}
+"""
+
+
+WEIGHTED_SAMPLE_QUERIES = {
+    "c13_weighted_sample": (c13_weighted_sample, C13_SQL),
+}

@@ -512,3 +512,227 @@ SELECT CAST(count(*) AS BIGINT) AS n,
              AND quantile_cont(l_extendedprice, 0.92) AS merged_p90_within_band
 FROM lineitem
 """
+
+
+# --------------------------------------------------------------------------
+# t12 — Bloom-filter membership index (Bloom, CACM 1970). Spark's
+# internal bloom_filter_agg/might_contain pair is not registered as a
+# SQL function in this build (probed — UNRESOLVED_ROUTINE), so the
+# filter is built from the engine's own cross-engine hash family, the
+# same way t08 builds its CMS: k bit positions per key via
+# Kirsch–Mitzenmacher double hashing (two md5 u32 draws b1, b2|1;
+# pos_i = (b1 + i·b2) mod 2^32 mod m — "Less Hashing, Same
+# Performance", ESA 2006), stored as a SPARSE bitmap of 32-bit words
+# (word = pos / 32, bits = bit_or of 1 << (pos % 32)).
+#
+# Why words, not a blob: (word, bits) rows are mergeable with ONE
+# groupBy+bit_or (union of filters = bitwise OR — associative, so
+# per-shard filters built independently fold losslessly, the
+# t09/t08 incremental-index property), persist to parquet, and join
+# as a broadcast build side (≤ m/32 rows regardless of corpus size).
+# Probing is a broadcast left join + a per-probe k-hit conjunction:
+# no shuffle touches the indexed corpus at all.
+#
+# Everything is exact BIGINT arithmetic — the oracle recomputes the
+# identical bitmap in SQL, so the registry row is exact, not
+# statistical; only the false-positive RATE is data-dependent, and
+# the entry reports it as exact counts + an integer-arithmetic band
+# boolean (the j03 discipline). Bit positions stay within 32-bit
+# words so no shift ever reaches the BIGINT sign bit (the layout.py
+# shiftleft-wrap lesson).
+
+_BLOOM_BITS = 1 << 20
+_BLOOM_HASHES = 5
+
+
+def _bloom_draws(key_col, salt: str):
+    from ..functions.hashing import md5_prefix_u32
+
+    b1 = md5_prefix_u32(
+        F.concat_ws(":", F.lit(salt), F.lit("b1"), key_col.cast("string"))
+    )
+    b2 = md5_prefix_u32(
+        F.concat_ws(":", F.lit(salt), F.lit("b2"), key_col.cast("string"))
+    ).bitwiseOR(F.lit(1))
+    return b1, b2
+
+
+def _bloom_positions(key_col, n_bits: int, n_hashes: int, salt: str):
+    b1, b2 = _bloom_draws(key_col, salt)
+    return [
+        ((b1 + F.lit(i) * b2) % F.lit(4294967296)) % F.lit(n_bits)
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = _BLOOM_BITS,
+    n_hashes: int = _BLOOM_HASHES,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Sparse Bloom bitmap over the distinct non-null values of
+    ``key_col``: (word, bits) rows, ≤ n_bits/32 however large the
+    input. Plan: distinct → k-wide posexplode → one map-side-combined
+    groupBy(word) bit_or."""
+    ks = keys.select(F.col(key_col).alias("k")).where(F.col("k").isNotNull()).distinct()
+    pos = ks.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("k"), n_bits, n_hashes, salt))
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / 32).cast("bigint").alias("word"),
+            # F.shiftleft only takes a literal shift — the expression
+            # form accepts a column one
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Union of Bloom filters built with the SAME (n_bits, n_hashes,
+    salt): bitwise OR per word — one groupBy, lossless."""
+    if not filters:
+        raise ValueError("bloom_merge: no filters")
+    u = filters[0]
+    for f in filters[1:]:
+        u = u.unionByName(f)
+    return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    index: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = _BLOOM_BITS,
+    n_hashes: int = _BLOOM_HASHES,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Adds ``maybe`` (boolean, no false negatives) per probe row.
+    The index joins BROADCAST on word; the only shuffle is the
+    per-probe k-hit conjunction groupBy."""
+    pos = probes.select(
+        F.col(key_col).alias("k"),
+        F.posexplode(
+            F.array(*_bloom_positions(F.col(key_col), n_bits, n_hashes, salt))
+        ).alias("i", "p"),
+    ).select(
+        "k",
+        "i",
+        (F.col("p") / 32).cast("bigint").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+    )
+    hit = pos.join(F.broadcast(index), "word", "left").select(
+        "k",
+        (
+            F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        )
+        .cast("int")
+        .alias("h"),
+    )
+    return hit.groupBy("k").agg(
+        (F.sum("h") == F.lit(n_hashes)).alias("maybe")
+    ).withColumnRenamed("k", key_col)
+
+
+def t12_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the filter over orders.o_custkey, probe EVERY
+    customer.c_custkey, and report exact counts: probes, true members
+    (exact semi-join), flagged, plus the two contract booleans —
+    no_false_negatives (structural: every member flags) and
+    fp_within_band (false positives ≤ 10% of non-members, exact
+    integer cross-multiplication, no float rate)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    idx = bloom_build(o, "o_custkey")
+    flags = bloom_probe(idx, c.select("c_custkey"), "c_custkey")
+    member = c.select("c_custkey").join(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).withColumn("m", F.lit(1))
+    joined = flags.join(member, "c_custkey", "left").select(
+        "maybe", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("m").cast("bigint").alias("n_members"),
+        F.sum(F.col("maybe").cast("int")).cast("bigint").alias("n_flagged"),
+        F.bool_and(F.col("maybe") | (F.col("m") == 0)).alias("no_false_negatives"),
+        (
+            (F.sum(F.col("maybe").cast("int")) - F.sum("m")) * 10
+            <= (F.count(F.lit(1)) - F.sum("m"))
+        ).alias("fp_within_band"),
+    )
+
+
+T12_SQL = f"""
+WITH ks AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+draws AS (
+  SELECT k,
+         CAST(('0x' || substr(md5('bloom:b1:' || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) AS b1,
+         (CAST(('0x' || substr(md5('bloom:b2:' || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) | 1) AS b2
+  FROM ks
+),
+pos AS (
+  SELECT ((b1 + i.i * b2) % 4294967296) % {_BLOOM_BITS} AS p
+  FROM draws, (SELECT unnest(range({_BLOOM_HASHES})) AS i) i
+),
+words AS (
+  SELECT p // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY p // 32
+),
+pdraws AS (
+  SELECT c_custkey AS k,
+         CAST(('0x' || substr(md5('bloom:b1:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS b1,
+         (CAST(('0x' || substr(md5('bloom:b2:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) | 1) AS b2
+  FROM customer
+),
+ppos AS (
+  SELECT k,
+         (((b1 + i.i * b2) % 4294967296) % {_BLOOM_BITS}) // 32 AS word,
+         CAST(1 AS BIGINT)
+           << CAST((((b1 + i.i * b2) % 4294967296) % {_BLOOM_BITS}) % 32 AS INT)
+           AS mask
+  FROM pdraws, (SELECT unnest(range({_BLOOM_HASHES})) AS i) i
+),
+hits AS (
+  SELECT k,
+         CASE WHEN bits IS NOT NULL AND (bits & mask) <> 0 THEN 1 ELSE 0 END AS h
+  FROM ppos LEFT JOIN words USING (word)
+),
+flags AS (
+  SELECT k, (sum(h) = {_BLOOM_HASHES}) AS maybe FROM hits GROUP BY k
+),
+joined AS (
+  SELECT maybe,
+         CASE WHEN k IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END AS m
+  FROM flags
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(m) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       bool_and(maybe OR m = 0) AS no_false_negatives,
+       ((sum(CASE WHEN maybe THEN 1 ELSE 0 END) - sum(m)) * 10
+          <= (count(*) - sum(m))) AS fp_within_band
+FROM joined
+"""
+
+
+BLOOM_QUERIES = {
+    "t12_bloom_membership": (t12_bloom_membership, T12_SQL),
+}

@@ -1,0 +1,138 @@
+"""Dataset snapshot diff — the versioned-corpus audit operator: given
+two snapshots of a keyed table, classify every key as added / removed /
+changed / unchanged by comparing a content digest. A training-data
+pipeline runs this between corpus releases to bound how much an eval
+or a model can have drifted (and to verify an "incremental" build
+actually only touched what it claimed).
+
+Spark-first shape: ONE full outer join on the key comparing md5
+digests — at 100 TB this plans as a sort-merge join co-partitioned on
+the key (linear, no driver state), and Catalyst prunes both scans to
+(key, digest-input) columns. The digest is md5 of the compared columns
+(null-tagged concat, so NULL vs 'empty string' differ), making the
+row-compare O(1) regardless of how wide the compared payload is.
+
+The registry entry (c14) derives snapshot v2 from the documents table
+itself by deterministic rules (every 17th key dropped / rewritten /
+re-keyed as new), so the diff is a fixed, oracle-checkable table per
+corpus — no side files, same discipline as c10's synthetic CDC batch.
+
+Reference parity: no reference analog (the reference is a single
+K-Means job); part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+def _digest(cols: list[str]):
+    # null-tagged: coalesce each col to a sentinel PLUS a null-flag
+    # bit, so (NULL) and ('') hash differently and a flipped NULL is a
+    # change, not an ignore
+    parts = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        parts.append(F.col(c).isNull().cast("int").cast("string"))
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Per-key diff status between two snapshots: (key_col, status) with
+    status in {'added', 'removed', 'changed', 'unchanged'}."""
+    if not compare_cols:
+        raise ValueError("snapshot_diff: compare_cols is empty")
+    o = old.select(F.col(key_col).alias("k"), _digest(compare_cols).alias("oh"))
+    n = new.select(F.col(key_col).alias("k"), _digest(compare_cols).alias("nh"))
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("oh").isNull(), F.lit("added"))
+        .when(F.col("nh").isNull(), F.lit("removed"))
+        .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("k").alias(key_col), status.alias("status"))
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """Fixed-size rollup of a snapshot_diff: one row per status."""
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# c14 registry entry: documents (v1) vs a deterministically mutated v2.
+# Mutation rules on doc_id mod 17: 3 -> dropped (removed), 5 -> text
+# rewritten (changed), 7 -> also re-keyed into the disjoint negative
+# key space as a NEW doc (added; c10's collision-proof convention).
+# Everything else carries over byte-identical (unchanged).
+
+
+def _mutate_v2(docs: DataFrame) -> DataFrame:
+    kept = docs.where(F.col("doc_id") % 17 != 3)
+    rewritten = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 5, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") % 17 == 7).withColumn(
+        "doc_id", -F.col("doc_id") - F.lit(1)
+    )
+    return rewritten.unionByName(added)
+
+
+def c14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return diff_summary(snapshot_diff(d, _mutate_v2(d), "doc_id", ["text", "lang"]))
+
+
+C14_SQL = r"""
+WITH v1 AS (
+  SELECT doc_id,
+         md5(coalesce(CAST(text AS VARCHAR), '') || chr(31) ||
+             CASE WHEN text IS NULL THEN '1' ELSE '0' END || chr(31) ||
+             coalesce(CAST(lang AS VARCHAR), '') || chr(31) ||
+             CASE WHEN lang IS NULL THEN '1' ELSE '0' END) AS h
+  FROM documents
+),
+v2src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 5 THEN text || ' [v2]' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT -doc_id - 1 AS doc_id, text, lang
+  FROM documents WHERE doc_id % 17 = 7
+),
+v2 AS (
+  SELECT doc_id,
+         md5(coalesce(CAST(text AS VARCHAR), '') || chr(31) ||
+             CASE WHEN text IS NULL THEN '1' ELSE '0' END || chr(31) ||
+             coalesce(CAST(lang AS VARCHAR), '') || chr(31) ||
+             CASE WHEN lang IS NULL THEN '1' ELSE '0' END) AS h
+  FROM v2src
+),
+d AS (
+  SELECT CASE WHEN v1.h IS NULL THEN 'added'
+              WHEN v2.h IS NULL THEN 'removed'
+              WHEN v1.h <> v2.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY status
+"""
+
+
+VERSIONING_QUERIES = {
+    "c14_snapshot_diff": (c14_snapshot_diff, C14_SQL),
+}

@@ -400,6 +400,9 @@ def test_cleaning_entries_sit_after_driver_window():
         "q40_rfm_segments",
         "s06_bm25_search",
         "q41_last_touch_attribution",
+        "c13_weighted_sample",
+        "c14_snapshot_diff",
+        "t12_bloom_membership",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

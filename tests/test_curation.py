@@ -569,3 +569,84 @@ def test_split_assign_sql_single_split_is_valid(spark, sf_dir, duck):
         ).fetchall()
     )
     assert got == want and set(got.values()) == {"all"}
+
+
+# --------------------------------------------------------------------------
+# c13 — weighted sampling (Efraimidis–Spirakis)
+
+
+def _es_key(doc_id: int, w: float, salt: str = "ws-v1") -> float:
+    import hashlib
+    import math
+
+    h = int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8], 16)
+    u = (h + 0.5) / 4294967296.0
+    return round(math.log(u) / w, 6) + 0.0
+
+
+def test_weighted_sample_exact_trace(spark):
+    """Selection and keys equal the plain-Python A-ES reference on an
+    engineered frame — the full algorithm, not a smoke test."""
+    from kmeanwithmapreduce_spark.operators.curation import weighted_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = [
+        (r.doc_id, r.es_key)
+        for r in weighted_sample(df, 10, "w", key_col="doc_id").collect()
+    ]
+    want = sorted(
+        ((i, _es_key(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0])
+    )[:10]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, gk), (_, wk) in zip(got, want):
+        assert gk == pytest.approx(wk, abs=1e-9)
+
+
+def test_weighted_sample_weight_monotone(spark):
+    """Same key hash, bigger weight => key closer to 0 (ln(u)/w rises),
+    so a doc strictly dominates its lighter twin: with two copies of
+    every id differing only in weight, the heavy copies win whenever
+    keys differ. Construct ids whose heavy/light keys differ at 6 dp."""
+    from kmeanwithmapreduce_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1) for i in range(100, 120)] + [(i + 1000, 50) for i in range(100, 120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    top = [r.doc_id for r in weighted_sample(df, 20, "w").collect()]
+    # heavy ids (>= 1000) should dominate the top-20 overwhelmingly;
+    # exact count per the Python reference:
+    want = sorted(
+        ((i, _es_key(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0])
+    )[:20]
+    assert top == [i for i, _ in want]
+    assert sum(1 for i in top if i >= 1000) >= 15
+
+
+def test_weighted_sample_repartition_invariant(spark):
+    from kmeanwithmapreduce_spark.operators.curation import weighted_sample
+
+    rows = [(i, (i % 5) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    a = [tuple(r) for r in weighted_sample(df, 15, "w").collect()]
+    b = [tuple(r) for r in weighted_sample(df.repartition(13), 15, "w").collect()]
+    assert a == b
+
+
+def test_weighted_sample_nonpositive_weight_raises(spark):
+    from kmeanwithmapreduce_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(1, 5), (2, 0)], "doc_id bigint, w bigint")
+    with pytest.raises(Exception, match="nonpositive weight"):
+        weighted_sample(df, 2, "w").collect()
+
+
+def test_c13_plan_shape(spark, sf_dir):
+    """Zero-Exchange: one narrow projection into TakeOrderedAndProject —
+    the stratified_sample scale shape with a weight knob."""
+    from kmeanwithmapreduce_spark.operators.curation import c13_weighted_sample
+    from kmeanwithmapreduce_spark.plans import explain_str
+
+    plan = explain_str(c13_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

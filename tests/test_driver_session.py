@@ -107,7 +107,12 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              "s06_bm25_search",
              # q41 rests on the (ts, event_id) total order + ignore-nulls
              # last() carry — both session-tz and layout sensitive
-             "q41_last_touch_attribution"]:
+             "q41_last_touch_attribution",
+             # c13's ES keys / t12's bitmap words are md5-derived pure
+             # functions of content; c14's full-outer digest diff has
+             # no float anywhere — all three must be layout-independent
+             "c13_weighted_sample", "c14_snapshot_diff",
+             "t12_bloom_membership"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(

@@ -399,3 +399,77 @@ def test_t11_bands_hold(spark, sf_dir):
     r = t11_kll_quantiles(spark, sf_dir).first()
     assert r.direct_p50_within_band and r.direct_p90_within_band
     assert r.merged_p50_within_band and r.merged_p90_within_band
+
+
+# --------------------------------------------------------------------------
+# t12 — Bloom-filter membership index
+
+
+def _bloom_mod():
+    from kmeanwithmapreduce_spark.operators import sketch
+
+    return sketch
+
+
+def test_bloom_no_false_negatives_exact(spark):
+    """Every inserted key must flag maybe=True — structural, not
+    statistical: k-hit conjunction over bits the build itself set."""
+    sk = _bloom_mod()
+    keys = spark.createDataFrame([(i,) for i in range(1, 501)], "k bigint")
+    idx = sk.bloom_build(keys, "k")
+    flags = {r.k: r.maybe for r in sk.bloom_probe(idx, keys, "k").collect()}
+    assert len(flags) == 500 and all(flags.values())
+
+
+def test_bloom_merge_equals_direct(spark):
+    """bit_or is associative/commutative: per-shard filters merged ==
+    one filter over the union — exact frame equality, the t08/t09
+    incremental-index property."""
+    sk = _bloom_mod()
+    a = spark.createDataFrame([(i,) for i in range(0, 300)], "k bigint")
+    b = spark.createDataFrame([(i,) for i in range(300, 700)], "k bigint")
+    both = a.unionByName(b)
+    merged = {
+        (r.word, r.bits)
+        for r in sk.bloom_merge(
+            sk.bloom_build(a, "k"), sk.bloom_build(b, "k")
+        ).collect()
+    }
+    direct = {(r.word, r.bits) for r in sk.bloom_build(both, "k").collect()}
+    assert merged == direct
+
+
+def test_bloom_bounded_state_and_dedup(spark):
+    """Index size is bounded by min(n_bits/32, k·n_keys) words, and
+    duplicate inserts change nothing (set semantics via distinct)."""
+    sk = _bloom_mod()
+    keys = spark.createDataFrame([(i,) for i in range(1, 101)], "k bigint")
+    dup = keys.unionByName(keys).unionByName(keys)
+    idx = {(r.word, r.bits) for r in sk.bloom_build(keys, "k").collect()}
+    idx_dup = {(r.word, r.bits) for r in sk.bloom_build(dup, "k").collect()}
+    assert idx == idx_dup
+    assert len(idx) <= 5 * 100
+
+
+def test_bloom_known_non_members_mostly_clean(spark):
+    """With 500 keys in 2^20 bits the expected fp rate is ~1e-11 —
+    probe 500 disjoint keys and require zero flags (a deterministic
+    fact of this (salt, keyset), not a probabilistic hope; if the hash
+    family breaks and everything collides, this fails loudly)."""
+    sk = _bloom_mod()
+    members = spark.createDataFrame([(i,) for i in range(1, 501)], "k bigint")
+    others = spark.createDataFrame([(i,) for i in range(10_001, 10_501)], "k bigint")
+    idx = sk.bloom_build(members, "k")
+    flags = [r.maybe for r in sk.bloom_probe(idx, others, "k").collect()]
+    assert len(flags) == 500 and not any(flags)
+
+
+def test_t12_probe_plan_broadcast(spark, sf_dir):
+    """The probe side never shuffles the index: the word join must be
+    a BroadcastHashJoin (index <= n_bits/32 rows by construction)."""
+    from kmeanwithmapreduce_spark.plans import explain_str
+
+    sk = _bloom_mod()
+    plan = explain_str(sk.t12_bloom_membership(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
