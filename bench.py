@@ -112,6 +112,14 @@ def main() -> int:
         "q38_leading_paths",
         "q39_copurchase_lift",
         "q40_rfm_segments",
+        # round-5 fifth-session additions (BASELINE §K targets)
+        "s06_bm25_search",
+        "q41_last_touch_attribution",
+        "c13_weighted_sample",
+        "c14_snapshot_diff",
+        "t12_bloom_membership",
+        "q42_histogram_cents",
+        "q43_mad_outliers",
     ]
 
     timings: dict[str, float] = {}

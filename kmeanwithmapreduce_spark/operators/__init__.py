@@ -45,6 +45,7 @@ from .graph import BASKET_QUERIES, GRAPH_QUERIES
 from .relational import RFM_QUERIES
 from .search import SEARCH_QUERIES
 from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
+from .profiling import PROFILE_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 from .versioning import VERSIONING_QUERIES
 
@@ -73,6 +74,7 @@ EXTRA_QUERIES = {
     **WEIGHTED_SAMPLE_QUERIES,
     **VERSIONING_QUERIES,
     **BLOOM_QUERIES,
+    **PROFILE_QUERIES,
 }
 
 __all__ = [

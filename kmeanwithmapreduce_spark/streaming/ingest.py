@@ -428,3 +428,62 @@ def read_transition_matrix(spark, out_path: str) -> DataFrame:
     return inc.groupBy("from_type", "to_type").agg(
         F.sum("n").cast("bigint").alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming Bloom-filter accumulation — the membership twin of the CMS/
+# HLL paths: per-micro-batch sparse bitmaps land in epoch-keyed subdirs
+# and the accumulated filter is the word-wise bit_or over all epochs.
+# Correct because Bloom union is bitwise OR (associative/commutative/
+# idempotent — pinned merged==direct in tests/test_sketch.py), so
+# unlike the CMS's additive grid a REPLAYED or even double-counted
+# epoch cannot corrupt the filter; the epoch-overwrite is still kept
+# for tidiness. No false negative can ever appear for a committed key.
+
+_BLOOM_SCHEMA = "word bigint, bits bigint"
+
+
+def streaming_bloom_ingest(
+    stream_keys: DataFrame,
+    key_col: str,
+    filter_path: str,
+    checkpoint_path: str,
+    *,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    salt: str = "bloom",
+):
+    """Accumulate a Bloom membership filter over a stream of keys:
+    each micro-batch writes its own sparse bitmap (<= n_bits/32 rows)
+    into epoch=<id>/; read_accumulated_bloom folds them. Feed the
+    result to operators.sketch.bloom_probe for membership checks (e.g.
+    "was this doc_id ever ingested?" without rescanning the corpus)."""
+    from ..operators.sketch import bloom_build
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        bloom_build(
+            batch_df, key_col, n_bits=n_bits, n_hashes=n_hashes, salt=salt
+        ).write.mode("overwrite").parquet(
+            os.path.join(filter_path, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream_keys.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_accumulated_bloom(spark, filter_path: str) -> DataFrame:
+    """Word-wise OR of every ingested epoch's bitmap — the Bloom filter
+    of everything streamed so far (empty before the first epoch)."""
+    from pyspark.sql import functions as F
+
+    try:
+        epochs = spark.read.schema(_BLOOM_SCHEMA).parquet(
+            os.path.join(filter_path, "*")
+        )
+    except Exception:
+        return spark.createDataFrame([], _BLOOM_SCHEMA)
+    return epochs.groupBy("word").agg(F.bit_or("bits").alias("bits"))

@@ -403,6 +403,8 @@ def test_cleaning_entries_sit_after_driver_window():
         "c13_weighted_sample",
         "c14_snapshot_diff",
         "t12_bloom_membership",
+        "q42_histogram_cents",
+        "q43_mad_outliers",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -112,7 +112,11 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              # functions of content; c14's full-outer digest diff has
              # no float anywhere — all three must be layout-independent
              "c13_weighted_sample", "c14_snapshot_diff",
-             "t12_bloom_membership"]:
+             "t12_bloom_membership",
+             # q42's bucket rule is exact integer DIV on scalar-folded
+             # bounds; q43's MAD fences are doubles from exact-int
+             # percentiles — the q40 interpolation argument again
+             "q42_histogram_cents", "q43_mad_outliers"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(

@@ -473,3 +473,48 @@ def test_t12_probe_plan_broadcast(spark, sf_dir):
     plan = explain_str(sk.t12_bloom_membership(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_streaming_bloom_accumulates_to_batch_filter(spark, tmp_path):
+    """Keys arrive in two micro-batches; the word-wise OR of epoch
+    bitmaps must equal the one-shot batch filter, and a key from EACH
+    epoch must probe maybe=True against the accumulated filter."""
+    from kmeanwithmapreduce_spark.streaming.ingest import (
+        read_accumulated_bloom,
+        streaming_bloom_ingest,
+    )
+
+    sk = _bloom_mod()
+    keys = spark.createDataFrame([(i,) for i in range(1, 401)], "k bigint")
+    src = str(tmp_path / "src")
+    keys.where("k % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    keys.where("k % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_bloom_ingest(
+        stream,
+        "k",
+        filter_path=str(tmp_path / "bloom"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "bloom" / "epoch=*"))) >= 2
+    acc = read_accumulated_bloom(spark, str(tmp_path / "bloom"))
+    direct = {(r.word, r.bits) for r in sk.bloom_build(keys, "k").collect()}
+    assert {(r.word, r.bits) for r in acc.collect()} == direct
+    flags = {
+        r.k: r.maybe for r in sk.bloom_probe(acc, keys, "k").collect()
+    }
+    assert len(flags) == 400 and all(flags.values())
+
+
+def test_read_accumulated_bloom_empty(spark, tmp_path):
+    from kmeanwithmapreduce_spark.streaming.ingest import read_accumulated_bloom
+
+    acc = read_accumulated_bloom(spark, str(tmp_path / "nothing"))
+    assert acc.count() == 0
