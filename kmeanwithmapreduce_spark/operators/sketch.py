@@ -319,9 +319,10 @@ GROUP BY event_type
 """
 
 
-# t09 registers separately in operators/__init__.py (appended at the
-# END of EXTRA_QUERIES — registry positions are append-only so the
-# documented positions of earlier entries never shift).
+# t09 registers separately in operators/__init__.py, in append-only
+# order after the temporal entries — registry positions are
+# append-only so the documented positions of earlier entries never
+# shift (later rounds keep appending after it).
 SKETCH_QUERIES = {
     "t08_cms_heavy_hitters": (t08_cms_heavy_hitters, T08_SQL),
 }
@@ -402,9 +403,19 @@ def t10_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         band("est_b", "n_b").alias("b_within_5pct"),
         band("est_union", "n_union").alias("union_within_5pct"),
         band("est_intersect", "n_intersect").alias("intersect_within_5pct"),
+        # Banded, not exact-equality: the identity |A|+|B| ==
+        # |A∪B|+|A∩C| is exact only while every sketch is in exact
+        # mode (< k=4096 distinct per segment). Past the sampling
+        # threshold each estimate carries independent error, so the
+        # identity is asserted within the same 5% band as the other
+        # t10 checks (relative to the exact total) — keeps the entry
+        # green at any sf while still pinning gross set-algebra bugs.
         (
-            F.round(F.col("est_a") + F.col("est_b"), 3)
-            == F.round(F.col("est_union") + F.col("est_intersect"), 3)
+            F.abs(
+                (F.col("est_a") + F.col("est_b"))
+                - (F.col("est_union") + F.col("est_intersect"))
+            )
+            <= 0.05 * (F.col("n_union") + F.col("n_intersect"))
         ).alias("inclusion_exclusion_holds"),
     )
 
@@ -617,13 +628,22 @@ def bloom_probe(
     n_hashes: int = _BLOOM_HASHES,
     salt: str = "bloom",
 ) -> DataFrame:
-    """Adds ``maybe`` (boolean, no false negatives) per probe row.
+    """Adds ``maybe`` (boolean, no false negatives) per DISTINCT
+    non-NULL probe key — output is one row per distinct key, mirroring
+    ``bloom_build``'s key discipline. Deduplicating before the hash
+    explode is load-bearing: with duplicate probe rows the per-key hit
+    sum would be a multiple of ``n_hashes`` and the ``== n_hashes``
+    conjunction would flip a true member to ``maybe=false`` (a false
+    negative). NULL keys are dropped for the same reason bloom_build
+    drops them: concat_ws silently collapses NULL to the bare salt.
     The index joins BROADCAST on word; the only shuffle is the
     per-probe k-hit conjunction groupBy."""
-    pos = probes.select(
-        F.col(key_col).alias("k"),
+    pos = probes.select(F.col(key_col).alias("k")).where(
+        F.col("k").isNotNull()
+    ).distinct().select(
+        "k",
         F.posexplode(
-            F.array(*_bloom_positions(F.col(key_col), n_bits, n_hashes, salt))
+            F.array(*_bloom_positions(F.col("k"), n_bits, n_hashes, salt))
         ).alias("i", "p"),
     ).select(
         "k",

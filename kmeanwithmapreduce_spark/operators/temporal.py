@@ -57,6 +57,12 @@ def range_join_binned(
     second.
     """
     b_us = bucket_seconds * 1_000_000
+    # Empty/inverted intervals (end <= start) cover no instant, but an
+    # unguarded F.sequence(first_bucket, last_bucket) would generate a
+    # DESCENDING bucket list for them — silently replicating a
+    # zero-match interval across many buckets (correct output via the
+    # residual filter, but unbounded replication). Drop them up front.
+    intervals = intervals.where(F.col(end_col) > F.col(start_col))
     binned = intervals.withColumn(
         "_bucket",
         F.explode(

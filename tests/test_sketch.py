@@ -464,6 +464,27 @@ def test_bloom_known_non_members_mostly_clean(spark):
     assert len(flags) == 500 and not any(flags)
 
 
+def test_bloom_probe_duplicate_and_null_keys(spark):
+    """Advisor regression: duplicate probe rows must NOT flip a true
+    member to maybe=false (the k-hit sum of a duplicated member is a
+    multiple of n_hashes, which an un-deduped == n_hashes conjunction
+    rejects — a false negative). NULL probe keys are dropped, mirroring
+    bloom_build. Output is one row per distinct non-NULL key."""
+    sk = _bloom_mod()
+    members = spark.createDataFrame([(i,) for i in range(1, 51)], "k bigint")
+    idx = sk.bloom_build(members, "k")
+    # every member probed 3x, plus NULLs and one non-member duplicated
+    probes = spark.createDataFrame(
+        [(i,) for i in range(1, 51)] * 3 + [(None,), (None,), (99_999,), (99_999,)],
+        "k bigint",
+    )
+    rows = sk.bloom_probe(idx, probes, "k").collect()
+    flags = {r.k: r.maybe for r in rows}
+    assert len(rows) == 51  # 50 members + 1 non-member, no NULL row
+    assert None not in flags
+    assert all(flags[i] for i in range(1, 51))  # no false negatives
+
+
 def test_t12_probe_plan_broadcast(spark, sf_dir):
     """The probe side never shuffles the index: the word join must be
     a BroadcastHashJoin (index <= n_bits/32 rows by construction)."""

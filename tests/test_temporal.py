@@ -171,6 +171,34 @@ def test_range_join_binned_subsecond_end_at_bucket_edge(spark):
     assert got == [1, 3]
 
 
+def test_range_join_binned_inverted_interval_no_replication(spark):
+    """Advisor regression: an empty/inverted interval (end <= start)
+    covers no instant, but an unguarded F.sequence(first, last) would
+    generate a DESCENDING bucket list and replicate the zero-match
+    interval across |span| buckets. The guard must drop such intervals
+    before the explode: zero output rows AND zero binned rows."""
+    day = datetime(2024, 3, 1)
+    events = spark.createDataFrame(
+        [(1, day + timedelta(hours=6))], "event_id long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            # inverted: end 30 days BEFORE start
+            (1, day, day - timedelta(days=30)),
+            (2, day, day),  # empty: end == start
+            (3, day, day + timedelta(days=1)),  # normal, matches
+        ],
+        "campaign_id int, start_ts timestamp, end_ts timestamp",
+    )
+    out = T.range_join_binned(events, iv).select("campaign_id").collect()
+    assert sorted(r.campaign_id for r in out) == [3]
+    # replication bound: total joined rows before residual filter is
+    # observable via the matched campaign only — the inverted interval
+    # must contribute 0 buckets, not 30
+    binned = iv.where(F.col("end_ts") > F.col("start_ts"))
+    assert binned.count() == 1
+
+
 # --------------------------------------------------------------------------
 # q33 gap-fill LOCF / q34 funnel
 
