@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "queries_warm": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
+full JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "queries_warm": {name: sec}, "sf": ...} followed
+by a COMPACT final line (cold map + total + errors, minified, <1900
+bytes) so the driver's 2000-char output tail always captures every cold
+entry. The full cold+warm JSON is also written to BENCH_LOCAL.json.
 
 Execution is measured with the noop sink (full distributed execution, no
 driver-side row transfer), matching how a cluster job would be bounded.
@@ -246,7 +249,47 @@ def main() -> int:
         out["corpus_funnel"] = corpus_funnel
     if errors:
         out["errors"] = errors
+
+    # Full cold+warm+funnel JSON goes to a repo file (survives any
+    # stdout truncation); stdout gets the full line for humans, then a
+    # COMPACT line LAST. The driver's BENCH_r{N}.json keeps only the
+    # last 2000 chars of output, which truncated the round-5 cold map —
+    # the final line is minified cold-map + total + errors only and is
+    # hard-capped under 1900 bytes (progressively shrunk if a future
+    # registry grows past the cap), so every cold entry and the total
+    # are always parseable from the artifact tail.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout must not kill the bench line
     print(json.dumps(out))
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    if errors:
+        compact["errors"] = {k: v[:60] for k, v in errors.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # shrink: 1-dp, then clipped error messages
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        if errors:
+            compact["errors"] = {k: v[:20] for k, v in errors.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # last resort: keep totals + error names only
+        compact.pop("queries")
+        compact["n_queries"] = len(timings)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 

@@ -60,7 +60,12 @@ def canon(rows):
         out.append(tuple(t))
     return sorted(out)
 
-for name in ["k01_kmeans_lineitem", "k02_kmeans_compat", "t06_tfidf_kmeans",
+for name in ["k01_kmeans_lineitem", "k02_kmeans_compat",
+             # k03's output is layout-invariant BY CONTRACT (round 6):
+             # total rows / cluster count / banded WSSE must survive the
+             # vanilla 4-core 200-partition layout changing MLlib's
+             # k-means|| sampling
+             "k03_kmeans_mllib", "t06_tfidf_kmeans",
              "m03_cluster_decoded", "s03_ivf_search", "s04_ivfpq_search",
              "s05_ivfpq_residual_search"]:
     cols = qs[name](spark, sf).columns

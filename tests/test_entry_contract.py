@@ -68,6 +68,18 @@ def test_k02_golden_row_oracle(spark, duck, sf_dir):
         assert (math.isnan(g[3]) and math.isnan(w[3])) or g[3] == w[3]
 
 
+def test_k03_invariant_oracle(spark, duck, sf_dir):
+    """k03 reports layout-invariant derived facts of the MLlib fit
+    (total labeled rows == corpus count, 4 non-empty clusters, banded
+    WSSE vs the engine's deterministic Lloyd), so since round 6 it
+    carries a real VALUES-style oracle — the last driver row goes from
+    rows-only to value-checked (50/50)."""
+    got = entry_mod.queries()["k03_kmeans_mllib"](spark, sf_dir).collect()
+    want = duck.execute(entry_mod.K03_SQL).fetchall()
+    assert len(got) == len(want) == 1
+    assert tuple(got[0]) == tuple(want[0])
+
+
 def test_k01_golden_row_oracle(spark, duck, sf_dir):
     """k01 is deterministic since round 5 (partitioning-invariant
     hash-ordered init), so its VALUES oracle must match value-for-value

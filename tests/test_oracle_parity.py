@@ -21,11 +21,12 @@ ORACLE_CASES = [
 
 
 def _rows_only_cases():
-    """Registry entries with no oracle. Every ALL_QUERIES entry carries
-    one since round 3 (t06/m03/s03 gained golden-row VALUES oracles), so
-    the remaining rows-only surface is k01/k03 in __spark_entry__ —
-    engine-internal init randomness (seeded sampling / MLlib k-means||)
-    that no cross-engine oracle can reproduce."""
+    """Registry entries with no oracle. EMPTY since round 6: k01 gained
+    a hash-ordered-init golden-row oracle in round 5 and k03 moved to
+    layout-invariant derived facts (total rows / cluster count / banded
+    WSSE) with a VALUES oracle in round 6, so every queries() entry is
+    value-checked. Kept as a live guard: any future entry registered
+    without an oracle lands here and still gets a rows-run smoke."""
     import __spark_entry__ as entry
 
     sqls = entry.oracle_sql()
@@ -33,6 +34,12 @@ def _rows_only_cases():
 
 
 ROWS_ONLY_CASES = _rows_only_cases()
+
+
+def test_every_entry_is_oracle_backed():
+    """The round-6 structural pin: 0 rows-only entries — the full
+    registry carries oracles."""
+    assert ROWS_ONLY_CASES == []
 
 
 def _canon_value(v):
