@@ -46,6 +46,7 @@ from .relational import RFM_QUERIES
 from .search import SEARCH_QUERIES
 from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .profiling import PROFILE_QUERIES
+from .subword import SUBWORD_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 from .versioning import VERSIONING_QUERIES
 
@@ -75,6 +76,7 @@ EXTRA_QUERIES = {
     **VERSIONING_QUERIES,
     **BLOOM_QUERIES,
     **PROFILE_QUERIES,
+    **SUBWORD_QUERIES,
 }
 
 __all__ = [

@@ -380,6 +380,7 @@ def chunk_documents(
     stride: int = 48,
     text_col: str = "text",
     id_cols: tuple[str, ...] = ("doc_id",),
+    tokenizer=None,
 ) -> DataFrame:
     """Split each document into overlapping token windows of ``seq_len``
     tokens starting every ``stride`` tokens (stride < seq_len gives the
@@ -388,13 +389,27 @@ def chunk_documents(
     least one chunk. Output: id cols + ``chunk_idx`` (0-based),
     ``chunk_text``, ``n_tokens``.
 
-    Pure per-row generate — the chunk list is built JVM-side from
+    ``tokenizer=None`` (default, oracle-parity path): whitespace tokens,
+    pure per-row generate — the chunk list is built JVM-side from
     sequence/transform/slice and exploded; zero shuffle, linear in
     input splits at any corpus size. Chunk count per doc is
     floor((T-1)/stride)+1, bounded by document length.
+
+    ``tokenizer=BPETokenizer``: windows are counted in SUBWORD tokens
+    (what a training pipeline actually budgets) via an Arrow-batched
+    mapInPandas — still zero shuffle. ``chunk_text`` is the window
+    detokenized at end-of-word boundaries; a window cut mid-word keeps
+    the partial word (documented in ``BPETokenizer.detokenize``).
+    Documents encoding to zero tokens (empty text) yield no chunks on
+    this path (the whitespace path counts the empty string as one
+    token — split(" ") semantics).
     """
     if stride <= 0 or seq_len <= 0:
         raise ValueError("seq_len and stride must be positive")
+    if tokenizer is not None:
+        return _chunk_documents_bpe(
+            docs, tokenizer, seq_len, stride, text_col, id_cols
+        )
     toks = F.split(F.col(text_col), " ")
     n_chunks_minus1 = F.floor((F.size(toks) - F.lit(1)) / F.lit(stride)).cast(
         "bigint"
@@ -419,6 +434,60 @@ def chunk_documents(
     return docs.select(*id_cols, F.explode(chunks).alias("c")).select(
         *id_cols, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
     )
+
+
+def _chunk_documents_bpe(
+    docs: DataFrame,
+    tokenizer,
+    seq_len: int,
+    stride: int,
+    text_col: str,
+    id_cols: tuple[str, ...],
+) -> DataFrame:
+    """Subword-token chunking: encode each doc once, slice token
+    windows, detokenize each window. mapInPandas (narrow, zero shuffle);
+    the merge table rides the closure; cross-batch word cache."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..functions.bpe import BPETokenizer
+
+    merges = tokenizer.merges
+    in_fields = {f.name: f for f in docs.schema.fields}
+    schema = StructType(
+        [in_fields[c] for c in id_cols]
+        + [
+            StructField("chunk_idx", LongType()),
+            StructField("chunk_text", StringType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+    cols = list(id_cols) + [text_col]
+
+    def gen(batches):
+        tok = BPETokenizer(merges)
+        cache: dict = {}
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in id_cols}
+            out.update({"chunk_idx": [], "chunk_text": [], "n_tokens": []})
+            for row in pdf[cols].itertuples(index=False):
+                ids, text = row[:-1], row[-1]
+                toks = tok.encode(text or "", cache)
+                n = len(toks)
+                if n == 0:
+                    continue
+                for k in range((n - 1) // stride + 1):
+                    win = toks[k * stride : k * stride + seq_len]
+                    for c, v in zip(id_cols, ids):
+                        out[c].append(v)
+                    out["chunk_idx"].append(k)
+                    out["chunk_text"].append(BPETokenizer.detokenize(win))
+                    out["n_tokens"].append(len(win))
+            yield pd.DataFrame(out, columns=list(id_cols) + [
+                "chunk_idx", "chunk_text", "n_tokens"
+            ])
+
+    return docs.select(*cols).mapInPandas(gen, schema)
 
 
 def c04_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,6 +610,7 @@ def token_budget_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_hex: int = 3,
+    tokenizer=None,
 ) -> DataFrame:
     """Deterministic token-budget subset: order documents by
     md5(id) — an arbitrary but content-stable shuffle — and keep the
@@ -570,12 +640,27 @@ def token_budget_sample(
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    t = docs.select(
-        id_col,
-        F.md5(F.col(id_col).cast("string")).alias("h"),
-        n_tok.alias("n_tokens"),
-    ).withColumn(
+    if tokenizer is not None:
+        # subword budget: the count column comes from the Arrow-batched
+        # BPE path; everything downstream (bucket decomposition, prefix
+        # sum, pruning) is count-source-agnostic and identical
+        from ..functions.bpe import bpe_count_col
+
+        t = bpe_count_col(
+            docs.select(id_col, text_col), tokenizer, text_col, "n_tokens"
+        ).select(
+            id_col,
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            "n_tokens",
+        )
+    else:
+        n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+        t = docs.select(
+            id_col,
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            n_tok.alias("n_tokens"),
+        )
+    t = t.withColumn(
         "_bucket",
         F.conv(F.substring("h", 1, prefix_hex), 16, 10).cast("int"),
     )

@@ -60,6 +60,25 @@ def _u32_draw(key_col, salt: str):
     )
 
 
+
+def _token_table(docs, id_col, source_col, text_col, tokenizer):
+    """(id, source, n_tokens) for the mixture ops: whitespace-token
+    expr by default (oracle-parity path), or Arrow-batched BPE counts
+    when a tokenizer is passed — downstream integer keep/copy rules are
+    count-source-agnostic."""
+    if tokenizer is not None:
+        from ..functions.bpe import bpe_count_col
+
+        return bpe_count_col(
+            docs.select(id_col, source_col, text_col),
+            tokenizer,
+            text_col,
+            "n_tokens",
+        ).select(id_col, source_col, "n_tokens")
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    return docs.select(id_col, source_col, n_tok.alias("n_tokens"))
+
+
 def domain_mixture_sample(
     docs: DataFrame,
     weights: dict[str, int],
@@ -68,6 +87,7 @@ def domain_mixture_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "c06",
+    tokenizer=None,
 ) -> DataFrame:
     """Deterministic mixture-weighted downsampling: keep a subset of
     ``docs`` whose per-``source_col`` TOKEN totals land in the ratios of
@@ -112,8 +132,7 @@ def domain_mixture_sample(
             f"weights must be <= {_ARGMIN_SCALE} (relative integer "
             f"ratios, not token counts), got {too_big}"
         )
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    t = docs.select(id_col, source_col, n_tok.alias("n_tokens"))
+    t = _token_table(docs, id_col, source_col, text_col, tokenizer)
     totals = {
         r[source_col]: int(r["_tok"])
         for r in t.groupBy(source_col).agg(F.sum("n_tokens").alias("_tok")).collect()
@@ -205,6 +224,7 @@ def domain_mixture_upsample(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "c09",
+    tokenizer=None,
 ) -> DataFrame:
     """The UP-sampling dual of :func:`domain_mixture_sample`: hit the
     target token-share ratios by REPEATING under-represented sources
@@ -240,8 +260,7 @@ def domain_mixture_upsample(
             f"weights must be <= {_ARGMIN_SCALE} (relative integer "
             f"ratios, not token counts), got {too_big}"
         )
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    t = docs.select(id_col, source_col, n_tok.alias("n_tokens"))
+    t = _token_table(docs, id_col, source_col, text_col, tokenizer)
     totals = {
         r[source_col]: int(r["_tok"])
         for r in t.groupBy(source_col).agg(F.sum("n_tokens").alias("_tok")).collect()

@@ -1,0 +1,100 @@
+"""t13 — BPE subword tokenization as a first-class registry operator.
+
+The engine's token-denominated operators (c04 chunking, c05 budget
+sampling, pack_sequences, c06/c09 domain mixture) default to whitespace
+tokens for cross-engine oracle parity; real pipelines budget SUBWORD
+tokens, whose counts differ materially on web text and change packing
+and mixture results. ``functions/bpe.py`` provides the tokenizer
+(deterministic distributed training + Arrow-batched application); this
+entry pins the whole path end-to-end with a golden-row VALUES oracle.
+
+Oracle discipline: training is a pure function of corpus content (the
+k01 golden-row recipe) — capped word table ordered (count DESC, word
+ASC), integer merge loop with lexicographic tie-break — so per-language
+(n_docs, whitespace tokens, BPE tokens) is a fixed table per corpus.
+Branches key on the corpus's total n_chars (sum over documents), which
+distinguishes the sf0.001/0.01 corpora (both 500 docs). Values
+double-run + verified identical under a vanilla hostile session
+(tests/test_driver_session.py) and against an independent sequential
+plain-Python BPE reference (tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bpe import bpe_count_col, train_bpe
+from ..sources.readers import load_table
+
+_N_MERGES = 60
+_TOP_WORDS = 20_000
+
+
+def t13_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE (60 merges) on the documents table, tokenize every
+    document, and report per-language doc counts plus whitespace-vs-BPE
+    token totals — the compression summary a corpus budget depends on."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = train_bpe(d, n_merges=_N_MERGES, top_words=_TOP_WORDS)
+    counted = bpe_count_col(
+        d.select("doc_id", "lang", "text"), tok, "text", "n_bpe"
+    )
+    return (
+        counted.withColumn(
+            "n_ws", F.size(F.split(F.col("text"), " ")).cast("bigint")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        )
+    )
+
+
+# Golden rows per corpus (branch key: total document characters —
+# distinguishes the 500-doc sf0.001 and sf0.01 corpora). Regenerate by
+# running t13 twice per sf (engine + vanilla session; must agree) after
+# any change to word_frequencies ordering, the merge loop tie-break,
+# _N_MERGES/_TOP_WORDS, or the encoder.
+T13_SQL = """
+WITH nchars AS (SELECT sum(n_chars) AS c FROM documents)
+SELECT CAST(lang AS VARCHAR) AS lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens
+FROM (
+  SELECT * FROM (VALUES
+    ('de', 71, 4070, 10061),
+    ('en', 193, 10343, 24961),
+    ('es', 80, 4516, 10987),
+    ('fr', 82, 4926, 11975),
+    ('zh', 74, 4084, 9888)
+  ) v(lang, n_docs, ws_tokens, bpe_tokens)
+  WHERE (SELECT c FROM nchars) = 153156
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('de', 70, 3549, 8586),
+    ('en', 218, 11757, 29284),
+    ('es', 73, 3958, 9769),
+    ('fr', 64, 3758, 9199),
+    ('zh', 75, 4143, 10227)
+  ) v(lang, n_docs, ws_tokens, bpe_tokens)
+  WHERE (SELECT c FROM nchars) = 149174
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('de', 702, 38406, 96495),
+    ('en', 2059, 112006, 283279),
+    ('es', 744, 41044, 103293),
+    ('fr', 742, 40521, 102117),
+    ('zh', 753, 38727, 97646)
+  ) v(lang, n_docs, ws_tokens, bpe_tokens)
+  WHERE (SELECT c FROM nchars) = 1485576
+)
+"""
+
+
+SUBWORD_QUERIES = {
+    "t13_bpe_subword_stats": (t13_bpe_subword_stats, T13_SQL),
+}

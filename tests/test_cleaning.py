@@ -405,6 +405,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "t12_bloom_membership",
         "q42_histogram_cents",
         "q43_mad_outliers",
+        "t13_bpe_subword_stats",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -121,7 +121,12 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              # q42's bucket rule is exact integer DIV on scalar-folded
              # bounds; q43's MAD fences are doubles from exact-int
              # percentiles — the q40 interpolation argument again
-             "q42_histogram_cents", "q43_mad_outliers"]:
+             "q42_histogram_cents", "q43_mad_outliers",
+             # t13's BPE training is content-deterministic by design
+             # (ordered capped word table + integer merge loop); the
+             # vanilla 4-core layout must train the identical merge
+             # table and produce the identical golden token totals
+             "t13_bpe_subword_stats"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(
