@@ -274,10 +274,21 @@ def minhash_bands(d: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = minhash_bands(
-        ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    )
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs from a band index: bucket-restricted
+    self-join on (band, key) + distinct — the standard sub-quadratic
+    LSH path. A HOT bucket (thousands of byte-identical documents
+    sharing every band key) is the one place this degrades toward
+    quadratic: output is still CORRECT (those docs genuinely are all
+    pairwise candidates), but one (band, key) group holds the whole
+    blowup. That skew is handled by AQE's skew-join split — the join is
+    a plain equi-SMJ on (band, key), exactly the shape
+    OptimizeSkewedJoin knows how to split into advisory-sized task
+    chunks (pinned under forced-skew configs and a 1 GiB heap in
+    tests/test_lsh_skew.py). When the duplicate mass is KNOWN to be
+    huge, the cheaper route is dup_clusters' connected components over
+    exact-hash pre-grouping, which collapses identical docs before any
+    pair expansion (SCALE.md note)."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -287,6 +298,14 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(
+        minhash_bands(
+            ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+        )
     )
 
 
