@@ -48,7 +48,7 @@ from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .profiling import PROFILE_QUERIES
 from .subword import SUBWORD_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
-from .versioning import VERSIONING_QUERIES
+from .versioning import TIME_TRAVEL_QUERIES, VERSIONING_QUERIES
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
@@ -77,6 +77,7 @@ EXTRA_QUERIES = {
     **BLOOM_QUERIES,
     **PROFILE_QUERIES,
     **SUBWORD_QUERIES,
+    **TIME_TRAVEL_QUERIES,
 }
 
 __all__ = [

@@ -23,6 +23,8 @@ K-Means job); part of the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -133,6 +135,60 @@ SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY status
 """
 
 
+def v02_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c14's diff computed through the VERSIONED TABLE layer
+    (sources/table.py): documents v1 committed as epoch 0 of one
+    snapshot-chained table, the mutated v2 as epoch 1, then a
+    copy-forward rollback to epoch 0 (epoch 2). Output is the
+    time-travel diff summary between the two epoch READS plus a
+    ``rollback_clean`` row asserting the rolled-back current content is
+    key-for-key unchanged vs epoch 0 — same (status, n) schema, same
+    mutation rules, so the oracle is C14_SQL plus one literal row.
+
+    The table materializes under a per-process temp dir rebuilt on
+    every call (the write is the operator under test); the returned
+    DataFrame lazily reads those committed epoch dirs."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.table import read_table, rollback, write_snapshot
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_v02_{}_{}".format(
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8], os.getpid()
+        ),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    e0 = write_snapshot(d, base)
+    e1 = write_snapshot(_mutate_v2(d), base)
+    rollback(spark, base, e0)
+
+    v0 = read_table(spark, base, as_of=e0)
+    v1 = read_table(spark, base, as_of=e1)
+    cur = read_table(spark, base)  # latest = the rolled-back content
+    diff = diff_summary(snapshot_diff(v0, v1, "doc_id", ["text", "lang"]))
+    clean = (
+        snapshot_diff(v0, cur, "doc_id", ["text", "lang"])
+        .agg(
+            F.lit("rollback_clean").alias("status"),
+            (F.sum((F.col("status") != "unchanged").cast("int")) == 0)
+            .cast("bigint")
+            .alias("n"),
+        )
+    )
+    return diff.unionByName(clean)
+
+
+V02_SQL = C14_SQL + "\nUNION ALL\nSELECT 'rollback_clean' AS status, CAST(1 AS BIGINT) AS n\n"
+
+
 VERSIONING_QUERIES = {
     "c14_snapshot_diff": (c14_snapshot_diff, C14_SQL),
+}
+
+TIME_TRAVEL_QUERIES = {
+    "v02_table_time_travel": (v02_table_time_travel, V02_SQL),
 }

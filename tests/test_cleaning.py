@@ -406,6 +406,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "q42_histogram_cents",
         "q43_mad_outliers",
         "t13_bpe_subword_stats",
+        "v02_table_time_travel",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
