@@ -344,8 +344,10 @@ FROM joined
 # timestamp, so no whale-group risk, and every stage hashes by the same
 # user_id key so AQE reuses the exchange layout. Final stage counts are
 # four 1-row aggregates unioned — no collect.
-def funnel(events: DataFrame) -> DataFrame:
-    """Frame-level form — composed by analytics.build_events_mart."""
+def _funnel_stage_frames(events: DataFrame):
+    """The four per-user stage frames (user_id, tK = first qualifying
+    ts) shared by the count rollup (funnel) and the per-user view
+    (funnel_user_stages / the streaming mart state)."""
     e = events.select("user_id", "event_type", "ts")
 
     def next_stage(prev: DataFrame, etype: str, tcol: str, prev_tcol: str) -> DataFrame:
@@ -365,6 +367,24 @@ def funnel(events: DataFrame) -> DataFrame:
     s2 = next_stage(s1, "view", "t2", "t1")
     s3 = next_stage(s2, "click", "t3", "t2")
     s4 = next_stage(s3, "purchase", "t4", "t3")
+    return s1, s2, s3, s4
+
+
+def funnel_user_stages(events: DataFrame) -> DataFrame:
+    """(user_id, t1, t2, t3, t4) — each user's first qualifying ts per
+    funnel stage (NULL where the chain stopped). One row per user who
+    reached stage 1."""
+    s1, s2, s3, s4 = _funnel_stage_frames(events)
+    return (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .join(s4.select("user_id", "t4"), "user_id", "left")
+    )
+
+
+def funnel(events: DataFrame) -> DataFrame:
+    """Frame-level form — composed by analytics.build_events_mart."""
+    s1, s2, s3, s4 = _funnel_stage_frames(events)
 
     def stage_row(df: DataFrame, stage: int, etype: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n_users")).select(

@@ -1,0 +1,169 @@
+"""Streaming events-mart twin (streaming/marts.py): sessions + funnel
+ingested over micro-batches must equal the batch operators over the
+full stream — the established stream==batch pin pattern."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeanwithmapreduce_spark.operators.sessionize import sessionize_plain
+from kmeanwithmapreduce_spark.operators.temporal import funnel
+from kmeanwithmapreduce_spark.sources.readers import load_table
+from kmeanwithmapreduce_spark.streaming.marts import (
+    read_streaming_funnel,
+    read_streaming_sessions,
+    streaming_events_mart_ingest,
+)
+
+
+def _split_events(spark, sf_dir, src, order="in_order"):
+    """Two time-ordered single-file micro-batches with explicit mtimes
+    (the test_sequences harness)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cut = e.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    early = e.where(F.unix_micros("ts") <= cut)
+    late = e.where(F.unix_micros("ts") > cut)
+    b1, b2 = (early, late) if order == "in_order" else (late, early)
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    first = set(glob.glob(src + "/part-*.parquet"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = set(glob.glob(src + "/part-*.parquet")) - first
+    assert len(first) == 1 and len(second) == 1
+    now = time.time()
+    os.utime(first.pop(), (now - 60, now - 60))
+    os.utime(second.pop(), (now, now))
+    return e
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_streaming_mart_equals_batch(spark, sf_dir, tmp_path):
+    """Sessions (incl. the cross-epoch session merge) and funnel from
+    the 2-batch stream must equal the batch operators row-for-row."""
+    src = str(tmp_path / "src")
+    e = _split_events(spark, sf_dir, src)
+    out = str(tmp_path / "mart")
+    q = streaming_events_mart_ingest(_stream(spark, src), out, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    assert len(glob.glob(out + "/sessions_closed/epoch=*")) >= 2
+
+    got_sessions = sorted(
+        map(tuple, read_streaming_sessions(spark, out).collect())
+    )
+    want_sessions = sorted(
+        map(
+            tuple,
+            sessionize_plain(e)
+            .select(
+                "user_id",
+                F.col("session_id").cast("int"),
+                "session_start",
+                "session_end",
+                F.col("n_events").cast("bigint"),
+            )
+            .collect(),
+        )
+    )
+    assert got_sessions == want_sessions and len(want_sessions) > 0
+
+    got_funnel = sorted(map(tuple, read_streaming_funnel(spark, out).collect()))
+    want_funnel = sorted(map(tuple, funnel(e).collect()))
+    assert got_funnel == want_funnel
+    assert sum(r[2] for r in want_funnel) > 0
+
+
+def test_streaming_mart_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Re-running over the same source + checkpoint must not duplicate
+    any closed-session epoch or advance the funnel state."""
+    src = str(tmp_path / "src")
+    e = _split_events(spark, sf_dir, src)
+    out = str(tmp_path / "mart")
+    ck = str(tmp_path / "ck")
+    for _ in range(2):
+        q = streaming_events_mart_ingest(_stream(spark, src), out, ck)
+        q.awaitTermination(120)
+    got = read_streaming_sessions(spark, out).count()
+    want = sessionize_plain(e).count()
+    assert got == want
+
+
+def test_streaming_mart_late_events_fail_loudly(spark, sf_dir, tmp_path):
+    """Delivering the late half first violates the in-order contract:
+    on_late='error' must fail the query; 'permissive' must finish."""
+    src = str(tmp_path / "src")
+    _split_events(spark, sf_dir, src, order="reversed")
+
+    q = streaming_events_mart_ingest(
+        _stream(spark, src), str(tmp_path / "m_err"), str(tmp_path / "ck_err")
+    )
+    with pytest.raises(Exception, match="in-order contract violated"):
+        q.awaitTermination(120)
+
+    q2 = streaming_events_mart_ingest(
+        _stream(spark, src),
+        str(tmp_path / "m_perm"),
+        str(tmp_path / "ck_perm"),
+        on_late="permissive",
+    )
+    assert q2.awaitTermination(120)
+
+
+def test_streaming_mart_cross_epoch_session_merge(spark, tmp_path):
+    """Hand-built boundary case: a user whose session SPANS the batch
+    boundary (gap < gap_s across the cut) must come out as ONE merged
+    session; another whose gap exceeds gap_s must close at the
+    boundary."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 5, 1, 12, 0, 0)
+    rows1 = [
+        (1, 10, "click", t0),
+        (1, 11, "view", t0 + timedelta(minutes=10)),
+        (2, 20, "click", t0),
+    ]
+    rows2 = [
+        # user 1: 20 min after their last event -> same session (gap 1800s)
+        (1, 12, "purchase", t0 + timedelta(minutes=30)),
+        # user 2: 2 h after -> new session
+        (2, 21, "view", t0 + timedelta(hours=2)),
+    ]
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    first = set(glob.glob(src + "/part-*.parquet"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = set(glob.glob(src + "/part-*.parquet")) - first
+    now = time.time()
+    os.utime(first.pop(), (now - 60, now - 60))
+    os.utime(second.pop(), (now, now))
+
+    out = str(tmp_path / "mart")
+    q = streaming_events_mart_ingest(_stream(spark, src), out, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in read_streaming_sessions(spark, out).collect()
+    }
+    assert got[(1, 1)] == (t0, t0 + timedelta(minutes=30), 3)  # merged
+    assert got[(2, 1)] == (t0, t0, 1)  # closed at boundary
+    assert got[(2, 2)] == (t0 + timedelta(hours=2), t0 + timedelta(hours=2), 1)
+    assert len(got) == 3
