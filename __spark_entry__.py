@@ -6,15 +6,16 @@
 - ``queries()``: every implemented operator from SURVEY §2 (relational
   Part B + training-data-pipeline extensions + windowed events +
   K-Means itself). The FIRST 50 entries are the frozen driver
-  CORRECTNESS window (unchanged since round 2); round-5 extensions
-  register after k03 and are oracle-verified by the in-repo parity
-  sweep: c01-c05 cleaning (decontamination / repetition / PII scrub /
-  chunking / token-budget sampling), j05 approx-percentile, c06-c08
-  curation (domain-mixture sampling / span-level dedup / unigram-LM
-  scoring), s04 IVF-PQ search, t08 count-min heavy hitters.
+  CORRECTNESS window (unchanged since round 2); round-5/6 extensions
+  register after k03 (positions 51+, append-only, order-pinned in
+  tests/test_cleaning.py) and are oracle-verified by the in-repo parity
+  sweep — cleaning/curation (c01-c14), advanced aggregates (j05),
+  IVF-PQ search (s04/s05), sketches (t08-t12), temporal/sequence/graph
+  analytics (q31-q43, g01), BM25 (s06), audit/profiling (v01),
+  BPE subword stats (t13), versioned-table time travel (v02).
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible
   query, plus golden-row VALUES oracles for the deterministic iterative
-  pipelines — 49 of 50. k02/t06/m03/s03 all use the same recipe: fully
+  pipelines — every registered entry carries one. k02/t06/m03/s03 all use the same recipe: fully
   injected init + compat-mode Lloyd (5-dp float32 mean rounding absorbs
   aggregation-merge-order ulp noise); k01 gets there with a
   partitioning-invariant hash-ordered init (_hash_order_init). Each

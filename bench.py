@@ -123,6 +123,11 @@ def main() -> int:
         "t12_bloom_membership",
         "q42_histogram_cents",
         "q43_mad_outliers",
+        # round-6 additions (BASELINE §L targets): t13 includes BPE
+        # training (word-table agg + driver merge loop) + tokenize;
+        # v02 includes three snapshot writes + the time-travel diff
+        "t13_bpe_subword_stats",
+        "v02_table_time_travel",
     ]
 
     timings: dict[str, float] = {}
