@@ -45,6 +45,15 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # Machine-state stamp: round 6's driver artifact was load-poisoned
+    # (3x aggregate under container contention) and nothing in the JSON
+    # said so — a full round of perf signal burned. Stamp 1/5/15-min
+    # load + wall timestamps at start and end of the run so a polluted
+    # artifact self-identifies; "load_warning" flips when the run
+    # STARTED on a busy machine (1-min load > 2).
+    load_start = tuple(round(v, 2) for v in os.getloadavg())
+    t_run0 = time.time()
+
     from kmeanwithmapreduce_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -242,6 +251,7 @@ def main() -> int:
     _timed(timings, errors, "corpus_pipeline", _corpus_pipeline)
 
     total = round(sum(timings.values()), 3)
+    load_end = tuple(round(v, 2) for v in os.getloadavg())
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -249,7 +259,18 @@ def main() -> int:
         "queries": timings,
         "queries_warm": timings_warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_start": load_start,
+        "load_end": load_end,
+        "t_start": round(t_run0, 1),
+        "t_end": round(time.time(), 1),
     }
+    if load_start[0] > 2:
+        out["load_warning"] = (
+            f"run started at 1-min load {load_start[0]} on a "
+            f"{os.cpu_count()}-cpu box — timings may reflect external "
+            "contention, compare warm pass / re-run quiet before "
+            "treating deltas as regressions"
+        )
     if corpus_funnel:
         out["corpus_funnel"] = corpus_funnel
     if errors:
@@ -280,8 +301,11 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "sf": out["sf"],
+        "load": [load_start[0], load_end[0]],
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
+    if load_start[0] > 2:
+        compact["load_warning"] = True
     if errors:
         compact["errors"] = {k: v[:60] for k, v in errors.items()}
     line = json.dumps(compact, separators=(",", ":"))

@@ -122,6 +122,142 @@ def test_streaming_mart_late_events_fail_loudly(spark, sf_dir, tmp_path):
     assert q2.awaitTermination(120)
 
 
+def _two_batches(spark, tmp_path, rows1, rows2,
+                 schema="user_id long, event_id long, event_type string, ts timestamp"):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    first = set(glob.glob(src + "/part-*.parquet"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = set(glob.glob(src + "/part-*.parquet")) - first
+    now = time.time()
+    os.utime(first.pop(), (now - 60, now - 60))
+    os.utime(second.pop(), (now, now))
+    return src
+
+
+def test_streaming_mart_subsecond_gap_parity(spark, tmp_path):
+    """ADVICE r6 (medium): a true cross-epoch gap of 1800.2s whose
+    SECOND-TRUNCATED gap is exactly 1800s. sessionize_plain merges
+    (1800 <= 1800 after unix_timestamp truncation); the streaming twin
+    used unix_micros and closed. Pin stream == batch on sub-second
+    timestamps."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 5, 1, 12, 0, 0, 700_000)  # .7s fraction
+    rows1 = [(1, 10, "click", t0), (2, 20, "click", t0)]
+    rows2 = [
+        # user 1: true gap 1800.2s, truncated gap 1800s -> batch MERGES
+        (1, 11, "view", t0 + timedelta(seconds=1800, microseconds=200_000)),
+        # user 2: truncated gap 1801s -> batch CLOSES
+        (2, 21, "view", t0 + timedelta(seconds=1801, microseconds=200_000)),
+    ]
+    src = _two_batches(spark, tmp_path, rows1, rows2)
+    out = str(tmp_path / "mart")
+    q = streaming_events_mart_ingest(_stream(spark, src), out, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    e = spark.read.parquet(src)
+    got = sorted(map(tuple, read_streaming_sessions(spark, out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            sessionize_plain(e)
+            .select(
+                "user_id",
+                F.col("session_id").cast("int"),
+                "session_start",
+                "session_end",
+                F.col("n_events").cast("bigint"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    by_user = {}
+    for u, *_ in want:
+        by_user[u] = by_user.get(u, 0) + 1
+    assert by_user == {1: 1, 2: 2}  # user 1 merged, user 2 split
+
+
+def test_streaming_mart_epoch_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale pin for the bucketed state chains: an epoch whose batch
+    touches ONE user rewrites exactly ONE bucket subdir (in both
+    chains), while the first epoch (8 users) wrote several — per-epoch
+    cost is O(touched buckets), not O(all users ever seen)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 5, 1, 8, 0, 0)
+    rows1 = [(u, u * 10, "signup", t0 + timedelta(seconds=u)) for u in range(1, 9)]
+    rows2 = [(1, 99, "view", t0 + timedelta(hours=6))]
+    src = _two_batches(spark, tmp_path, rows1, rows2)
+    out = str(tmp_path / "mart")
+    q = streaming_events_mart_ingest(
+        _stream(spark, src), out, str(tmp_path / "ck"), n_state_buckets=8
+    )
+    q.awaitTermination(120)
+
+    def _buckets(chain, ep):
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(out, chain, f"epoch={ep}", "bucket=*"))
+        )
+
+    assert len(_buckets("sessions_state", 0)) >= 2  # 8 users spread out
+    assert len(_buckets("sessions_state", 1)) == 1  # 1 touched user
+    assert len(_buckets("funnel_state", 1)) == 1
+    # untouched users' state still resolves from epoch 0: full parity
+    e = spark.read.parquet(src)
+    got = sorted(map(tuple, read_streaming_sessions(spark, out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            sessionize_plain(e)
+            .select(
+                "user_id",
+                F.col("session_id").cast("int"),
+                "session_start",
+                "session_end",
+                F.col("n_events").cast("bigint"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(want) == 9  # 8 first sessions + user 1's second
+    got_funnel = sorted(map(tuple, read_streaming_funnel(spark, out).collect()))
+    want_funnel = sorted(map(tuple, funnel(e).collect()))
+    assert got_funnel == want_funnel
+
+
+def test_streaming_mart_foreign_checkpoint_refused(spark, sf_dir, tmp_path):
+    """ADVICE r6: a FRESH checkpoint replays epoch ids from 0, so
+    pointing it at an already-committed out_path would silently discard
+    its batches as committed replays. The ident marker refuses loudly;
+    same-checkpoint restart and a changed bucket count are also
+    pinned."""
+    src = str(tmp_path / "src")
+    _split_events(spark, sf_dir, src)
+    out = str(tmp_path / "mart")
+    ck1 = str(tmp_path / "ck1")
+    q = streaming_events_mart_ingest(_stream(spark, src), out, ck1)
+    q.awaitTermination(120)
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        streaming_events_mart_ingest(
+            _stream(spark, src), out, str(tmp_path / "ck2")
+        )
+    with pytest.raises(ValueError, match="n_state_buckets"):
+        streaming_events_mart_ingest(
+            _stream(spark, src), out, ck1, n_state_buckets=16
+        )
+    # the legitimate restart (same checkpoint, same config) still works
+    q2 = streaming_events_mart_ingest(_stream(spark, src), out, ck1)
+    assert q2.awaitTermination(120)
+
+
 def test_streaming_mart_cross_epoch_session_merge(spark, tmp_path):
     """Hand-built boundary case: a user whose session SPANS the batch
     boundary (gap < gap_s across the cut) must come out as ONE merged
