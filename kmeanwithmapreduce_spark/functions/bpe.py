@@ -52,6 +52,30 @@ from pyspark.sql.types import ArrayType, LongType, StringType, StructField, Stru
 
 _EOW = "</w>"  # end-of-word symbol (separate symbol, never a char)
 
+# Per-task word→tokens cache cap. At 32k merges the cached value for a
+# word is a handful of short strings; 2^18 entries is tens of MB — a
+# bounded slice of executor memory regardless of corpus size.
+_CACHE_MAX_WORDS = 262_144
+
+
+class BoundedCache(dict):
+    """Word→tokens cache with a hard entry cap: at the cap it CLEARS
+    and re-fills. Under Zipf the head repopulates in O(head) misses,
+    and clear-at-cap beats an LRU here (an LRU pays per-HIT move-to-
+    front bookkeeping on the overwhelmingly common path to optimize the
+    rare eviction). The bound exists for adversarial corpora — e.g. a
+    unique-word flood — where the previous unbounded dict grew with
+    task input size."""
+
+    def __init__(self, max_words: int = _CACHE_MAX_WORDS):
+        super().__init__()
+        self.max_words = max_words
+
+    def __setitem__(self, k, v):
+        if len(self) >= self.max_words:
+            self.clear()
+        super().__setitem__(k, v)
+
 
 def _word_symbols(word: str) -> list[str]:
     return list(word) + [_EOW]
@@ -229,7 +253,7 @@ def bpe_count_col(
 
     def gen(batches: Iterator) -> Iterator:
         tok = BPETokenizer(merges)
-        cache: dict = {}
+        cache: dict = BoundedCache()
         for pdf in batches:
             pdf[out_col] = [
                 tok.count(t, cache) if t is not None else 0
@@ -255,7 +279,7 @@ def bpe_tokens_col(
 
     def gen(batches: Iterator) -> Iterator:
         tok = BPETokenizer(merges)
-        cache: dict = {}
+        cache: dict = BoundedCache()
         for pdf in batches:
             pdf[out_col] = [
                 tok.encode(t, cache) if t is not None else []

@@ -5,7 +5,7 @@ view over this dict."""
 from .cleaning import CLEANING_QUERIES
 from .dedup import DEDUP_QUERIES
 from .joins_advanced import ADVANCED_JOIN_QUERIES
-from .multimodal import MULTIMODAL_QUERIES
+from .multimodal import MULTIMODAL_QUERIES, PNG_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
 from .textops import TEXT_QUERIES
@@ -78,6 +78,7 @@ EXTRA_QUERIES = {
     **PROFILE_QUERIES,
     **SUBWORD_QUERIES,
     **TIME_TRAVEL_QUERIES,
+    **PNG_QUERIES,
 }
 
 __all__ = [

@@ -450,7 +450,7 @@ def _chunk_documents_bpe(
     import pandas as pd
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    from ..functions.bpe import BPETokenizer
+    from ..functions.bpe import BoundedCache, BPETokenizer
 
     merges = tokenizer.merges
     in_fields = {f.name: f for f in docs.schema.fields}
@@ -466,7 +466,7 @@ def _chunk_documents_bpe(
 
     def gen(batches):
         tok = BPETokenizer(merges)
-        cache: dict = {}
+        cache: dict = BoundedCache()
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in id_cols}
             out.update({"chunk_idx": [], "chunk_text": [], "n_tokens": []})

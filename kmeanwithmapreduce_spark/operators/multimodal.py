@@ -1,16 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with decode / feature-extract as Arrow-batched mapInPandas operators.
 
-The image/audio codecs are NOT in this container (SURVEY build notes),
-so the decode kernel is a clearly-marked deterministic fake behind the
-same Spark-side plumbing a real decoder would use: schema contract,
-partition-preserving mapInPandas, Arrow batch shape. Swapping
-``_fake_decode`` for PIL/ffmpeg is a one-function change; everything
-around it (the scale path) is real and tested.
+The decode kernel routes by content: payloads carrying the PNG
+signature decode for REAL through the pure-stdlib codec in
+functions/png.py (zlib inflate + per-filter unfilter incl. Paeth —
+no PIL needed); every other media type (JPEG/audio/video — codecs not
+in this container, SURVEY build notes) stays on the clearly-marked
+deterministic fake behind the same plumbing a real decoder would use:
+schema contract, partition-preserving mapInPandas, Arrow batch shape.
+Swapping ``_fake_decode`` for PIL/ffmpeg is a one-function change;
+everything around it (the scale path) is real and tested.
 
 Scale: binary payloads ride the columnar scan; mapInPandas processes
-whole Arrow batches (no per-row Python), and metadata-only queries never
-touch the payload column thanks to parquet column pruning.
+whole Arrow batches (the fake path is batch-vectorized; PNG decode is
+inherently per-item, looped inside the Arrow batch), and metadata-only
+queries never touch the payload column thanks to parquet column
+pruning.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.png import PNG_MAGIC, decode_png, encode_png
 from ..sources.readers import load_table
 
 DECODED_SCHEMA = T.StructType(
@@ -59,33 +65,61 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 def decode_batch(df: DataFrame) -> DataFrame:
     """mapInPandas decode: Arrow batches in, metadata rows out.
 
-    The fake-decode arithmetic is vectorized over the whole Arrow batch
-    (NumPy on concatenated byte prefixes — no per-row Python loop); a
-    real PIL/ffmpeg decoder is inherently per-item, but the *plumbing*
-    should advertise the batch-vectorized pattern. Matches
-    ``_fake_decode`` element-wise (pinned in tests)."""
+    PNG payloads (signature-detected) decode for REAL via
+    functions/png.py: width/height/channels from IHDR, mean_intensity =
+    mean of all decoded samples / 255. Non-PNG payloads take the
+    labeled fake path, whose arithmetic is vectorized over the whole
+    Arrow batch (NumPy on concatenated byte prefixes — no per-row
+    Python loop) and matches ``_fake_decode`` element-wise (pinned in
+    tests)."""
     import numpy as np
+
+    def _fake_frame(pdf: pd.DataFrame, pay: pd.Series) -> pd.DataFrame:
+        lens = pay.str.len().to_numpy(dtype=np.int64)
+        plens = np.minimum(lens, 256)
+        # concatenated prefixes -> one cumsum -> per-row segment sums
+        cat = np.frombuffer(b"".join(pay.str.slice(0, 256)), dtype=np.uint8)
+        cs = np.concatenate(([0], np.cumsum(cat, dtype=np.int64)))
+        ends = np.cumsum(plens)
+        bytesum = cs[ends] - cs[ends - plens]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_bytes": lens,
+                "width": 16 + lens % 64,
+                "height": 16 + (lens // 64) % 64,
+                "channels": 3,
+                "mean_intensity": bytesum / np.maximum(plens, 1) / 255.0,
+            }
+        )
+
+    def _png_frame(pdf: pd.DataFrame, pay: pd.Series) -> pd.DataFrame:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pay):
+            w, h, c, pix = decode_png(b)
+            # sum exact in int64; /n then /255 matches the SQL twin's
+            # (bytesum / n) / 255.0 op-for-op
+            mean = float(pix.sum(dtype=np.int64)) / pix.size / 255.0
+            rows.append((doc_id, len(b), w, h, c, mean))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_bytes", "width", "height", "channels",
+                "mean_intensity",
+            ],
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pay = pdf["payload"].map(bytes)
-            lens = pay.str.len().to_numpy(dtype=np.int64)
-            plens = np.minimum(lens, 256)
-            # concatenated prefixes -> one cumsum -> per-row segment sums
-            cat = np.frombuffer(b"".join(pay.str.slice(0, 256)), dtype=np.uint8)
-            cs = np.concatenate(([0], np.cumsum(cat, dtype=np.int64)))
-            ends = np.cumsum(plens)
-            bytesum = cs[ends] - cs[ends - plens]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": lens,
-                    "width": 16 + lens % 64,
-                    "height": 16 + (lens // 64) % 64,
-                    "channels": 3,
-                    "mean_intensity": bytesum / np.maximum(plens, 1) / 255.0,
-                }
-            )
+            is_png = pay.str.slice(0, 8) == PNG_MAGIC
+            if not is_png.any():
+                yield _fake_frame(pdf, pay)
+            elif is_png.all():
+                yield _png_frame(pdf, pay)
+            else:
+                yield _fake_frame(pdf[~is_png], pay[~is_png])
+                yield _png_frame(pdf[is_png], pay[is_png])
 
     return df.select("doc_id", "payload").mapInPandas(fn, DECODED_SCHEMA)
 
@@ -291,4 +325,80 @@ MULTIMODAL_QUERIES = {
     "m01_payload_meta": (m01_payload_meta, M01_SQL),
     "m02_decoded_features": (m02_decoded_features, M02_SQL),
     "m03_cluster_decoded": (m03_cluster_decoded, M03_SQL),
+}
+
+
+# --------------------------------------------------------------------------
+# m04 — REAL PNG decode, oracle-verified. Each document's first 256
+# utf-8 bytes (zero-padded) become a 16x16 grayscale image, PNG-encoded
+# with filter type doc_id % 5 — every unfilter branch (None/Sub/Up/
+# Average/Paeth) is exercised across the corpus — then decoded through
+# the REAL stdlib codec in the shared decode_batch kernel. DuckDB can't
+# read PNG, but it doesn't need to: decode is lossless, so the decoded
+# pixel mean equals the (SQL-computable) source byte mean — a wrong
+# unfilter shifts pixel sums and hash-fails. Geometry (16/16/1) pins the
+# IHDR parse.
+def encode_png_batch(df: DataFrame, w: int = 16, h: int = 16) -> DataFrame:
+    """mapInPandas PNG encoder: payload bytes -> w*h grayscale PNG
+    (truncate/zero-pad), filter type = doc_id % 5."""
+    import numpy as np
+
+    n = w * h
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)[:n].ljust(n, b"\x00")
+                pix = np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+                rows.append((doc_id, encode_png(pix, int(doc_id) % 5)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select("doc_id", "payload").mapInPandas(fn, schema)
+
+
+def m04_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pngs = encode_png_batch(with_binary_payload(d))
+    decoded = decode_batch(pngs)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        (F.floor(F.col("mean_intensity") * 1000000.0) / 1000000.0).alias(
+            "intensity_t"
+        ),
+    )
+
+
+# mean over the 16*16=256 zero-padded pixels: (bytesum / 256.0) / 255.0
+# — sum exact in both engines, /256 exact (power of two), one shared
+# rounding at /255, floor-truncated at 1e-6 like m02.
+M04_SQL = """
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       floor(((CAST(bytesum AS DOUBLE) / 256.0) / 255.0)
+             * 1000000.0) / 1000000.0 AS intensity_t
+FROM (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(
+           range(0, least(octet_length(encode(text)), 256)),
+           i -> CAST(('0x' || substr(hex(encode(text)), 1 + 2*i, 2)) AS INT)
+         )), 0) AS bytesum
+  FROM documents
+)
+"""
+
+
+PNG_QUERIES = {
+    "m04_png_roundtrip": (m04_png_roundtrip, M04_SQL),
 }

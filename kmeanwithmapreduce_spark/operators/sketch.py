@@ -637,7 +637,13 @@ def bloom_probe(
     negative). NULL keys are dropped for the same reason bloom_build
     drops them: concat_ws silently collapses NULL to the bare salt.
     The index joins BROADCAST on word; the only shuffle is the
-    per-probe k-hit conjunction groupBy."""
+    per-probe k-hit conjunction groupBy.
+
+    CONTRACT CHANGE (round 6): earlier rounds returned one row per
+    PROBE row (duplicates and NULLs passed through) — that shape was
+    the false-negative bug. Callers that need per-row verdicts should
+    left-join this result back to their probe frame on ``k``; NULL-key
+    rows get no verdict (a NULL key is never a member)."""
     pos = probes.select(F.col(key_col).alias("k")).where(
         F.col("k").isNotNull()
     ).distinct().select(

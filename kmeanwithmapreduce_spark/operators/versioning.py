@@ -135,7 +135,9 @@ SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY status
 """
 
 
-def v02_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v02_table_time_travel(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> DataFrame:
     """c14's diff computed through the VERSIONED TABLE layer
     (sources/table.py): documents v1 committed as epoch 0 of one
     snapshot-chained table, the mutated v2 as epoch 1, then a
@@ -145,16 +147,19 @@ def v02_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-for-key unchanged vs epoch 0 — same (status, n) schema, same
     mutation rules, so the oracle is C14_SQL plus one literal row.
 
-    The table materializes under a per-process temp dir rebuilt on
-    every call (the write is the operator under test); the returned
-    DataFrame lazily reads those committed epoch dirs."""
+    The table materializes under ``base_path`` when given (pass a
+    shared filesystem dir — e.g. under spark.sql.warehouse.dir — on a
+    real cluster); the default is a per-process dir under the DRIVER'S
+    local tempfile.gettempdir(), which is only readable by executors in
+    local mode — the registry/bench envelope this entry runs in. The
+    returned DataFrame lazily reads the committed epoch dirs."""
     import hashlib
     import shutil
     import tempfile
 
     from ..sources.table import read_table, rollback, write_snapshot
 
-    base = os.path.join(
+    base = base_path or os.path.join(
         tempfile.gettempdir(),
         "spark_graft_v02_{}_{}".format(
             hashlib.md5(sf_dir.encode()).hexdigest()[:8], os.getpid()

@@ -33,11 +33,14 @@ K-Means job, SURVEY §2 Part A); training-data-pipeline extension.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.ingest import _committed_epochs
+
+_GC_LOG = "_gc_log.json"
 
 
 def table_epochs(spark: SparkSession, table_path: str) -> list[int]:
@@ -45,13 +48,53 @@ def table_epochs(spark: SparkSession, table_path: str) -> list[int]:
     return _committed_epochs(spark, table_path)
 
 
-def write_snapshot(df: DataFrame, table_path: str) -> int:
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _gc_log(spark: SparkSession, table_path: str) -> list[int]:
+    jvm, jpath, fs = _hadoop(spark, os.path.join(table_path, _GC_LOG))
+    if not fs.exists(jpath):
+        return []
+    return json.loads(
+        jvm.org.apache.commons.io.IOUtils.toString(fs.open(jpath), "UTF-8")
+    )
+
+
+def _shape(schema) -> list[tuple[str, str]]:
+    """(name, type) pairs — nullability excluded: a parquet round-trip
+    may legitimately relax it, and it can't silently corrupt a read."""
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def write_snapshot(
+    df: DataFrame, table_path: str, allow_schema_change: bool = False
+) -> int:
     """Append ``df`` as the next committed snapshot; returns its epoch.
     Mode is overwrite WITHIN the chosen epoch dir (replay/crash-redo
-    semantics), never across epochs."""
+    semantics), never across epochs.
+
+    Refuses silent schema drift: the snapshot's (column, type) list
+    must equal the latest committed epoch's, unless the caller states
+    the evolution explicitly with ``allow_schema_change=True`` (older
+    epochs keep their own schema — time-travel reads return what was
+    committed, not a unified view)."""
     spark = df.sparkSession
     done = _committed_epochs(spark, table_path)
     epoch = (done[-1] + 1) if done else 0
+    if done and not allow_schema_change:
+        prev = spark.read.parquet(
+            os.path.join(table_path, f"epoch={done[-1]}")
+        ).schema
+        if _shape(prev) != _shape(df.schema):
+            raise ValueError(
+                f"write_snapshot: schema drift vs epoch {done[-1]} at "
+                f"{table_path}: committed {_shape(prev)} but snapshot has "
+                f"{_shape(df.schema)}. Pass allow_schema_change=True to "
+                "evolve the table explicitly."
+            )
     df.write.mode("overwrite").parquet(
         os.path.join(table_path, f"epoch={epoch}")
     )
@@ -63,18 +106,52 @@ def read_table(
 ) -> DataFrame:
     """The table at ``as_of`` (a committed epoch), or the latest
     committed snapshot. Raises on an unknown/uncommitted epoch —
-    reading a half-written directory must be impossible."""
+    reading a half-written directory must be impossible — and names
+    the cause when the epoch existed but was garbage-collected."""
     done = _committed_epochs(spark, table_path)
     if not done:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     if as_of is None:
         as_of = done[-1]
     elif as_of not in done:
+        if as_of in _gc_log(spark, table_path):
+            raise ValueError(
+                f"epoch {as_of} at {table_path} was garbage-collected "
+                f"(gc_table keep-last-K); committed epochs: {done}"
+            )
         raise ValueError(
             f"epoch {as_of} is not committed at {table_path} "
             f"(committed: {done})"
         )
     return spark.read.parquet(os.path.join(table_path, f"epoch={as_of}"))
+
+
+def gc_table(spark: SparkSession, table_path: str, keep: int) -> list[int]:
+    """Delete all but the newest ``keep`` committed epoch dirs; returns
+    the epochs removed. The latest epoch is never deletable (keep >= 1),
+    uncommitted dirs (in-flight writers) are never touched, and removed
+    epochs are recorded in ``_gc_log.json`` so a later time-travel read
+    fails with the real cause instead of 'not committed'."""
+    if keep < 1:
+        raise ValueError("gc_table: keep must be >= 1 (the latest epoch)")
+    done = _committed_epochs(spark, table_path)
+    victims = done[:-keep] if len(done) > keep else []
+    if not victims:
+        return []
+    jvm, _, fs = _hadoop(spark, table_path)
+    for ep in victims:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(table_path, f"epoch={ep}")
+            ),
+            True,
+        )
+    log = sorted(set(_gc_log(spark, table_path)) | set(victims))
+    _, jlog, fs = _hadoop(spark, os.path.join(table_path, _GC_LOG))
+    stream = fs.create(jlog, True)
+    stream.write(json.dumps(log).encode("utf-8"))
+    stream.close()
+    return victims
 
 
 def rollback(spark: SparkSession, table_path: str, epoch: int) -> int:

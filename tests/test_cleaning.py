@@ -407,6 +407,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "q43_mad_outliers",
         "t13_bpe_subword_stats",
         "v02_table_time_travel",
+        "m04_png_roundtrip",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

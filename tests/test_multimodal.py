@@ -91,3 +91,156 @@ def test_m03_pipeline(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == load_table(
         spark, sf_dir, "documents"
     ).count()
+
+
+# --------------------------------------------------------------------------
+# Real PNG codec (functions/png.py) — round 7
+
+
+def _naive_reference_decode(data):
+    """Independent scanline-at-a-time decoder written straight from the
+    RFC 2083 filter definitions (plain lists, no numpy) — decorrelates
+    the test from functions/png.py's vectorized implementation."""
+    import struct
+    import zlib
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, hdr = 8, b"", None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+    w, h, _bd, ct, _, _, _ = hdr
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    recon = []
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        cur = [0] * stride
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = recon[y - 1][x] if y > 0 else 0
+            c = recon[y - 1][x - ch] if (y > 0 and x >= ch) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[x] = (line[x] + pred) & 0xFF
+        recon.append(cur)
+    return w, h, ch, recon
+
+
+def test_png_codec_roundtrip_all_filters_and_color_types():
+    """encode -> decode is the identity for every (filter, color type)
+    pair, and the decode agrees with the independent naive reference."""
+    import numpy as np
+
+    from kmeanwithmapreduce_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    shapes = [(7, 5), (6, 4, 3), (5, 3, 2), (4, 4, 4), (1, 1), (2, 9, 3)]
+    for shape in shapes:
+        pix = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = pix if pix.ndim == 3 else pix[:, :, None]
+        for ft in range(5):
+            data = encode_png(pix, filter_type=ft)
+            w, h, c, got = decode_png(data)
+            assert (w, h, c) == (want.shape[1], want.shape[0], want.shape[2])
+            assert np.array_equal(got, want), (shape, ft)
+            rw, rh, rc, ref = _naive_reference_decode(data)
+            assert (rw, rh, rc) == (w, h, c)
+            assert np.array_equal(
+                np.array(ref, dtype=np.uint8).reshape(h, w, c), got
+            ), (shape, ft, "naive reference disagrees")
+
+
+def test_png_decode_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from kmeanwithmapreduce_spark.functions.png import decode_png, encode_png
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    good = bytearray(
+        encode_png(np.zeros((2, 2), dtype=np.uint8), filter_type=0)
+    )
+    # IHDR body starts at offset 16; bit depth is body[8], color type [9]
+    bad_depth = bytearray(good)
+    bad_depth[16 + 8] = 16
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(bytes(bad_depth))
+    bad_palette = bytearray(good)
+    bad_palette[16 + 9] = 3
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(bytes(bad_palette))
+
+
+def test_decode_batch_routes_png_and_fake(spark):
+    """A mixed batch: PNG payloads decode for real (IHDR geometry,
+    exact pixel mean), non-PNG payloads keep the labeled fake path."""
+    import numpy as np
+
+    from kmeanwithmapreduce_spark.functions.png import encode_png
+
+    rng = np.random.default_rng(7)
+    img1 = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    img2 = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    fake_payload = b"just some text bytes"
+    rows = [
+        (1, bytearray(encode_png(img1, filter_type=4))),
+        (2, bytearray(encode_png(img2, filter_type=1))),
+        (3, bytearray(fake_payload)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.decode_batch(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (11, 9, 1)
+    assert abs(got[1]["mean_intensity"] - img1.mean() / 255.0) < 1e-12
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (6, 5, 3)
+    assert abs(got[2]["mean_intensity"] - img2.mean() / 255.0) < 1e-12
+    fw, fh, fc, fmi = mm._fake_decode(fake_payload)
+    assert (got[3]["width"], got[3]["height"], got[3]["channels"]) == (fw, fh, fc)
+    assert abs(got[3]["mean_intensity"] - fmi) < 1e-12
+
+
+def test_m04_roundtrip_matches_duckdb(spark, tmp_path):
+    """m04 end-to-end on a hand-built corpus (multi-byte utf-8, empty,
+    >256-byte texts; doc_ids cover all five filter types) vs its
+    DuckDB oracle — the registry sweep re-checks it at sf0.01."""
+    import duckdb
+
+    texts = ["héllo wörld", "日本語のテキスト" * 40, "", "ascii only",
+             "naïve—café é" * 30, "x" * 500, "mixed 混合 bytes"]
+    d = spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    fx = str(tmp_path / "documents.parquet")
+    d.write.parquet(fx)
+    got = (
+        mm.m04_png_roundtrip(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{fx}/*.parquet'")
+    want = con.execute(mm.M04_SQL).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    con.close()
+    for col in ("width", "height", "channels", "intensity_t"):
+        assert list(got[col]) == list(want[col]), col

@@ -76,3 +76,77 @@ def test_rollback_of_unknown_epoch_raises(spark, tpath):
     write_snapshot(spark.range(2), tpath)
     with pytest.raises(ValueError):
         rollback(spark, tpath, 5)
+
+
+# --------------------------------------------------------------------------
+# Lifecycle (round 7): keep-last-K GC + schema-drift refusal
+
+
+def test_gc_keeps_last_k_and_explains_gcd_reads(spark, tpath):
+    from kmeanwithmapreduce_spark.sources.table import gc_table
+
+    for n in (3, 5, 7, 9):
+        write_snapshot(spark.range(n), tpath)
+    assert gc_table(spark, tpath, keep=2) == [0, 1]
+    assert table_epochs(spark, tpath) == [2, 3]
+    assert read_table(spark, tpath).count() == 9
+    assert read_table(spark, tpath, as_of=2).count() == 7
+    with pytest.raises(ValueError, match="garbage-collected"):
+        read_table(spark, tpath, as_of=0)
+    # an epoch that never existed still gets the plain message
+    with pytest.raises(ValueError, match="not committed"):
+        read_table(spark, tpath, as_of=42)
+    # numbering continues past GC'd history; repeat GC is a no-op at K=2
+    assert write_snapshot(spark.range(11), tpath) == 4
+    assert gc_table(spark, tpath, keep=3) == []
+    assert gc_table(spark, tpath, keep=2) == [2]
+    with pytest.raises(ValueError, match="garbage-collected"):
+        read_table(spark, tpath, as_of=2)
+    with pytest.raises(ValueError):
+        gc_table(spark, tpath, keep=0)
+
+
+def test_gc_never_touches_uncommitted_writer(spark, tpath):
+    """An in-flight (no _SUCCESS) epoch dir must survive GC — it may be
+    a live writer about to commit."""
+    from kmeanwithmapreduce_spark.sources.table import gc_table
+
+    write_snapshot(spark.range(1), tpath)
+    write_snapshot(spark.range(2), tpath)
+    crashed = os.path.join(tpath, "epoch=2")
+    spark.range(99).write.mode("overwrite").parquet(crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    assert gc_table(spark, tpath, keep=1) == [0]
+    assert os.path.isdir(crashed)  # untouched
+    assert table_epochs(spark, tpath) == [1]
+
+
+def test_write_snapshot_refuses_silent_schema_drift(spark, tpath):
+    write_snapshot(
+        spark.range(5).select("id", (F.col("id") * 2).alias("v")), tpath
+    )
+    # dropped column
+    with pytest.raises(ValueError, match="schema drift"):
+        write_snapshot(spark.range(5).select("id"), tpath)
+    # same names, changed type
+    with pytest.raises(ValueError, match="schema drift"):
+        write_snapshot(
+            spark.range(5).select(
+                "id", (F.col("id") * 2).cast("string").alias("v")
+            ),
+            tpath,
+        )
+    # explicit evolution is allowed and becomes the new reference shape
+    e = write_snapshot(
+        spark.range(3).select("id"), tpath, allow_schema_change=True
+    )
+    assert e == 1
+    assert read_table(spark, tpath).columns == ["id"]
+    # the old epoch keeps its own schema (time-travel returns what was
+    # committed)
+    assert read_table(spark, tpath, as_of=0).columns == ["id", "v"]
+    # and the new shape is now enforced
+    with pytest.raises(ValueError, match="schema drift"):
+        write_snapshot(
+            spark.range(2).select("id", F.lit(1).alias("w")), tpath
+        )
