@@ -364,6 +364,44 @@ def _synthetic_stage_events(state: DataFrame) -> DataFrame:
     )
 
 
+def gc_mart_state(
+    spark: SparkSession, out_path: str, keep_epochs: int = 1
+) -> list[str]:
+    """Delete state bucket dirs SUPERSEDED by a later committed rewrite
+    of the same bucket — without GC the chains accumulate one dir per
+    (epoch, touched bucket) forever. Epoch dirs and their ``_SUCCESS``
+    markers are never deleted: they are the commit/replay record (a
+    replayed epoch id must keep being skipped). Buckets in the last
+    ``keep_epochs`` committed epochs are kept even if superseded, as a
+    safety margin for readers that resolved their bucket map just
+    before the GC. Closed-session increments are data, not state, and
+    are never GC'd. Returns the deleted paths."""
+    if keep_epochs < 0:
+        raise ValueError("keep_epochs must be >= 0")
+    done = _committed_epochs(spark, os.path.join(out_path, "sessions_state"))
+    protect = set(done[-keep_epochs:]) if keep_epochs else set()
+    deleted: list[str] = []
+    for chain in ("sessions_state", "funnel_state"):
+        chain_path = os.path.join(out_path, chain)
+        latest_paths = set(
+            _latest_bucket_paths(spark, chain_path, done).values()
+        )
+        for ep in done:
+            if ep in protect:
+                continue
+            ep_dir = os.path.join(chain_path, f"epoch={ep}")
+            jvm, jpath, fs = _hadoop(spark, ep_dir)
+            if not fs.exists(jpath):
+                continue
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                p = os.path.join(ep_dir, name)
+                if name.startswith("bucket=") and p not in latest_paths:
+                    fs.delete(st.getPath(), True)
+                    deleted.append(p)
+    return deleted
+
+
 def read_streaming_sessions(spark: SparkSession, out_path: str) -> DataFrame:
     """Closed sessions from every committed increment epoch plus the
     current open sessions (per-bucket latest committed rewrite),

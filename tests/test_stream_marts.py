@@ -209,6 +209,19 @@ def test_streaming_mart_epoch_rewrites_only_touched_buckets(spark, tmp_path):
     assert len(_buckets("sessions_state", 0)) >= 2  # 8 users spread out
     assert len(_buckets("sessions_state", 1)) == 1  # 1 touched user
     assert len(_buckets("funnel_state", 1)) == 1
+
+    # state GC: epoch 0's copy of user 1's bucket is superseded by the
+    # epoch-1 rewrite and nothing else is — exactly two dirs go (one
+    # per chain), epoch _SUCCESS markers stay (replay record)
+    from kmeanwithmapreduce_spark.streaming.marts import gc_mart_state
+
+    n0_sess = len(_buckets("sessions_state", 0))
+    deleted = gc_mart_state(spark, out, keep_epochs=1)
+    assert len(deleted) == 2
+    assert all("epoch=0/bucket=" in p for p in deleted)
+    assert len(_buckets("sessions_state", 0)) == n0_sess - 1
+    assert os.path.exists(os.path.join(out, "sessions_state", "epoch=0", "_SUCCESS"))
+    assert gc_mart_state(spark, out, keep_epochs=1) == []  # idempotent
     # untouched users' state still resolves from epoch 0: full parity
     e = spark.read.parquet(src)
     got = sorted(map(tuple, read_streaming_sessions(spark, out).collect()))
