@@ -131,7 +131,16 @@ def gc_table(spark: SparkSession, table_path: str, keep: int) -> list[int]:
     the epochs removed. The latest epoch is never deletable (keep >= 1),
     uncommitted dirs (in-flight writers) are never touched, and removed
     epochs are recorded in ``_gc_log.json`` so a later time-travel read
-    fails with the real cause instead of 'not committed'."""
+    fails with the real cause instead of 'not committed'.
+
+    Also valid on the streaming SCD2 dimension chain (same epoch/
+    ``_SUCCESS`` layout; the ``base`` bootstrap dir is never touched) —
+    but note a GC'd epoch id disappears from the ingest's replay-skip
+    set, so ``keep`` must cover the replayable window: a LIVE checkpoint
+    replays at most its last uncommitted batch (keep>=2 is safe), and a
+    FRESH checkpoint must never reuse a committed out dir at all (the
+    epoch-id-collision hazard streaming/marts.py guards with its ident
+    marker)."""
     if keep < 1:
         raise ValueError("gc_table: keep must be >= 1 (the latest epoch)")
     done = _committed_epochs(spark, table_path)

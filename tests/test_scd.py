@@ -5,6 +5,7 @@ is covered by the ORACLE_CASES sweep (it is an EXTRA_QUERIES entry)."""
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -203,3 +204,33 @@ def test_streaming_scd2_restart_is_exactly_once(spark, tmp_path):
         (1, "A", T0, T1, False),
         (1, "B", T1, None, True),
     ])
+
+
+def test_gc_table_composes_with_scd2_chain(spark, tmp_path):
+    """The dimension chain has the table layer's epoch/_SUCCESS layout,
+    so gc_table prunes its history: old epochs go, `base` and the
+    latest snapshot stay, read_scd2_dim is unaffected."""
+    from kmeanwithmapreduce_spark.sources.table import gc_table, table_epochs
+    from kmeanwithmapreduce_spark.streaming.ingest import (
+        read_scd2_dim,
+        streaming_scd2_ingest,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    _dim(spark, [(1, "A", T0, None, True)]).write.parquet(dim_path + "/base")
+    src = str(tmp_path / "changes")
+    _ch(spark, [(1, "B", T1)]).coalesce(1).write.mode("overwrite").parquet(src)
+    _ch(spark, [(1, "C", T2)]).coalesce(1).write.mode("append").parquet(src)
+    q = streaming_scd2_ingest(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        dim_path, str(tmp_path / "ckpt"), "k", ["seg"],
+    )
+    q.awaitTermination(120)
+    done = table_epochs(spark, dim_path)
+    assert len(done) == 2
+    before = _rows(read_scd2_dim(spark, dim_path))
+    assert gc_table(spark, dim_path, keep=1) == done[:-1]
+    assert _rows(read_scd2_dim(spark, dim_path)) == before
+    assert os.path.isdir(os.path.join(dim_path, "base"))  # untouched
