@@ -240,6 +240,26 @@ class BPETokenizer:
     def count(self, text: str, cache: dict | None = None) -> int:
         return len(self.encode(text, cache))
 
+    def save(self, path: str) -> None:
+        """Persist the merge table as JSON — the tokenizer IS its merge
+        list, so this is the whole artifact a pipeline ships between
+        the train job and every downstream tokenize job."""
+        import json
+
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump({"format": "bpe-merges", "version": 1,
+                       "merges": self.merges}, fh, ensure_ascii=False)
+
+    @classmethod
+    def load(cls, path: str) -> "BPETokenizer":
+        import json
+
+        with open(path, encoding="utf-8") as fh:
+            obj = json.load(fh)
+        if obj.get("format") != "bpe-merges" or obj.get("version") != 1:
+            raise ValueError(f"{path}: not a v1 bpe-merges file")
+        return cls([tuple(m) for m in obj["merges"]])
+
     @staticmethod
     def detokenize(tokens: Iterable[str]) -> str:
         """Inverse of encode up to whitespace normalization: word

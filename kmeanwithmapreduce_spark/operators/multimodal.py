@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.png import PNG_MAGIC, decode_png, encode_png
+from ..functions.wav import RIFF_MAGIC, decode_wav, encode_wav
 from ..sources.readers import load_table
 
 DECODED_SCHEMA = T.StructType(
@@ -401,4 +402,139 @@ FROM (
 
 PNG_QUERIES = {
     "m04_png_roundtrip": (m04_png_roundtrip, M04_SQL),
+}
+
+
+# --------------------------------------------------------------------------
+# Audio: REAL WAV/PCM decode (functions/wav.py — the PNG move applied
+# to audio; only video remains on the disclosed fake).
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_batch(df: DataFrame) -> DataFrame:
+    """mapInPandas audio decode. RIFF/WAVE payloads decode for REAL
+    (16-bit PCM: header fields + exact-integer sum-of-squares RMS);
+    anything else takes a labeled deterministic fake (same plumbing a
+    real soundfile/ffmpeg decoder would ride)."""
+    import numpy as np
+
+    def _rows(pdf: pd.DataFrame, pay: pd.Series):
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pay):
+            if b[:4] == RIFF_MAGIC:
+                rate, ch, samples = decode_wav(b)
+                ss = samples.astype(np.int64)
+                sumsq = int((ss * ss).sum())
+                # exact int64 sum; /size exact for power-of-two sizes;
+                # sqrt is IEEE correctly-rounded — bit-equal to the SQL
+                # twin's sqrt(sumsq / n)
+                rms = float(np.sqrt(float(sumsq) / max(samples.size, 1)))
+                rows.append(
+                    (doc_id, len(b), rate, ch, samples.shape[0], rms)
+                )
+            else:
+                # FAKE (labeled): deterministic stand-in for non-WAV
+                # audio — no codec in this container
+                n = len(b)
+                rms = float(sum(b[:256]) / max(min(n, 256), 1))
+                rows.append((doc_id, n, 16_000, 1, n // 2, rms))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_bytes", "sample_rate", "n_channels",
+                "n_frames", "rms",
+            ],
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _rows(pdf, pdf["payload"].map(bytes))
+
+    return df.select("doc_id", "payload").mapInPandas(fn, AUDIO_SCHEMA)
+
+
+def encode_wav_batch(df: DataFrame, n_samples: int = 256) -> DataFrame:
+    """mapInPandas WAV encoder: payload bytes -> mono 16 kHz PCM whose
+    samples are the first 2*n_samples bytes as little-endian int16
+    (zero-padded) — deterministic and SQL-recomputable."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[: 2 * n_samples].ljust(2 * n_samples, b"\x00")
+                samples = np.frombuffer(raw, dtype="<i2")
+                rows.append((doc_id, encode_wav(samples, 16_000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select("doc_id", "payload").mapInPandas(fn, schema)
+
+
+# m05 — REAL WAV decode, oracle-verified: PCM is lossless, so the
+# decoded RMS equals the (SQL-computable) RMS of the source bytes read
+# as little-endian int16 pairs. Exact-integer sum of squares (<= 2^38,
+# exact in BIGINT and DOUBLE), /256 exact (power of two), one shared
+# correctly-rounded sqrt — then the m02/m04 1e-6 floor truncation.
+def m05_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wavs = encode_wav_batch(with_binary_payload(d))
+    decoded = decode_audio_batch(wavs)
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        (F.floor(F.col("rms") * 1000000.0) / 1000000.0).alias("rms_t"),
+    )
+
+
+M05_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(range(0, 256), k ->
+           (CASE WHEN 2*k < least(n, 512)
+                 THEN CAST(('0x' || substr(hx, 1 + 4*k, 2)) AS INT)
+                 ELSE 0 END)
+           + 256 * (CASE WHEN 2*k + 1 < least(n, 512)
+                         THEN CAST(('0x' || substr(hx, 3 + 4*k, 2)) AS INT)
+                         ELSE 0 END)
+         ) AS us
+  FROM b
+)
+SELECT doc_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(256 AS BIGINT) AS n_frames,
+       floor(sqrt(CAST(list_sum(list_transform(us, v ->
+                CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT)
+                * CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT)
+              )) AS DOUBLE) / 256.0) * 1000000.0) / 1000000.0 AS rms_t
+FROM s
+"""
+
+
+WAV_QUERIES = {
+    "m05_wav_roundtrip": (m05_wav_roundtrip, M05_SQL),
 }

@@ -223,3 +223,24 @@ def test_domain_mixture_bpe_knob(spark, docs, trained):
         assert r.n_tokens == trained.count(texts[r.doc_id], cache)
     b = sorted(map(tuple, domain_mixture_sample(docs, w, tokenizer=trained).collect()))
     assert sorted(map(tuple, rows)) == b
+
+
+def test_tokenizer_save_load_roundtrip(tmp_path):
+    """The persisted merge table reloads to an identical tokenizer —
+    the train-once / tokenize-everywhere artifact, unicode included."""
+    from kmeanwithmapreduce_spark.functions.bpe import BPETokenizer, train_merges
+
+    wf = [("löw", 10), ("löwer", 6), ("日本語", 5), ("newest", 4), ("wider", 3)]
+    tok = BPETokenizer(train_merges(wf, n_merges=12))
+    p = str(tmp_path / "merges.json")
+    tok.save(p)
+    tok2 = BPETokenizer.load(p)
+    assert tok2.merges == tok.merges
+    for w in ("löwer", "日本語です", "unseen-word"):
+        assert tok2.encode_word(w) == tok.encode_word(w)
+    import json
+    with open(str(tmp_path / "bad.json"), "w") as fh:
+        json.dump({"format": "other"}, fh)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        BPETokenizer.load(str(tmp_path / "bad.json"))

@@ -408,6 +408,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "t13_bpe_subword_stats",
         "v02_table_time_travel",
         "m04_png_roundtrip",
+        "m05_wav_roundtrip",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

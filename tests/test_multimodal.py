@@ -244,3 +244,91 @@ def test_m04_roundtrip_matches_duckdb(spark, tmp_path):
     con.close()
     for col in ("width", "height", "channels", "intensity_t"):
         assert list(got[col]) == list(want[col]), col
+
+
+# --------------------------------------------------------------------------
+# Real WAV codec (functions/wav.py) — round 7
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from kmeanwithmapreduce_spark.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    for shape, rate in [((100,), 8_000), ((64, 2), 44_100), ((1, 4), 16_000)]:
+        samples = rng.integers(-32768, 32768, size=shape, dtype=np.int16)
+        want = samples if samples.ndim == 2 else samples[:, None]
+        got_rate, ch, got = decode_wav(encode_wav(samples, rate))
+        assert got_rate == rate and ch == want.shape[1]
+        assert np.array_equal(got, want)
+
+
+def test_wav_decode_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from kmeanwithmapreduce_spark.functions.wav import decode_wav, encode_wav
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_wav(b"\x89PNG not a wav")
+    good = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    # fmt body starts at byte 20; bits-per-sample is body offset 14
+    bad_bits = bytearray(good)
+    bad_bits[20 + 14] = 8
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(bad_bits))
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 7  # mu-law
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(bad_fmt))
+
+
+def test_decode_audio_batch_routes_wav_and_fake(spark):
+    import numpy as np
+
+    from kmeanwithmapreduce_spark.functions.wav import encode_wav
+
+    rng = np.random.default_rng(3)
+    s1 = rng.integers(-32768, 32768, size=200, dtype=np.int16)
+    s2 = rng.integers(-32768, 32768, size=(50, 2), dtype=np.int16)
+    rows = [
+        (1, bytearray(encode_wav(s1, 22_050))),
+        (2, bytearray(encode_wav(s2, 8_000))),
+        (3, bytearray(b"plain text payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.decode_audio_batch(df).collect()}
+    assert (got[1]["sample_rate"], got[1]["n_channels"], got[1]["n_frames"]) == (22_050, 1, 200)
+    want_rms1 = float(np.sqrt((s1.astype(np.int64) ** 2).sum() / s1.size))
+    assert abs(got[1]["rms"] - want_rms1) < 1e-9
+    assert (got[2]["sample_rate"], got[2]["n_channels"], got[2]["n_frames"]) == (8_000, 2, 50)
+    assert got[3]["sample_rate"] == 16_000  # fake path
+
+
+def test_m05_roundtrip_matches_duckdb(spark, tmp_path):
+    """m05 end-to-end on a hand-built corpus (multi-byte utf-8, empty,
+    odd-length, >512-byte texts) vs its DuckDB oracle — the registry
+    sweep re-checks it at sf0.01."""
+    import duckdb
+
+    texts = ["héllo wörld", "日本語のテキスト" * 60, "", "odd", "x" * 700,
+             "naïve—café é" * 30]
+    d = spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    fx = str(tmp_path / "documents.parquet")
+    d.write.parquet(fx)
+    got = (
+        mm.m05_wav_roundtrip(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{fx}/*.parquet'")
+    want = con.execute(mm.M05_SQL).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    con.close()
+    for col in ("sample_rate", "n_channels", "n_frames", "rms_t"):
+        assert list(got[col]) == list(want[col]), col
