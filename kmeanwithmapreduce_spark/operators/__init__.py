@@ -5,7 +5,7 @@ view over this dict."""
 from .cleaning import CLEANING_QUERIES
 from .dedup import DEDUP_QUERIES
 from .joins_advanced import ADVANCED_JOIN_QUERIES
-from .multimodal import MULTIMODAL_QUERIES, PNG_QUERIES, WAV_QUERIES
+from .multimodal import AVI_QUERIES, MULTIMODAL_QUERIES, PNG_QUERIES, WAV_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
 from .textops import TEXT_QUERIES
@@ -80,6 +80,7 @@ EXTRA_QUERIES = {
     **TIME_TRAVEL_QUERIES,
     **PNG_QUERIES,
     **WAV_QUERIES,
+    **AVI_QUERIES,
 }
 
 __all__ = [

@@ -27,9 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.avi import decode_avi_rgb, encode_avi_rgb
 from ..functions.png import PNG_MAGIC, decode_png, encode_png
 from ..functions.wav import RIFF_MAGIC, decode_wav, encode_wav
 from ..sources.readers import load_table
+
+_AVI_SIG = (b"RIFF", b"AVI ")  # data[:4], data[8:12]
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -243,8 +246,11 @@ def resize_batch(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataF
 
 
 def frame_sample_batch(df: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
-    """STUB video frame sampling: emits up to max_frames byte-slices per
-    payload (a real build would ffmpeg-seek keyframes). One-to-many
+    """Video frame sampling, routed by content: uncompressed-RGB AVI
+    payloads decode for REAL (functions/avi.py) and emit up to
+    ``max_frames`` evenly-spaced decoded frames as raw RGB bytes
+    (H*W*3); everything else (compressed codecs — no ffmpeg in this
+    container) keeps the labeled byte-slice fake. One-to-many
     mapInPandas — the row-explosion shape of a frame extractor."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -252,6 +258,19 @@ def frame_sample_batch(df: DataFrame, every_n_bytes: int = 256, max_frames: int 
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                if b[:4] == _AVI_SIG[0] and b[8:12] == _AVI_SIG[1]:
+                    _w, _h, n, frames = decode_avi_rgb(b)
+                    step = max(n // max_frames, 1)
+                    for out_idx, src_idx in enumerate(
+                        range(0, n, step)
+                    ):
+                        if out_idx >= max_frames:
+                            break
+                        out.append(
+                            (doc_id, src_idx, frames[src_idx].tobytes())
+                        )
+                    continue
+                # FAKE (labeled): byte slices stand in for keyframes
                 for i in range(min(max(len(b) // every_n_bytes, 1), max_frames)):
                     out.append((doc_id, i, b[i * every_n_bytes : (i + 1) * every_n_bytes]))
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
@@ -537,4 +556,111 @@ FROM s
 
 WAV_QUERIES = {
     "m05_wav_roundtrip": (m05_wav_roundtrip, M05_SQL),
+}
+
+
+# --------------------------------------------------------------------------
+# m06 — REAL AVI video decode, oracle-verified. Each doc's first 60
+# bytes become two 5x2 RGB frames (width 5 exercises the DIB 4-byte
+# row-padding path: 15 -> 16 bytes/row); the AVI roundtrip is lossless,
+# so each decoded frame's byte mean equals the SQL-recomputable mean of
+# its 30 source bytes. A wrong pad-strip / row-flip / BGR swap shifts
+# the byte multiset and hash-fails.
+_M06_W, _M06_H, _M06_NF = 5, 2, 2
+_M06_FRAME_BYTES = _M06_W * _M06_H * 3  # 30
+
+
+def encode_avi_batch(df: DataFrame) -> DataFrame:
+    """mapInPandas AVI encoder: payload bytes -> 2-frame 5x2 RGB video
+    (truncate/zero-pad to 60 bytes), fps 10."""
+    import numpy as np
+
+    total = _M06_NF * _M06_FRAME_BYTES
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:total].ljust(total, b"\x00")
+                frames = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    _M06_NF, _M06_H, _M06_W, 3
+                )
+                rows.append((doc_id, encode_avi_rgb(frames, fps=10)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select("doc_id", "payload").mapInPandas(fn, schema)
+
+
+def m06_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    avis = encode_avi_batch(with_binary_payload(d))
+
+    stats_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_t", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, n, frames = decode_avi_rgb(bytes(payload))
+                for i in range(n):
+                    s = int(frames[i].sum(dtype=np.int64))
+                    mean = (float(s) / _M06_FRAME_BYTES) / 255.0
+                    rows.append(
+                        (doc_id, i, w, h, math.floor(mean * 1e6) / 1e6)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_t"],
+            )
+
+    return avis.mapInPandas(fn, stats_schema)
+
+
+M06_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(5 AS INT) AS width,
+       CAST(2 AS INT) AS height,
+       floor(((CAST(fsum AS DOUBLE) / 30.0) / 255.0)
+             * 1000000.0) / 1000000.0 AS mean_t
+FROM (
+  SELECT doc_id,
+         unnest(range(0, 2)) AS fi,
+         unnest(list_transform(range(0, 2), f ->
+           coalesce(list_sum(list_transform(range(30*f, 30*f + 30), i ->
+             CASE WHEN i < n
+                  THEN CAST(('0x' || substr(hx, 1 + 2*i, 2)) AS INT)
+                  ELSE 0 END)), 0)
+         )) AS fsum
+  FROM b
+)
+"""
+
+
+AVI_QUERIES = {
+    "m06_avi_frame_stats": (m06_avi_frame_stats, M06_SQL),
 }

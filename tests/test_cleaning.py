@@ -409,6 +409,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "v02_table_time_travel",
         "m04_png_roundtrip",
         "m05_wav_roundtrip",
+        "m06_avi_frame_stats",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -332,3 +332,109 @@ def test_m05_roundtrip_matches_duckdb(spark, tmp_path):
     con.close()
     for col in ("sample_rate", "n_channels", "n_frames", "rms_t"):
         assert list(got[col]) == list(want[col]), col
+
+
+# --------------------------------------------------------------------------
+# Real AVI codec (functions/avi.py) — round 7
+
+
+def test_avi_codec_roundtrip_including_row_padding():
+    """encode -> decode is the identity, exercising the three DIB
+    quirks: width 5 (rows 15 -> padded 16 bytes), bottom-up row order,
+    BGR sample order — all invisible if roundtrip is exact AND a
+    hand-oriented pixel lands where the spec says."""
+    import numpy as np
+
+    from kmeanwithmapreduce_spark.functions.avi import (
+        decode_avi_rgb,
+        encode_avi_rgb,
+    )
+
+    rng = np.random.default_rng(21)
+    for n, h, w in [(2, 2, 5), (3, 4, 4), (1, 1, 1), (4, 3, 7)]:
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        data = encode_avi_rgb(frames, fps=10)
+        gw, gh, gn, got = decode_avi_rgb(data)
+        assert (gw, gh, gn) == (w, h, n)
+        assert np.array_equal(got, frames)
+    # hand-check the on-disk orientation: a single red top-left pixel
+    # must be stored in the LAST row (bottom-up) as B,G,R = 0,0,255
+    one = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    one[0, 0, 0] = [255, 0, 0]  # red at (row 0, col 0)
+    raw = encode_avi_rgb(one, fps=10)
+    movi = raw.index(b"00db")
+    frame = raw[movi + 8 : movi + 8 + 16]  # 2 rows x 8 padded bytes
+    assert frame[:8] == bytes(8)  # disk row 0 = image BOTTOM row: zeros
+    assert frame[8:11] == b"\x00\x00\xff"  # disk row 1 col 0: BGR red
+
+
+def test_avi_decode_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from kmeanwithmapreduce_spark.functions.avi import (
+        decode_avi_rgb,
+        encode_avi_rgb,
+    )
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_avi_rgb(b"RIFF\x00\x00\x00\x00WAVEnot video")
+    good = bytearray(encode_avi_rgb(np.zeros((1, 2, 2, 3), dtype=np.uint8)))
+    # biCompression is bytes 16..20 of the strf body; find strf and patch
+    strf = bytes(good).index(b"strf")
+    bad = bytearray(good)
+    bad[strf + 8 + 16] = 1  # BI_RLE8
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_avi_rgb(bytes(bad))
+
+
+def test_frame_sample_routes_avi_and_fake(spark):
+    import numpy as np
+
+    from kmeanwithmapreduce_spark.functions.avi import encode_avi_rgb
+
+    rng = np.random.default_rng(5)
+    vid = rng.integers(0, 256, size=(6, 2, 3, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_avi_rgb(vid, fps=10))),
+        (2, bytearray(b"x" * 600)),  # fake path: byte slices
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = mm.frame_sample_batch(df, every_n_bytes=256, max_frames=4).collect()
+    real = sorted((r.frame_idx, bytes(r.frame)) for r in got if r.doc_id == 1)
+    # 6 frames, max 4, step 1 -> frames 0,1,2,3; bytes are decoded RGB
+    assert [i for i, _ in real] == [0, 1, 2, 3]
+    for i, b in real:
+        assert b == vid[i].tobytes()
+    fake = [r for r in got if r.doc_id == 2]
+    assert len(fake) == 2 and len(bytes(fake[0].frame)) == 256
+
+
+def test_m06_avi_frames_match_duckdb(spark, tmp_path):
+    import duckdb
+
+    texts = ["héllo wörld", "日本語のテキスト" * 10, "", "short", "y" * 100]
+    d = spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    fx = str(tmp_path / "documents.parquet")
+    d.write.parquet(fx)
+    got = (
+        mm.m06_avi_frame_stats(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{fx}/*.parquet'")
+    want = (
+        con.execute(mm.M06_SQL)
+        .fetchdf()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert len(got) == 2 * len(texts)
+    for col in ("frame_idx", "width", "height", "mean_t"):
+        assert list(got[col]) == list(want[col]), col
