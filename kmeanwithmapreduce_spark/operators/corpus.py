@@ -368,6 +368,7 @@ def prepare_training_corpus(
     mixture_weights: dict[str, int] | None = None,
     span_dedup_tokens: int | None = None,
     training_order_seed: str | None = None,
+    tokenizer=None,
 ) -> dict[str, int]:
     """The whole training-data preparation pipeline as ONE composition of
     the engine's operators, documents table in → sharded parquet out:
@@ -387,7 +388,11 @@ def prepare_training_corpus(
        CCNet-shaped model-based filter, curation.unigram_logprob);
     6. optional domain-mixture rebalance (``mixture_weights``: integer
        token-share weights over ``source`` — curation's exact-integer
-       downsampling; sources absent from the table are dropped);
+       downsampling; sources absent from the table are dropped; pass
+       ``tokenizer`` (a functions.bpe.BPETokenizer, e.g.
+       ``BPETokenizer.load(path)``) to run the token-share arithmetic
+       on real subword counts instead of whitespace counts — the same
+       knob the standalone c04/c05/c06 operators carry);
     7. optional deterministic per-language downsampling
        (stratified_sample; strata absent from ``lang_rates`` keep rate
        1.0);
@@ -476,7 +481,9 @@ def prepare_training_corpus(
     if mixture_weights is not None:
         from .curation import domain_mixture_sample
 
-        mixed = domain_mixture_sample(kept, mixture_weights).select("doc_id")
+        mixed = domain_mixture_sample(
+            kept, mixture_weights, tokenizer=tokenizer
+        ).select("doc_id")
         kept = _tap(kept.join(mixed, "doc_id", "left_semi"), "after_mixture")
 
     if lang_rates:
