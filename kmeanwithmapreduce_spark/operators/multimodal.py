@@ -97,33 +97,38 @@ def decode_batch(df: DataFrame) -> DataFrame:
             }
         )
 
-    def _png_frame(pdf: pd.DataFrame, pay: pd.Series) -> pd.DataFrame:
-        rows = []
-        for doc_id, b in zip(pdf["doc_id"], pay):
-            w, h, c, pix = decode_png(b)
-            # sum exact in int64; /n then /255 matches the SQL twin's
-            # (bytesum / n) / 255.0 op-for-op
-            mean = float(pix.sum(dtype=np.int64)) / pix.size / 255.0
-            rows.append((doc_id, len(b), w, h, c, mean))
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "n_bytes", "width", "height", "channels",
-                "mean_intensity",
-            ],
-        )
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pay = pdf["payload"].map(bytes)
             is_png = pay.str.slice(0, 8) == PNG_MAGIC
-            if not is_png.any():
-                yield _fake_frame(pdf, pay)
-            elif is_png.all():
-                yield _png_frame(pdf, pay)
-            else:
-                yield _fake_frame(pdf[~is_png], pay[~is_png])
-                yield _png_frame(pdf[is_png], pay[is_png])
+            rows = []
+            fallback = []  # PNG magic but a variant decode_png rejects
+            for idx, doc_id, b in zip(
+                pdf.index[is_png], pdf["doc_id"][is_png], pay[is_png]
+            ):
+                try:
+                    w, h, c, pix = decode_png(b)
+                except ValueError:
+                    # palette/16-bit/interlaced/truncated: the fake
+                    # path, like every other undecodable media type —
+                    # one bad payload must not fail the whole job
+                    fallback.append(idx)
+                    continue
+                # sum exact in int64; /n then /255 matches the SQL
+                # twin's (bytesum / n) / 255.0 op-for-op
+                mean = float(pix.sum(dtype=np.int64)) / pix.size / 255.0
+                rows.append((doc_id, len(b), w, h, c, mean))
+            fake_idx = list(pdf.index[~is_png]) + fallback
+            if fake_idx:
+                yield _fake_frame(pdf.loc[fake_idx], pay.loc[fake_idx])
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "n_bytes", "width", "height",
+                        "channels", "mean_intensity",
+                    ],
+                )
 
     return df.select("doc_id", "payload").mapInPandas(fn, DECODED_SCHEMA)
 
@@ -259,17 +264,24 @@ def frame_sample_batch(df: DataFrame, every_n_bytes: int = 256, max_frames: int 
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 if b[:4] == _AVI_SIG[0] and b[8:12] == _AVI_SIG[1]:
-                    _w, _h, n, frames = decode_avi_rgb(b)
-                    step = max(n // max_frames, 1)
-                    for out_idx, src_idx in enumerate(
-                        range(0, n, step)
-                    ):
-                        if out_idx >= max_frames:
-                            break
-                        out.append(
-                            (doc_id, src_idx, frames[src_idx].tobytes())
-                        )
-                    continue
+                    try:
+                        _w, _h, n, frames = decode_avi_rgb(b)
+                    except ValueError:
+                        n = None  # compressed/corrupt AVI: fake path
+                    if n is not None:
+                        # NOTE: a valid zero-frame AVI emits zero rows
+                        # (nothing to sample) — unlike the fake path,
+                        # which always emits at least one slice
+                        step = max(n // max_frames, 1)
+                        for out_idx, src_idx in enumerate(
+                            range(0, n, step)
+                        ):
+                            if out_idx >= max_frames:
+                                break
+                            out.append(
+                                (doc_id, src_idx, frames[src_idx].tobytes())
+                            )
+                        continue
                 # FAKE (labeled): byte slices stand in for keyframes
                 for i in range(min(max(len(b) // every_n_bytes, 1), max_frames)):
                     out.append((doc_id, i, b[i * every_n_bytes : (i + 1) * every_n_bytes]))
@@ -449,8 +461,18 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
     def _rows(pdf: pd.DataFrame, pay: pd.Series):
         rows = []
         for doc_id, b in zip(pdf["doc_id"], pay):
-            if b[:4] == RIFF_MAGIC:
-                rate, ch, samples = decode_wav(b)
+            # RIFF alone is not enough (AVI and WebP are RIFF too);
+            # require the WAVE form type, and fall back on variants
+            # decode_wav rejects (ADPCM, float, 24-bit) — one bad
+            # payload must not fail the whole job
+            decoded = None
+            if b[:4] == RIFF_MAGIC and b[8:12] == b"WAVE":
+                try:
+                    decoded = decode_wav(b)
+                except ValueError:
+                    decoded = None
+            if decoded is not None:
+                rate, ch, samples = decoded
                 ss = samples.astype(np.int64)
                 sumsq = int((ss * ss).sum())
                 # exact int64 sum; /size exact for power-of-two sizes;

@@ -33,12 +33,12 @@ K-Means job, SURVEY §2 Part A); training-data-pipeline extension.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.ingest import _committed_epochs
+from .fsutil import hadoop, read_json, write_json
 
 _GC_LOG = "_gc_log.json"
 
@@ -48,19 +48,8 @@ def table_epochs(spark: SparkSession, table_path: str) -> list[int]:
     return _committed_epochs(spark, table_path)
 
 
-def _hadoop(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-
-
 def _gc_log(spark: SparkSession, table_path: str) -> list[int]:
-    jvm, jpath, fs = _hadoop(spark, os.path.join(table_path, _GC_LOG))
-    if not fs.exists(jpath):
-        return []
-    return json.loads(
-        jvm.org.apache.commons.io.IOUtils.toString(fs.open(jpath), "UTF-8")
-    )
+    return read_json(spark, os.path.join(table_path, _GC_LOG)) or []
 
 
 def _shape(schema) -> list[tuple[str, str]]:
@@ -147,7 +136,14 @@ def gc_table(spark: SparkSession, table_path: str, keep: int) -> list[int]:
     victims = done[:-keep] if len(done) > keep else []
     if not victims:
         return []
-    jvm, _, fs = _hadoop(spark, table_path)
+    # LOG-AHEAD, atomically (tmp+rename): the record of what is being
+    # GC'd lands before any delete, so a crash mid-GC can never leave a
+    # deleted epoch reporting the misleading 'not committed'. A logged
+    # epoch whose dir still exists stays readable (the log is only
+    # consulted for epochs that are NOT committed).
+    log = sorted(set(_gc_log(spark, table_path)) | set(victims))
+    write_json(spark, os.path.join(table_path, _GC_LOG), log)
+    jvm, _, fs = hadoop(spark, table_path)
     for ep in victims:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
@@ -155,11 +151,6 @@ def gc_table(spark: SparkSession, table_path: str, keep: int) -> list[int]:
             ),
             True,
         )
-    log = sorted(set(_gc_log(spark, table_path)) | set(victims))
-    _, jlog, fs = _hadoop(spark, os.path.join(table_path, _GC_LOG))
-    stream = fs.create(jlog, True)
-    stream.write(json.dumps(log).encode("utf-8"))
-    stream.close()
     return victims
 
 

@@ -59,7 +59,6 @@ twins in tests/test_stream_marts.py.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -67,6 +66,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sessionize import sessionize_plain
 from ..operators.temporal import funnel_user_stages
+from ..sources.fsutil import hadoop, qualified, read_json, write_json
 from .ingest import _committed_epochs
 
 _SESS_STATE_SCHEMA = (
@@ -87,28 +87,35 @@ def _bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets)).cast("int")
 
 
-def _hadoop(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-
-
 def _latest_bucket_paths(
-    spark: SparkSession, chain_path: str, epochs: list[int]
+    spark: SparkSession,
+    chain_path: str,
+    epochs: list[int],
+    want: set[int] | None = None,
 ) -> dict[int, str]:
     """Per state bucket, the path of its most recent rewrite among the
-    given COMMITTED epochs. Driver-side: len(epochs) listStatus calls
-    over dirs of <= n_state_buckets entries — independent of data size."""
+    given COMMITTED epochs. Walks NEWEST-FIRST and stops as soon as the
+    ``want`` buckets are all resolved — per-micro-batch ingest cost is
+    O(epochs since the touched buckets were last written), typically a
+    handful, not O(stream lifetime). Readers (want=None) must walk all
+    committed epochs (they cannot know the bucket universe), but that
+    is once per READ, not per micro-batch, and gc_mart_state keeps the
+    walk short. Driver-side listStatus only — independent of data
+    size."""
     latest: dict[int, str] = {}
-    for ep in epochs:  # ascending — later epochs overwrite the map entry
+    for ep in reversed(epochs):  # newest first — first hit per bucket wins
         ep_dir = os.path.join(chain_path, f"epoch={ep}")
-        jvm, jpath, fs = _hadoop(spark, ep_dir)
+        jvm, jpath, fs = hadoop(spark, ep_dir)
         if not fs.exists(jpath):
             continue
         for st in fs.listStatus(jpath):
             name = st.getPath().getName()
             if name.startswith("bucket="):
-                latest[int(name.split("=", 1)[1])] = os.path.join(ep_dir, name)
+                b = int(name.split("=", 1)[1])
+                if b not in latest and (want is None or b in want):
+                    latest[b] = os.path.join(ep_dir, name)
+        if want is not None and len(latest) == len(want):
+            break
     return latest
 
 
@@ -129,15 +136,16 @@ def _check_or_stamp_ident(
     batches) or a different bucket modulus (would strand state rows in
     buckets the new modulus never rewrites)."""
     ident = {
-        "checkpoint": os.path.abspath(checkpoint_path),
+        # Hadoop-qualified location identity: stable across driver
+        # working directories and URI-safe (os.path.abspath mangles
+        # hdfs:// paths and made same-query restarts from a different
+        # cwd spuriously refuse when given a relative checkpoint path)
+        "checkpoint": qualified(spark, checkpoint_path),
         "n_state_buckets": n_state_buckets,
     }
     marker = os.path.join(out_path, _IDENT_FILE)
-    jvm, jpath, fs = _hadoop(spark, marker)
-    if fs.exists(jpath):
-        existing = json.loads(
-            jvm.org.apache.commons.io.IOUtils.toString(fs.open(jpath), "UTF-8")
-        )
+    existing = read_json(spark, marker)
+    if existing is not None:
         for key, val in ident.items():
             if existing.get(key) != val:
                 raise ValueError(
@@ -156,9 +164,7 @@ def _check_or_stamp_ident(
             "committed epochs but no _ingest_ident.json marker — it was "
             "written by an unknown query; refusing to mix epoch id spaces."
         )
-    stream = fs.create(jpath, True)
-    stream.write(json.dumps(ident).encode("utf-8"))
-    stream.close()
+    write_json(spark, marker, ident)
 
 
 def streaming_events_mart_ingest(
@@ -210,8 +216,12 @@ def streaming_events_mart_ingest(
         if not touched:  # empty micro-batch: nothing to fold or commit
             batch.unpersist()
             return
-        sess_map = _latest_bucket_paths(spark, sess_state_path, prior)
-        fun_map = _latest_bucket_paths(spark, funnel_state_path, prior)
+        sess_map = _latest_bucket_paths(
+            spark, sess_state_path, prior, want=set(touched)
+        )
+        fun_map = _latest_bucket_paths(
+            spark, funnel_state_path, prior, want=set(touched)
+        )
         # prior state restricted to touched buckets — the ONLY state
         # this epoch reads or rewrites; untouched buckets stay as-is
         sess_state = _read_state(
@@ -390,7 +400,7 @@ def gc_mart_state(
             if ep in protect:
                 continue
             ep_dir = os.path.join(chain_path, f"epoch={ep}")
-            jvm, jpath, fs = _hadoop(spark, ep_dir)
+            jvm, jpath, fs = hadoop(spark, ep_dir)
             if not fs.exists(jpath):
                 continue
             for st in fs.listStatus(jpath):

@@ -438,3 +438,50 @@ def test_m06_avi_frames_match_duckdb(spark, tmp_path):
     assert len(got) == 2 * len(texts)
     for col in ("frame_idx", "width", "height", "mean_t"):
         assert list(got[col]) == list(want[col]), col
+
+
+def test_codec_kernels_fall_back_not_crash(spark):
+    """Round-7 review findings: payloads that MATCH a container magic
+    but carry an unsupported variant must take the labeled fake path —
+    one bad payload must never fail the job. Covers: non-WAVE RIFF
+    (AVI/WebP-shaped) and ADPCM WAV in the audio kernel; palette PNG in
+    the image kernel; compressed AVI in the frame sampler."""
+    import numpy as np
+
+    from kmeanwithmapreduce_spark.functions.avi import encode_avi_rgb
+    from kmeanwithmapreduce_spark.functions.png import encode_png
+    from kmeanwithmapreduce_spark.functions.wav import encode_wav
+
+    # -- audio: RIFF-but-not-WAVE, and WAVE-but-ADPCM
+    avi_bytes = encode_avi_rgb(np.zeros((1, 2, 2, 3), dtype=np.uint8))
+    adpcm = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    adpcm[20] = 2  # fmt tag -> MS ADPCM
+    rows = [(1, bytearray(avi_bytes)), (2, adpcm), (3, bytearray(b"RIFFxxxx"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.decode_audio_batch(df).collect()}
+    assert len(got) == 3
+    for r in got.values():  # all on the fake path: its fixed rate
+        assert r.sample_rate == 16_000 and r.n_channels == 1
+
+    # -- image: palette-flagged PNG falls back, valid PNG still real
+    good = encode_png(np.full((3, 3), 7, dtype=np.uint8))
+    pal = bytearray(good)
+    pal[16 + 9] = 3  # color type -> palette
+    df2 = spark.createDataFrame(
+        [(1, bytearray(good)), (2, pal)], "doc_id long, payload binary"
+    )
+    got2 = {r.doc_id: r for r in mm.decode_batch(df2).collect()}
+    assert (got2[1].width, got2[1].height) == (3, 3)  # real decode
+    fw, fh, _c, _m = mm._fake_decode(bytes(pal))
+    assert (got2[2].width, got2[2].height) == (fw, fh)  # fake fallback
+
+    # -- video: compression-flagged AVI falls back to byte slices
+    bad_avi = bytearray(avi_bytes)
+    strf = bytes(bad_avi).index(b"strf")
+    bad_avi[strf + 8 + 16] = 1
+    df3 = spark.createDataFrame(
+        [(1, bad_avi)], "doc_id long, payload binary"
+    )
+    got3 = mm.frame_sample_batch(df3, every_n_bytes=64).collect()
+    assert len(got3) >= 1  # fake slices, not a crash
+    assert bytes(got3[0].frame) == bytes(bad_avi)[:64]
