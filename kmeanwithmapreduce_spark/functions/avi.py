@@ -105,34 +105,50 @@ def decode_avi_rgb(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode an uncompressed-RGB AVI to (width, height, n_frames,
     uint8 array (n, H, W, 3)). Compressed streams (biCompression != 0)
     raise ValueError — the multimodal operator keeps those on its
-    disclosed fake path."""
+    disclosed fake path.
+
+    Frame geometry is authoritative from the strf BITMAPINFOHEADER
+    (biWidth/biHeight — that is what the DIB rows are laid out by),
+    cross-checked against the avih dwWidth/dwHeight; a NEGATIVE
+    biHeight means TOP-DOWN row order (emitted by some foreign
+    encoders) and is honored by skipping the bottom-up flip."""
     if data[:4] != AVI_MAGIC_RIFF or data[8:12] != AVI_MAGIC_TYPE:
         raise ValueError("not an AVI (bad RIFF/AVI signature)")
-    width = height = None
+    avih_w = avih_h = None
+    bi_w = bi_h = None
     compression = None
     frames_raw: list[bytes] = []
 
     def scan(pos: int, end: int) -> None:
-        nonlocal width, height, compression
+        nonlocal avih_w, avih_h, bi_w, bi_h, compression
         for tag, ltype, start, length in _walk(data, pos, end):
             if tag == b"LIST":
                 scan(start, start + length)
             elif tag == b"avih":
                 fields = struct.unpack_from("<10I", data, start)
-                width, height = fields[8], fields[9]
+                avih_w, avih_h = fields[8], fields[9]
             elif tag == b"strf" and length >= 40:
                 bi = struct.unpack_from("<IiiHHI", data, start)
-                compression = bi[5]
+                bi_w, bi_h, compression = bi[1], bi[2], bi[5]
             elif tag in (b"00db", b"00dc"):
                 frames_raw.append(data[start : start + length])
 
     scan(12, len(data))
-    if width is None:
+    if avih_w is None:
         raise ValueError("corrupt AVI: no avih header")
-    if compression not in (0, None):
+    if bi_w is None:
+        raise ValueError("corrupt AVI: no strf BITMAPINFOHEADER")
+    if compression != 0:
         raise ValueError(
             f"unsupported AVI (biCompression={compression}): this stdlib "
             "decoder handles uncompressed BI_RGB only"
+        )
+    top_down = bi_h < 0
+    width, height = bi_w, abs(bi_h)
+    if (width, height) != (avih_w, avih_h):
+        raise ValueError(
+            f"corrupt AVI: strf frame geometry {width}x{height} disagrees "
+            f"with avih {avih_w}x{avih_h}"
         )
     row_bytes = (width * 3 + 3) & ~3
     out = np.zeros((len(frames_raw), height, width, 3), dtype=np.uint8)
@@ -144,5 +160,7 @@ def decode_avi_rgb(data: bytes) -> tuple[int, int, int, np.ndarray]:
             )
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes)
         bgr = rows[:, : width * 3].reshape(height, width, 3)
-        out[i] = bgr[::-1, :, ::-1]  # un-flip rows, BGR -> RGB
+        if not top_down:
+            bgr = bgr[::-1]  # bottom-up DIB: un-flip rows
+        out[i] = bgr[:, :, ::-1]  # BGR -> RGB
     return width, height, len(frames_raw), out

@@ -643,7 +643,10 @@ def bloom_probe(
     PROBE row (duplicates and NULLs passed through) — that shape was
     the false-negative bug. Callers that need per-row verdicts should
     left-join this result back to their probe frame on ``k``; NULL-key
-    rows get no verdict (a NULL key is never a member)."""
+    rows get no verdict (a NULL key is never a member).
+
+    Returns: DataFrame(k, maybe) — ONE row per distinct non-NULL probe
+    key, NOT one per input probe row."""
     pos = probes.select(F.col(key_col).alias("k")).where(
         F.col("k").isNotNull()
     ).distinct().select(

@@ -152,11 +152,15 @@ def v02_table_time_travel(
     real cluster); the default is a per-process dir under the DRIVER'S
     local tempfile.gettempdir(), which is only readable by executors in
     local mode — the registry/bench envelope this entry runs in. The
-    returned DataFrame lazily reads the committed epoch dirs."""
+    dir is REBUILT each call: it is cleared via the Hadoop FS (so
+    remote URIs work, unlike a local shutil), and a non-empty
+    ``base_path`` that does not look like this entry's own epoch
+    layout is refused rather than deleted — the rebuild must never
+    destroy a dir that holds anything else."""
     import hashlib
-    import shutil
     import tempfile
 
+    from ..sources.fsutil import hadoop
     from ..sources.table import read_table, rollback, write_snapshot
 
     base = base_path or os.path.join(
@@ -165,7 +169,24 @@ def v02_table_time_travel(
             hashlib.md5(sf_dir.encode()).hexdigest()[:8], os.getpid()
         ),
     )
-    shutil.rmtree(base, ignore_errors=True)
+    jvm, jbase, fs = hadoop(spark, base)
+    if fs.exists(jbase):
+        foreign = [
+            st.getPath().getName()
+            for st in fs.listStatus(jbase)
+            if not (
+                st.getPath().getName().startswith("epoch=")
+                or st.getPath().getName().startswith("_gc_log.json")
+            )
+        ]
+        if foreign:
+            raise ValueError(
+                f"v02_table_time_travel: base_path {base!r} is non-empty and "
+                f"does not look like this entry's epoch layout (unexpected: "
+                f"{foreign[:5]}); refusing to clear it. Pass an empty or "
+                "dedicated directory."
+            )
+        fs.delete(jbase, True)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     e0 = write_snapshot(d, base)
     e1 = write_snapshot(_mutate_v2(d), base)

@@ -31,16 +31,31 @@ def read_json(spark: SparkSession, path: str):
     """Parse a small JSON file via the Hadoop FS; None when the file is
     missing OR unreadable/partial (callers treat both as 'absent' —
     the write side is tmp+rename so a partial final file only means a
-    non-atomic legacy writer or a torn copy)."""
+    non-atomic legacy writer or a torn copy).
+
+    Recovery: write_json's rename is delete-then-rename (Hadoop
+    FileSystem.rename does not overwrite), so a crash in that window
+    leaves the destination missing but ``<path>.tmp`` fully written.
+    When the destination is absent we fall back to parsing the .tmp —
+    a complete .tmp IS the newest committed content (it is written and
+    closed before the delete happens), so the fallback never serves
+    stale data, only rescues the torn-window case."""
     jvm, jpath, fs = hadoop(spark, path)
-    if not fs.exists(jpath):
-        return None
-    try:
-        return json.loads(
-            jvm.org.apache.commons.io.IOUtils.toString(fs.open(jpath), "UTF-8")
-        )
-    except ValueError:
-        return None
+
+    def _load(p):
+        try:
+            return json.loads(
+                jvm.org.apache.commons.io.IOUtils.toString(fs.open(p), "UTF-8")
+            )
+        except ValueError:
+            return None
+
+    if fs.exists(jpath):
+        return _load(jpath)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    if fs.exists(tmp):
+        return _load(tmp)
+    return None
 
 
 def write_json(spark: SparkSession, path: str, obj) -> None:

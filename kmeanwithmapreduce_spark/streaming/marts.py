@@ -206,6 +206,19 @@ def streaming_events_mart_ingest(
         batch = batch_df.select(
             "user_id", "event_id", "event_type", "ts"
         ).persist()
+        # NULL user_id has no session identity and no state bucket
+        # (xxhash64(NULL) -> NULL bucket would TypeError the sorted()
+        # below and, if written, land in an unreadable
+        # bucket=__HIVE_DEFAULT_PARTITION__ dir) — reject loudly, same
+        # contract style as on_late.
+        n_null = batch.where(F.col("user_id").isNull()).count()
+        if n_null:
+            batch.unpersist()
+            raise RuntimeError(
+                f"streaming_events_mart_ingest epoch {epoch_id}: {n_null} "
+                "event(s) with NULL user_id — sessions and state buckets "
+                "are keyed by user_id; drop or backfill them upstream."
+            )
         bucket = _bucket_col(n_state_buckets)
         # the buckets this epoch rewrites: exactly those holding batch
         # users (driver gets <= n_state_buckets ints — one tiny job)

@@ -485,3 +485,50 @@ def test_codec_kernels_fall_back_not_crash(spark):
     got3 = mm.frame_sample_batch(df3, every_n_bytes=64).collect()
     assert len(got3) >= 1  # fake slices, not a crash
     assert bytes(got3[0].frame) == bytes(bad_avi)[:64]
+
+
+def test_avi_decode_topdown_and_dimension_crosscheck():
+    """Foreign encoders emit negative strf biHeight = TOP-DOWN rows:
+    the decoder must take geometry from strf, skip the bottom-up flip,
+    and reject an avih/strf dimension disagreement."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kmeanwithmapreduce_spark.functions.avi import (
+        decode_avi_rgb,
+        encode_avi_rgb,
+    )
+
+    rng = np.random.default_rng(33)
+    frames = rng.integers(0, 256, size=(2, 3, 5, 3), dtype=np.uint8)
+    h, w = 3, 5
+    data = bytearray(encode_avi_rgb(frames, fps=10))
+
+    # build the top-down variant: negate strf biHeight and reverse the
+    # stored row order of every frame chunk (bottom-up -> top-down)
+    strf = bytes(data).index(b"strf")
+    struct.pack_into("<i", data, strf + 8 + 8, -h)
+    row_bytes = (w * 3 + 3) & ~3
+    pos = 0
+    while True:
+        pos = bytes(data).find(b"00db", pos)
+        if pos < 0:
+            break
+        body = pos + 8
+        rows = np.frombuffer(
+            bytes(data[body : body + row_bytes * h]), dtype=np.uint8
+        ).reshape(h, row_bytes)
+        data[body : body + row_bytes * h] = rows[::-1].tobytes()
+        pos = body + row_bytes * h
+    gw, gh, gn, got = decode_avi_rgb(bytes(data))
+    assert (gw, gh, gn) == (w, h, 2)
+    assert np.array_equal(got, frames)
+
+    # avih says 5x3 but strf says 4x3 -> loud geometry error
+    bad = bytearray(encode_avi_rgb(frames, fps=10))
+    strf = bytes(bad).index(b"strf")
+    struct.pack_into("<i", bad, strf + 8 + 4, 4)  # biWidth
+    with _pytest.raises(ValueError, match="disagrees"):
+        decode_avi_rgb(bytes(bad))

@@ -316,3 +316,24 @@ def test_streaming_mart_cross_epoch_session_merge(spark, tmp_path):
     assert got[(2, 1)] == (t0, t0, 1)  # closed at boundary
     assert got[(2, 2)] == (t0 + timedelta(hours=2), t0 + timedelta(hours=2), 1)
     assert len(got) == 3
+
+
+def test_streaming_mart_null_user_id_fails_loudly(spark, tmp_path):
+    """A NULL user_id has no session identity and no state bucket — the
+    ingest must fail with a clear contract error, not a driver
+    TypeError from a None bucket id."""
+    rows1 = [(1, 10, "view", "2024-01-01 10:00:00")]
+    rows2 = [(None, 11, "view", "2024-01-01 10:01:00")]
+    src = _two_batches(
+        spark,
+        tmp_path,
+        [(a, b, c, __import__("datetime").datetime.fromisoformat(d))
+         for a, b, c, d in rows1],
+        [(a, b, c, __import__("datetime").datetime.fromisoformat(d))
+         for a, b, c, d in rows2],
+    )
+    q = streaming_events_mart_ingest(
+        _stream(spark, src), str(tmp_path / "mart"), str(tmp_path / "ck")
+    )
+    with pytest.raises(Exception, match="NULL user_id"):
+        q.awaitTermination(120)

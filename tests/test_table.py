@@ -150,3 +150,31 @@ def test_write_snapshot_refuses_silent_schema_drift(spark, tpath):
         write_snapshot(
             spark.range(2).select("id", F.lit(1).alias("w")), tpath
         )
+
+
+def test_read_json_recovers_from_tmp_in_torn_rename_window(spark, tmp_path):
+    """write_json's rename is delete-then-rename (Hadoop FS rename does
+    not overwrite); a crash in that window leaves only <path>.tmp. A
+    reader must recover the .tmp content — for _gc_log.json, losing it
+    would make GC'd epochs misreport 'not committed'."""
+    import json
+
+    from kmeanwithmapreduce_spark.sources.fsutil import read_json, write_json
+
+    p = str(tmp_path / "meta.json")
+    write_json(spark, p, {"epochs": [0, 1]})
+    assert read_json(spark, p) == {"epochs": [0, 1]}
+
+    # simulate the crash window: a NEWER complete .tmp, destination gone
+    with open(p + ".tmp", "w") as f:
+        json.dump({"epochs": [0, 1, 2]}, f)
+    os.remove(p)
+    assert read_json(spark, p) == {"epochs": [0, 1, 2]}
+
+    # destination present again -> it wins (tmp is only a fallback)
+    write_json(spark, p, {"epochs": [0]})
+    assert read_json(spark, p) == {"epochs": [0]}
+
+    # neither file -> absent
+    os.remove(p)
+    assert read_json(spark, p) is None

@@ -81,3 +81,17 @@ def test_c14_plan_full_outer_smj(spark, sf_dir):
     assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_v02_refuses_foreign_base_path(spark, sf_dir, tmp_path):
+    """The v02 rebuild clears base_path each call — it must refuse a
+    dir that holds anything other than its own epoch layout instead of
+    rmtree'ing a shared directory."""
+    import pytest
+
+    base = tmp_path / "shared"
+    base.mkdir()
+    (base / "precious.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to clear"):
+        V.v02_table_time_travel(spark, sf_dir, base_path=str(base))
+    assert (base / "precious.txt").read_text() == "do not delete"
