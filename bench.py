@@ -54,6 +54,22 @@ def main() -> int:
     load_start = tuple(round(v, 2) for v in os.getloadavg())
     t_run0 = time.time()
 
+    # --require-quiet: refuse to produce an artifact from a contended
+    # machine (round-7 lesson: every builder bench that round started at
+    # load >= 2.66, and one warned run was mislabeled "quiet"). The
+    # driver's invocation passes no flags, so its behavior is unchanged;
+    # builders recording round evidence should use this and re-run until
+    # it passes, or consciously override with --force.
+    if "--require-quiet" in sys.argv and "--force" not in sys.argv:
+        if load_start[0] > 2:
+            print(json.dumps({
+                "error": "require_quiet_refused",
+                "load_start": load_start,
+                "hint": "1-min load > 2 — wait for the machine to go "
+                        "quiet and re-run, or pass --force",
+            }))
+            return 3
+
     from kmeanwithmapreduce_spark.session import get_spark
 
     spark = get_spark("bench")

@@ -437,91 +437,23 @@ def prepare_training_corpus(
     canon = clusters.where("is_canonical").select("doc_id")
     kept = _tap(docs.join(canon, "doc_id", "left_semi"), "after_dedup")
 
-    if decontaminate_against is not None:
-        from .cleaning import decontaminate
-
-        contaminated = (
-            decontaminate(kept, decontaminate_against, n=5)
-            .where(F.col("overlap") >= decontamination_threshold)
-            .select("doc_id")
-        )
-        kept = _tap(
-            kept.join(contaminated, "doc_id", "left_anti"),
-            "after_decontamination",
-        )
-
-    good = t02_quality_score(spark, sf_dir).where(
-        F.col("quality_score") >= quality_threshold
-    ).select("doc_id")
-    kept = _tap(kept.join(good, "doc_id", "left_semi"), "after_quality")
-
-    if repetition_thresholds is not None:
-        from .cleaning import repetition_signals
-
-        top_max, dup_max = repetition_thresholds
-        repetitive = (
-            repetition_signals(kept, n=2)
-            .where((F.col("top_frac") >= top_max) | (F.col("dup_frac") >= dup_max))
-            .select("doc_id")
-        )
-        kept = _tap(
-            kept.join(repetitive, "doc_id", "left_anti"), "after_repetition"
-        )
-
-    if lm_reference is not None:
-        from .curation import unigram_logprob
-
-        fluent = (
-            unigram_logprob(kept, lm_reference)
-            .where(F.col("mean_logprob") >= lm_logprob_min)
-            .select("doc_id")
-        )
-        kept = _tap(kept.join(fluent, "doc_id", "left_semi"), "after_lm_filter")
-
-    if mixture_weights is not None:
-        from .curation import domain_mixture_sample
-
-        mixed = domain_mixture_sample(
-            kept, mixture_weights, tokenizer=tokenizer
-        ).select("doc_id")
-        kept = _tap(kept.join(mixed, "doc_id", "left_semi"), "after_mixture")
-
-    if lang_rates:
-        kept = _tap(
-            stratified_sample(kept, "lang", lang_rates, "doc_id", default_rate=1.0),
-            "after_sample",
-        )
-
-    if span_dedup_tokens is not None:
-        from .curation import span_dedup
-
-        rewritten = span_dedup(kept, span=span_dedup_tokens).select(
-            "doc_id", F.col("text_clean").alias("text")
-        )
-        kept = _tap(
-            kept.drop("text")
-            .join(rewritten, "doc_id")
-            .where(F.length("text") > 0)
-            .withColumn("n_chars", F.length("text")),
-            "after_span_dedup",
-        )
-
-    if scrub_pii:
-        from .cleaning import PII_PATTERNS, pii_scrub
-
-        kept = pii_scrub(kept)
-        hit_cols = [f"{name}_hits" for name in PII_PATTERNS]
-        if collect_stats:
-            obs["pii_redactions"] = Observation("corpus_pii_redactions")
-            kept = kept.observe(
-                obs["pii_redactions"],
-                F.coalesce(
-                    F.sum(sum((F.col(c) for c in hit_cols), F.lit(0))), F.lit(0)
-                )
-                .cast("bigint")
-                .alias("n"),
-            )
-        kept = kept.drop(*hit_cols)
+    kept = apply_doc_filters(
+        kept,
+        _tap,
+        quality_scores=t02_quality_score(spark, sf_dir),
+        quality_threshold=quality_threshold,
+        decontaminate_against=decontaminate_against,
+        decontamination_threshold=decontamination_threshold,
+        repetition_thresholds=repetition_thresholds,
+        lm_reference=lm_reference,
+        lm_logprob_min=lm_logprob_min,
+        mixture_weights=mixture_weights,
+        tokenizer=tokenizer,
+        lang_rates=lang_rates,
+        span_dedup_tokens=span_dedup_tokens,
+        scrub_pii=scrub_pii,
+        obs=obs if collect_stats else None,
+    )
 
     try:
         write_training_shards(
@@ -563,6 +495,131 @@ def prepare_training_corpus(
             },
         )
     return stats
+
+
+def apply_doc_filters(
+    kept: DataFrame,
+    tap,
+    *,
+    quality_scores: DataFrame,
+    quality_threshold: float = 0.5,
+    decontaminate_against: DataFrame | None = None,
+    decontamination_threshold: float = 0.3,
+    repetition_thresholds: tuple[float, float] | None = None,
+    lm_reference: DataFrame | None = None,
+    lm_logprob_min: float = -10.0,
+    mixture_weights: dict[str, int] | None = None,
+    tokenizer=None,
+    lang_rates: dict[str, float] | None = None,
+    span_dedup_tokens: int | None = None,
+    scrub_pii: bool = False,
+    obs: dict | None = None,
+) -> DataFrame:
+    """The post-dedup per-document filter chain of the corpus pipeline,
+    extracted so the batch path (prepare_training_corpus) and the
+    incremental path (corpus_incremental.ingest_corpus_wave) share ONE
+    implementation — wave-vs-batch parity of every stage is structural,
+    not duplicated code kept in sync by hand.
+
+    ``tap(df, stage)`` is the caller's funnel-observation hook;
+    ``quality_scores`` is a (doc_id, quality_score) frame (the batch
+    path passes the registry t02 over the full table, the incremental
+    path passes textops.quality_score_frame over the wave — identical
+    per-doc values either way). Every stage here is a pure per-document
+    decision EXCEPT ``mixture_weights`` (corpus-global token shares) —
+    incremental callers must leave it None.
+
+    ``obs`` (the caller's Observation dict) enables the pii-redaction
+    counter; None disables stats for that stage."""
+    from pyspark.sql import Observation
+
+    if decontaminate_against is not None:
+        from .cleaning import decontaminate
+
+        contaminated = (
+            decontaminate(kept, decontaminate_against, n=5)
+            .where(F.col("overlap") >= decontamination_threshold)
+            .select("doc_id")
+        )
+        kept = tap(
+            kept.join(contaminated, "doc_id", "left_anti"),
+            "after_decontamination",
+        )
+
+    good = quality_scores.where(
+        F.col("quality_score") >= quality_threshold
+    ).select("doc_id")
+    kept = tap(kept.join(good, "doc_id", "left_semi"), "after_quality")
+
+    if repetition_thresholds is not None:
+        from .cleaning import repetition_signals
+
+        top_max, dup_max = repetition_thresholds
+        repetitive = (
+            repetition_signals(kept, n=2)
+            .where((F.col("top_frac") >= top_max) | (F.col("dup_frac") >= dup_max))
+            .select("doc_id")
+        )
+        kept = tap(
+            kept.join(repetitive, "doc_id", "left_anti"), "after_repetition"
+        )
+
+    if lm_reference is not None:
+        from .curation import unigram_logprob
+
+        fluent = (
+            unigram_logprob(kept, lm_reference)
+            .where(F.col("mean_logprob") >= lm_logprob_min)
+            .select("doc_id")
+        )
+        kept = tap(kept.join(fluent, "doc_id", "left_semi"), "after_lm_filter")
+
+    if mixture_weights is not None:
+        from .curation import domain_mixture_sample
+
+        mixed = domain_mixture_sample(
+            kept, mixture_weights, tokenizer=tokenizer
+        ).select("doc_id")
+        kept = tap(kept.join(mixed, "doc_id", "left_semi"), "after_mixture")
+
+    if lang_rates:
+        kept = tap(
+            stratified_sample(kept, "lang", lang_rates, "doc_id", default_rate=1.0),
+            "after_sample",
+        )
+
+    if span_dedup_tokens is not None:
+        from .curation import span_dedup
+
+        rewritten = span_dedup(kept, span=span_dedup_tokens).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+        kept = tap(
+            kept.drop("text")
+            .join(rewritten, "doc_id")
+            .where(F.length("text") > 0)
+            .withColumn("n_chars", F.length("text")),
+            "after_span_dedup",
+        )
+
+    if scrub_pii:
+        from .cleaning import PII_PATTERNS, pii_scrub
+
+        kept = pii_scrub(kept)
+        hit_cols = [f"{name}_hits" for name in PII_PATTERNS]
+        if obs is not None:
+            obs["pii_redactions"] = Observation("corpus_pii_redactions")
+            kept = kept.observe(
+                obs["pii_redactions"],
+                F.coalesce(
+                    F.sum(sum((F.col(c) for c in hit_cols), F.lit(0))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n"),
+            )
+        kept = kept.drop(*hit_cols)
+
+    return kept
 
 
 def _write_manifest(

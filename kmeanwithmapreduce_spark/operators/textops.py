@@ -102,7 +102,14 @@ GROUP BY source
 # heuristics; emit score buckets (the filter a data pipeline applies
 # before training).
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return quality_score_frame(load_table(spark, sf_dir, "documents"))
+
+
+def quality_score_frame(d: DataFrame) -> DataFrame:
+    """t02's per-document quality score over ANY (doc_id, text) frame —
+    the frame-level form the incremental corpus ingest shares with the
+    registry entry (scores are per-doc, so computing them on a wave
+    slice equals computing on the full table and filtering)."""
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     uniq_ratio = F.size(F.array_distinct(toks)) * 1.0 / n_tokens
