@@ -153,6 +153,10 @@ def main() -> int:
         # v02 includes three snapshot writes + the time-travel diff
         "t13_bpe_subword_stats",
         "v02_table_time_travel",
+        # round-8 addition (BASELINE §M target): MERGE epochs through the
+        # bucketed upsert table — create + partial-bucket upsert +
+        # rollback + two time-travel reads + SMJ diff
+        "v03_bucketed_upsert_time_travel",
         # m04_png_roundtrip is NOT a bench entry: its cost is the
         # per-item Python PNG encode+decode kernel by construction (the
         # g01/t08/s04 exact-cost exclusion rule); the codec itself is

@@ -48,7 +48,7 @@ from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .profiling import PROFILE_QUERIES
 from .subword import SUBWORD_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
-from .versioning import TIME_TRAVEL_QUERIES, VERSIONING_QUERIES
+from .versioning import TIME_TRAVEL_QUERIES, UPSERT_QUERIES, VERSIONING_QUERIES
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
@@ -81,6 +81,7 @@ EXTRA_QUERIES = {
     **PNG_QUERIES,
     **WAV_QUERIES,
     **AVI_QUERIES,
+    **UPSERT_QUERIES,
 }
 
 __all__ = [

@@ -135,6 +135,42 @@ SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY status
 """
 
 
+def _reset_epoch_dir(spark: SparkSession, base: str, who: str) -> None:
+    """Clear a rebuild dir via the Hadoop FS (remote-URI safe), refusing
+    any dir that holds something other than an epoch-table layout — the
+    rebuild must never destroy a directory it does not own."""
+    from ..sources.fsutil import hadoop
+
+    _jvm, jbase, fs = hadoop(spark, base)
+    if not fs.exists(jbase):
+        return
+    allowed = ("epoch=", "_gc_log.json", "_table_meta.json")
+    foreign = [
+        st.getPath().getName()
+        for st in fs.listStatus(jbase)
+        if not st.getPath().getName().startswith(allowed)
+    ]
+    if foreign:
+        raise ValueError(
+            f"{who}: base_path {base!r} is non-empty and does not look "
+            f"like this entry's epoch layout (unexpected: {foreign[:5]}); "
+            "refusing to clear it. Pass an empty or dedicated directory."
+        )
+    fs.delete(jbase, True)
+
+
+def _entry_base(sf_dir: str, tag: str, base_path: str | None) -> str:
+    import hashlib
+    import tempfile
+
+    return base_path or os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_{}_{}_{}".format(
+            tag, hashlib.md5(sf_dir.encode()).hexdigest()[:8], os.getpid()
+        ),
+    )
+
+
 def v02_table_time_travel(
     spark: SparkSession, sf_dir: str, base_path: str | None = None
 ) -> DataFrame:
@@ -157,36 +193,10 @@ def v02_table_time_travel(
     ``base_path`` that does not look like this entry's own epoch
     layout is refused rather than deleted — the rebuild must never
     destroy a dir that holds anything else."""
-    import hashlib
-    import tempfile
-
-    from ..sources.fsutil import hadoop
     from ..sources.table import read_table, rollback, write_snapshot
 
-    base = base_path or os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_v02_{}_{}".format(
-            hashlib.md5(sf_dir.encode()).hexdigest()[:8], os.getpid()
-        ),
-    )
-    jvm, jbase, fs = hadoop(spark, base)
-    if fs.exists(jbase):
-        foreign = [
-            st.getPath().getName()
-            for st in fs.listStatus(jbase)
-            if not (
-                st.getPath().getName().startswith("epoch=")
-                or st.getPath().getName().startswith("_gc_log.json")
-            )
-        ]
-        if foreign:
-            raise ValueError(
-                f"v02_table_time_travel: base_path {base!r} is non-empty and "
-                f"does not look like this entry's epoch layout (unexpected: "
-                f"{foreign[:5]}); refusing to clear it. Pass an empty or "
-                "dedicated directory."
-            )
-        fs.delete(jbase, True)
+    base = _entry_base(sf_dir, "v02", base_path)
+    _reset_epoch_dir(spark, base, "v02_table_time_travel")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     e0 = write_snapshot(d, base)
     e1 = write_snapshot(_mutate_v2(d), base)
@@ -211,10 +221,60 @@ def v02_table_time_travel(
 V02_SQL = C14_SQL + "\nUNION ALL\nSELECT 'rollback_clean' AS status, CAST(1 AS BIGINT) AS n\n"
 
 
+def v03_bucketed_upsert_time_travel(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> DataFrame:
+    """v02's time-travel diff computed through the BUCKETED upsert table
+    (sources/table.py bucketed section): documents v1 as epoch 0, the
+    c14 mutation applied as a MERGE (upsert changed/added rows + delete
+    removed ids — epoch 1 rewrites only the touched buckets, never the
+    whole table), then a copy-forward rollback to epoch 0 (epoch 2).
+    Output shape and values are identical to v02 — the oracle is the
+    same SQL — so this entry pins that partial-bucket epochs compose to
+    exactly the snapshot semantics."""
+    from ..sources.table import (
+        create_bucketed_table,
+        read_bucketed_table,
+        rollback_bucketed,
+        upsert_table,
+    )
+
+    base = _entry_base(sf_dir, "v03", base_path)
+    _reset_epoch_dir(spark, base, "v03_bucketed_upsert_time_travel")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    v2 = _mutate_v2(d)
+    e0 = create_bucketed_table(d, base, "doc_id", n_buckets=16)
+    # the v1 -> v2 change set as a MERGE: only CHANGED/ADDED rows are
+    # upserted (epoch 1 touches only their buckets); removed ids deleted
+    changed = v2.subtract(d)
+    removed = d.join(v2, "doc_id", "left_anti").select("doc_id")
+    e1 = upsert_table(changed, base, deletes=removed)
+    rollback_bucketed(spark, base, e0)
+
+    t0 = read_bucketed_table(spark, base, as_of=e0)
+    t1 = read_bucketed_table(spark, base, as_of=e1)
+    cur = read_bucketed_table(spark, base)
+    diff = diff_summary(snapshot_diff(t0, t1, "doc_id", ["text", "lang"]))
+    clean = (
+        snapshot_diff(t0, cur, "doc_id", ["text", "lang"])
+        .agg(
+            F.lit("rollback_clean").alias("status"),
+            (F.sum((F.col("status") != "unchanged").cast("int")) == 0)
+            .cast("bigint")
+            .alias("n"),
+        )
+    )
+    return diff.unionByName(clean)
+
+
 VERSIONING_QUERIES = {
     "c14_snapshot_diff": (c14_snapshot_diff, C14_SQL),
 }
 
 TIME_TRAVEL_QUERIES = {
     "v02_table_time_travel": (v02_table_time_travel, V02_SQL),
+}
+
+UPSERT_QUERIES = {
+    "v03_bucketed_upsert_time_travel": (v03_bucketed_upsert_time_travel, V02_SQL),
 }

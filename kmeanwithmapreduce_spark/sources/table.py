@@ -158,3 +158,332 @@ def rollback(spark: SparkSession, table_path: str, epoch: int) -> int:
     """Make ``epoch``'s content current again by appending it as a new
     snapshot (copy-forward). Returns the new epoch id."""
     return write_snapshot(read_table(spark, table_path, as_of=epoch), table_path)
+
+
+# --------------------------------------------------------------------------
+# Bucketed (MERGE/upsert) variant: the full-copy snapshot model above is
+# right for dimension/release tables; FACT tables need per-epoch deltas.
+# This applies the streaming marts' hash-bucket rewrite discipline
+# (streaming/marts.py:84) to the versioned-table layer: rows live in
+# n_buckets hash buckets of the key; an upsert epoch rewrites ONLY the
+# buckets containing changed keys, and a read at any epoch resolves each
+# bucket to its newest rewrite at-or-before that epoch. One changed row
+# costs one bucket rewrite (~1/n_buckets of the table), not a snapshot.
+#
+# Layout:  <path>/_table_meta.json            key, n_buckets, columns
+#          <path>/epoch=N/bucket=B/*.parquet  the buckets N rewrote
+#          <path>/epoch=N/_buckets.json       N's rewritten-bucket list —
+#                                             the atomic COMMIT marker
+#                                             (written last; an epoch
+#                                             without it is invisible
+#                                             and gets redone in place)
+#          <path>/_gc_log.json                {"floor": E, "removed": []}
+#
+# A listed bucket with no dir is a committed EMPTY bucket (partitionBy
+# writes no dir for zero rows — e.g. every row of the bucket deleted);
+# resolution must treat it as empty, not fall through to older content.
+
+_META_FILE = "_table_meta.json"
+_BUCKETS_FILE = "_buckets.json"
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+
+def _table_meta(spark: SparkSession, table_path: str) -> dict:
+    meta = read_json(spark, os.path.join(table_path, _META_FILE))
+    if meta is None or meta.get("format") != "bucketed":
+        raise ValueError(
+            f"{table_path} is not a bucketed table (no {_META_FILE}); "
+            "create it with create_bucketed_table"
+        )
+    return meta
+
+
+def _bucketed_epochs(spark: SparkSession, table_path: str) -> list[int]:
+    """Committed epochs of a BUCKETED table, ascending: an epoch is
+    committed iff its _buckets.json landed (it is written after the
+    parquet data, atomically — the tmp+rename in fsutil)."""
+    jvm, jpath, fs = hadoop(spark, table_path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("epoch=") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), _BUCKETS_FILE)
+        ):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _epoch_listing(spark: SparkSession, table_path: str, epoch: int) -> list[int]:
+    return read_json(
+        spark,
+        os.path.join(table_path, f"epoch={epoch}", _BUCKETS_FILE),
+    )["buckets"]
+
+
+def _resolve_buckets(
+    spark: SparkSession, table_path: str, epochs: list[int]
+) -> dict[int, tuple[int, str | None]]:
+    """bucket -> (epoch of its newest rewrite among ``epochs``, dir path
+    or None when that rewrite was empty). Newest-first walk over the
+    per-epoch listings — driver-side metadata only."""
+    resolved: dict[int, tuple[int, str | None]] = {}
+    for ep in reversed(epochs):
+        ep_dir = os.path.join(table_path, f"epoch={ep}")
+        jvm, _, fs = hadoop(spark, ep_dir)
+        for b in _epoch_listing(spark, table_path, ep):
+            if b in resolved:
+                continue
+            bdir = os.path.join(ep_dir, f"bucket={b}")
+            has_dir = fs.exists(jvm.org.apache.hadoop.fs.Path(bdir))
+            resolved[b] = (ep, bdir if has_dir else None)
+    return resolved
+
+
+def _bucketed_gc_log(spark: SparkSession, table_path: str) -> dict:
+    return read_json(spark, os.path.join(table_path, _GC_LOG)) or {
+        "floor": None,
+        "removed": [],
+    }
+
+
+def _write_epoch(
+    df: DataFrame,
+    table_path: str,
+    epoch: int,
+    meta: dict,
+    buckets: list[int],
+) -> int:
+    """Write one epoch's bucket dirs + the _buckets.json commit marker."""
+    spark = df.sparkSession
+    ep_dir = os.path.join(table_path, f"epoch={epoch}")
+    df.withColumn("bucket", _bucket_expr(meta["key"], meta["n_buckets"])).repartition(
+        max(1, min(len(buckets), spark.sparkContext.defaultParallelism)),
+        "bucket",
+    ).write.partitionBy("bucket").mode("overwrite").parquet(ep_dir)
+    write_json(
+        spark, os.path.join(ep_dir, _BUCKETS_FILE), {"buckets": sorted(buckets)}
+    )
+    return epoch
+
+
+def create_bucketed_table(
+    df: DataFrame, table_path: str, key: str, n_buckets: int = 64
+) -> int:
+    """Create a bucketed upsert table from an initial snapshot; returns
+    epoch 0. ``key`` must be unique per row (the MERGE identity); the
+    initial epoch lists every bucket so reads always resolve."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    spark = df.sparkSession
+    if read_json(spark, os.path.join(table_path, _META_FILE)) is not None:
+        raise ValueError(f"bucketed table already exists at {table_path}")
+    if _committed_epochs(spark, table_path):
+        raise ValueError(
+            f"{table_path} already holds snapshot-table epochs; refusing "
+            "to create a bucketed table over them"
+        )
+    if _bucketed_epochs(spark, table_path) != [] and _bucketed_epochs(
+        spark, table_path
+    ) != [0]:
+        # meta is the create commit: epoch-0-only leftovers are a crashed
+        # create (redo overwrites them); anything more is a foreign table
+        raise ValueError(
+            f"{table_path} holds bucketed epochs but no {_META_FILE}; "
+            "refusing to create over an unknown layout"
+        )
+    _check_keys(df, key)
+    meta = {
+        "format": "bucketed",
+        "key": key,
+        "n_buckets": int(n_buckets),
+        "columns": _shape(df.schema),
+    }
+    _write_epoch(df, table_path, 0, meta, list(range(n_buckets)))
+    # meta lands AFTER epoch 0: a crash in between leaves no meta, so the
+    # table reads as nonexistent and create is cleanly re-runnable
+    write_json(spark, os.path.join(table_path, _META_FILE), meta)
+    return 0
+
+
+def _check_keys(df: DataFrame, key: str) -> None:
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(key).alias("n_keys"),
+        F.sum(F.col(key).isNull().cast("int")).alias("n_null"),
+    ).first()
+    if row.n and row.n_null:
+        raise ValueError(f"{row.n_null} row(s) with NULL {key} — the MERGE key")
+    if row.n and row.n_keys != row.n:
+        raise ValueError(
+            f"duplicate {key} values ({row.n} rows, {row.n_keys} distinct) — "
+            "upsert identity must be unique"
+        )
+
+
+def upsert_table(
+    batch: DataFrame, table_path: str, deletes: DataFrame | None = None
+) -> int:
+    """MERGE ``batch`` into the bucketed table: rows whose key exists are
+    replaced, new keys are inserted, and keys in ``deletes`` (a frame
+    with the key column) are removed. Writes a new epoch containing ONLY
+    the buckets holding changed keys — each rewritten in full (prior
+    bucket content minus changed keys, plus the batch rows). Returns the
+    new epoch id; an empty change set is a no-op returning the current
+    epoch. Schema must match the table exactly (a partial-bucket epoch
+    mixing schemas would corrupt union reads — evolve by rebuilding)."""
+    spark = batch.sparkSession
+    meta = _table_meta(spark, table_path)
+    key, n_buckets = meta["key"], meta["n_buckets"]
+    if _shape(batch.schema) != [tuple(c) for c in meta["columns"]]:
+        raise ValueError(
+            f"upsert_table: schema mismatch at {table_path}: table has "
+            f"{meta['columns']}, batch has {_shape(batch.schema)}"
+        )
+    done = _bucketed_epochs(spark, table_path)
+    if not done:
+        raise ValueError(f"no committed epochs at {table_path}")
+    _check_keys(batch, key)
+
+    from pyspark.sql import functions as F
+
+    batch = batch.persist()
+    try:
+        changed = batch.select(key)
+        if deletes is not None:
+            changed = changed.union(deletes.select(key)).distinct()
+        bucket = _bucket_expr(key, n_buckets)
+        touched = sorted(
+            r[0]
+            for r in changed.select(bucket.alias("b")).distinct().collect()
+        )
+        if not touched:
+            return done[-1]
+        resolved = _resolve_buckets(spark, table_path, done)
+        prior_paths = [
+            resolved[b][1]
+            for b in touched
+            if b in resolved and resolved[b][1] is not None
+        ]
+        schema = ", ".join(f"`{n}` {t}" for n, t in meta["columns"])
+        prior = (
+            spark.read.schema(schema).parquet(*prior_paths)
+            if prior_paths
+            else spark.createDataFrame([], schema)
+        )
+        merged = prior.join(
+            changed.hint("broadcast"), key, "left_anti"
+        ).unionByName(batch)
+        return _write_epoch(merged, table_path, done[-1] + 1, meta, touched)
+    finally:
+        batch.unpersist()
+
+
+def read_bucketed_table(
+    spark: SparkSession, table_path: str, as_of: int | None = None
+) -> DataFrame:
+    """The bucketed table at ``as_of`` (default: latest committed epoch):
+    each bucket resolves to its newest rewrite at-or-before ``as_of``.
+    Reads below the GC floor are refused with the real cause."""
+    meta = _table_meta(spark, table_path)
+    done = _bucketed_epochs(spark, table_path)
+    if not done:
+        raise FileNotFoundError(f"no committed epochs at {table_path}")
+    floor = _bucketed_gc_log(spark, table_path)["floor"]
+    if as_of is None:
+        as_of = done[-1]
+    elif as_of not in done:
+        if floor is not None and as_of < floor:
+            raise ValueError(
+                f"epoch {as_of} at {table_path} was garbage-collected "
+                f"(gc_bucketed_table floor is {floor}); committed epochs: {done}"
+            )
+        raise ValueError(
+            f"epoch {as_of} is not committed at {table_path} (committed: {done})"
+        )
+    if floor is not None and as_of < floor:
+        raise ValueError(
+            f"epoch {as_of} at {table_path} predates the GC floor {floor} "
+            "(gc_bucketed_table removed content its reads depended on)"
+        )
+    resolved = _resolve_buckets(spark, table_path, [e for e in done if e <= as_of])
+    paths = sorted(p for _, p in resolved.values() if p is not None)
+    schema = ", ".join(f"`{n}` {t}" for n, t in meta["columns"])
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def rollback_bucketed(spark: SparkSession, table_path: str, epoch: int) -> int:
+    """Copy-forward rollback for the bucketed table: append a FULL epoch
+    (every bucket listed) whose content is the table at ``epoch`` —
+    history stays intact, exactly like the snapshot table's rollback."""
+    meta = _table_meta(spark, table_path)
+    done = _bucketed_epochs(spark, table_path)
+    content = read_bucketed_table(spark, table_path, as_of=epoch)
+    return _write_epoch(
+        content, table_path, done[-1] + 1, meta, list(range(meta["n_buckets"]))
+    )
+
+
+def gc_bucketed_table(
+    spark: SparkSession, table_path: str, keep: int
+) -> list[str]:
+    """Bound history: keep the last ``keep`` epochs fully time-travelable
+    and delete bucket dirs below that window that are superseded for the
+    window's OLDEST epoch (the floor). Reads at epochs >= floor stay
+    bit-exact — their newest-first resolution finds a surviving rewrite
+    before it could descend to anything deleted; reads below the floor
+    are refused (the floor is recorded log-ahead in ``_gc_log.json``).
+    An old epoch dir is removed entirely only when no bucket of the
+    floor view resolves to it. Returns the deleted paths."""
+    if keep < 1:
+        raise ValueError("gc_bucketed_table: keep must be >= 1")
+    _table_meta(spark, table_path)
+    done = _bucketed_epochs(spark, table_path)
+    if len(done) <= keep:
+        return []
+    floor = done[-keep]
+    log = _bucketed_gc_log(spark, table_path)
+    # LOG-AHEAD: the floor moves before any delete, so a crash mid-GC
+    # can never leave a sub-floor read serving silently partial content
+    log["floor"] = floor if log["floor"] is None else max(log["floor"], floor)
+    write_json(spark, os.path.join(table_path, _GC_LOG), log)
+
+    needed = _resolve_buckets(
+        spark, table_path, [e for e in done if e <= floor]
+    )
+    needed_by_epoch: dict[int, set[int]] = {}
+    for b, (ep, _path) in needed.items():
+        needed_by_epoch.setdefault(ep, set()).add(b)
+    deleted: list[str] = []
+    jvm, _, fs = hadoop(spark, table_path)
+    for ep in done:
+        if ep >= floor:
+            continue
+        keep_buckets = needed_by_epoch.get(ep, set())
+        ep_dir = os.path.join(table_path, f"epoch={ep}")
+        if not keep_buckets:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(ep_dir), True)
+            deleted.append(ep_dir)
+            continue
+        for b in _epoch_listing(spark, table_path, ep):
+            if b in keep_buckets:
+                continue
+            bdir = os.path.join(ep_dir, f"bucket={b}")
+            jb = jvm.org.apache.hadoop.fs.Path(bdir)
+            if fs.exists(jb):
+                fs.delete(jb, True)
+                deleted.append(bdir)
+    if deleted:
+        log["removed"] = sorted(set(log.get("removed", [])) | set(deleted))
+        write_json(spark, os.path.join(table_path, _GC_LOG), log)
+    return deleted

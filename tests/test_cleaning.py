@@ -410,6 +410,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "m04_png_roundtrip",
         "m05_wav_roundtrip",
         "m06_avi_frame_stats",
+        "v03_bucketed_upsert_time_travel",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
