@@ -5,7 +5,13 @@ view over this dict."""
 from .cleaning import CLEANING_QUERIES
 from .dedup import DEDUP_QUERIES
 from .joins_advanced import ADVANCED_JOIN_QUERIES
-from .multimodal import AVI_QUERIES, MULTIMODAL_QUERIES, PNG_QUERIES, WAV_QUERIES
+from .multimodal import (
+    AVI_QUERIES,
+    JPEG_QUERIES,
+    MULTIMODAL_QUERIES,
+    PNG_QUERIES,
+    WAV_QUERIES,
+)
 from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
 from .textops import TEXT_QUERIES
@@ -82,6 +88,7 @@ EXTRA_QUERIES = {
     **WAV_QUERIES,
     **AVI_QUERIES,
     **UPSERT_QUERIES,
+    **JPEG_QUERIES,
 }
 
 __all__ = [

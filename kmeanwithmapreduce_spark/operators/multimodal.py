@@ -1,15 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with decode / feature-extract as Arrow-batched mapInPandas operators.
 
-The decode kernel routes by content: payloads carrying the PNG
-signature decode for REAL through the pure-stdlib codec in
-functions/png.py (zlib inflate + per-filter unfilter incl. Paeth —
-no PIL needed); every other media type (JPEG/audio/video — codecs not
-in this container, SURVEY build notes) stays on the clearly-marked
-deterministic fake behind the same plumbing a real decoder would use:
-schema contract, partition-preserving mapInPandas, Arrow batch shape.
-Swapping ``_fake_decode`` for PIL/ffmpeg is a one-function change;
-everything around it (the scale path) is real and tested.
+The decode kernel routes by content: PNG payloads decode for REAL via
+the pure-stdlib codec in functions/png.py (zlib inflate + per-filter
+unfilter incl. Paeth), and baseline JPEG payloads via functions/jpeg.py
+(huffman + IDCT + YCbCr, no PIL needed) — the two image formats a real
+corpus actually carries. Remaining undecodable variants (progressive
+JPEG, palette/16-bit PNG, compressed audio/video codecs — not in this
+container) stay on the clearly-marked deterministic fake behind the
+same plumbing a real decoder would use: schema contract, partition-
+preserving mapInPandas, Arrow batch shape. Swapping ``_fake_decode``
+for PIL/ffmpeg is a one-function change; everything around it (the
+scale path) is real and tested.
 
 Scale: binary payloads ride the columnar scan; mapInPandas processes
 whole Arrow batches (the fake path is batch-vectorized; PNG decode is
@@ -28,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.avi import decode_avi_rgb, encode_avi_rgb
+from ..functions.jpeg import JPEG_MAGIC, decode_jpeg, encode_jpeg
 from ..functions.png import PNG_MAGIC, decode_png, encode_png
 from ..functions.wav import RIFF_MAGIC, decode_wav, encode_wav
 from ..sources.readers import load_table
@@ -101,24 +104,32 @@ def decode_batch(df: DataFrame) -> DataFrame:
         for pdf in batches:
             pay = pdf["payload"].map(bytes)
             is_png = pay.str.slice(0, 8) == PNG_MAGIC
+            is_jpg = (~is_png) & (pay.str.slice(0, 3) == JPEG_MAGIC)
+            is_real = is_png | is_jpg
             rows = []
-            fallback = []  # PNG magic but a variant decode_png rejects
-            for idx, doc_id, b in zip(
-                pdf.index[is_png], pdf["doc_id"][is_png], pay[is_png]
+            fallback = []  # real-codec magic but a variant we reject
+            for idx, doc_id, b, png in zip(
+                pdf.index[is_real],
+                pdf["doc_id"][is_real],
+                pay[is_real],
+                is_png[is_real],
             ):
                 try:
-                    w, h, c, pix = decode_png(b)
+                    # PNG: lossless stdlib codec. JPEG: baseline huffman
+                    # decoder (functions/jpeg.py); progressive/12-bit
+                    # variants raise and take the fake path below
+                    w, h, c, pix = (decode_png if png else decode_jpeg)(b)
                 except ValueError:
-                    # palette/16-bit/interlaced/truncated: the fake
-                    # path, like every other undecodable media type —
-                    # one bad payload must not fail the whole job
+                    # palette/16-bit/interlaced/progressive/truncated:
+                    # the fake path, like every other undecodable media
+                    # type — one bad payload must not fail the whole job
                     fallback.append(idx)
                     continue
                 # sum exact in int64; /n then /255 matches the SQL
                 # twin's (bytesum / n) / 255.0 op-for-op
                 mean = float(pix.sum(dtype=np.int64)) / pix.size / 255.0
                 rows.append((doc_id, len(b), w, h, c, mean))
-            fake_idx = list(pdf.index[~is_png]) + fallback
+            fake_idx = list(pdf.index[~is_real]) + fallback
             if fake_idx:
                 yield _fake_frame(pdf.loc[fake_idx], pay.loc[fake_idx])
             if rows:
@@ -685,4 +696,115 @@ FROM (
 
 AVI_QUERIES = {
     "m06_avi_frame_stats": (m06_avi_frame_stats, M06_SQL),
+}
+
+
+# --------------------------------------------------------------------------
+# m07 — REAL baseline-JPEG decode (functions/jpeg.py): each document's
+# first 256 utf-8 bytes (zero-padded) become a 16x16 grayscale image,
+# JPEG-encoded at quality 50 + 10*(doc_id % 5) — five quantization
+# scales across the corpus — then decoded through the shared
+# decode_batch kernel. JPEG is LOSSY, so there is no SQL twin that
+# recomputes the mean from the text; but decode is DETERMINISTIC, so
+# the aggregate is frozen as a golden-VALUES oracle per corpus (the k01
+# recipe: generated from engine + hostile vanilla sessions at all sfs,
+# branch keyed on the documents count). tests/test_multimodal.py
+# additionally pins the decoder bit-for-bit (+-1 LSB) against an
+# independent from-first-principles naive decoder.
+def encode_jpeg_batch(df: DataFrame, w: int = 16, h: int = 16) -> DataFrame:
+    """mapInPandas JPEG encoder: payload bytes -> w*h grayscale baseline
+    JPEG (truncate/zero-pad), quality = 50 + 10 * (doc_id % 5)."""
+    import numpy as np
+
+    n = w * h
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)[:n].ljust(n, b"\x00")
+                pix = np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+                rows.append(
+                    (doc_id, encode_jpeg(pix, 50 + 10 * (int(doc_id) % 5)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select("doc_id", "payload").mapInPandas(fn, schema)
+
+
+def m07_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    jpgs = encode_jpeg_batch(with_binary_payload(d))
+    dec = decode_batch(jpgs)
+    return (
+        dec.groupBy(
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("q_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_imgs"),
+            # per-image mean is (exact int64 pixel sum / 256) / 255 in
+            # float64 — deterministic; floor-truncate at 1e-6 BEFORE the
+            # sum so the aggregate is integer-exact
+            F.sum(F.floor(F.col("mean_intensity") * 1000000.0))
+            .cast("bigint")
+            .alias("sum_intensity_t"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+        )
+    )
+
+
+# Golden rows generated by scripts/gen_m07_golden.py (engine session +
+# hostile vanilla America/New_York local[4] session at sf0.001/0.01/0.1
+# — all agree; sf0.001 and sf0.01 share one documents table of 500
+# rows). Regenerate with that script if the payload recipe, quality
+# ladder, or any codec rounding choice changes.
+M07_SQL = """
+WITH fp AS (
+  SELECT count(*) AS c, sum(octet_length(encode(text))) AS nb FROM documents
+)
+SELECT CAST(q_bucket AS INT) AS q_bucket,
+       CAST(n_imgs AS BIGINT) AS n_imgs,
+       CAST(sum_intensity_t AS BIGINT) AS sum_intensity_t,
+       CAST(sum_width AS BIGINT) AS sum_width,
+       CAST(sum_height AS BIGINT) AS sum_height
+FROM (
+  SELECT * FROM (VALUES
+    (0, 100, 31153248, 1600, 1600),
+    (1, 100, 32173614, 1600, 1600),
+    (2, 100, 29990894, 1600, 1600),
+    (3, 100, 31680021, 1600, 1600),
+    (4, 100, 32075376, 1600, 1600)
+  ) v(q_bucket, n_imgs, sum_intensity_t, sum_width, sum_height)
+  WHERE (SELECT c FROM fp) = 500 AND (SELECT nb FROM fp) = 153156
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 100, 31311227, 1600, 1600),
+    (1, 100, 31736405, 1600, 1600),
+    (2, 100, 32097164, 1600, 1600),
+    (3, 100, 31081539, 1600, 1600),
+    (4, 100, 30305018, 1600, 1600)
+  ) v(q_bucket, n_imgs, sum_intensity_t, sum_width, sum_height)
+  WHERE (SELECT c FROM fp) = 500 AND (SELECT nb FROM fp) = 149174
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 1000, 310508287, 16000, 16000),
+    (1, 1000, 310943206, 16000, 16000),
+    (2, 1000, 310672152, 16000, 16000),
+    (3, 1000, 314326221, 16000, 16000),
+    (4, 1000, 305656963, 16000, 16000)
+  ) v(q_bucket, n_imgs, sum_intensity_t, sum_width, sum_height)
+  WHERE (SELECT c FROM fp) = 5000 AND (SELECT nb FROM fp) = 1485576
+)
+"""
+
+
+JPEG_QUERIES = {
+    "m07_jpeg_decode_stats": (m07_jpeg_decode_stats, M07_SQL),
 }

@@ -1,0 +1,301 @@
+"""Baseline JPEG codec (functions/jpeg.py): parity against an
+INDEPENDENT from-first-principles decoder written here (different
+structure everywhere: bit-string parsing, dict walks, per-coefficient
+O(64^2) cosine-sum IDCT), plus PSNR floors, variant rejection, restart
+markers, and the m07 routing through decode_batch."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from kmeanwithmapreduce_spark.functions.jpeg import (
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+# ---------------------------------------------------------------------------
+# Independent naive decoder: parses the same baseline subset with a
+# completely different implementation shape. Used ONLY as a test oracle.
+
+
+def _naive_decode(data: bytes):
+    assert data[:2] == b"\xff\xd8"
+    i = 2
+    qt, ht = {}, {}
+    frame = sos = None
+    dri = 0
+    while i < len(data):
+        assert data[i] == 0xFF
+        m = data[i + 1]
+        i += 2
+        if m == 0xD9:
+            break
+        ln = struct.unpack(">H", data[i : i + 2])[0]
+        seg = data[i + 2 : i + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(seg):
+                qt[seg[p] & 15] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif m == 0xC4:
+            p = 0
+            while p < len(seg):
+                counts = list(seg[p + 1 : p + 17])
+                syms = list(seg[p + 17 : p + 17 + sum(counts)])
+                # code strings like "010": a different lookup structure
+                table, code, k = {}, 0, 0
+                for L in range(1, 17):
+                    for _ in range(counts[L - 1]):
+                        table[format(code, f"0{L}b")] = syms[k]
+                        code += 1
+                        k += 1
+                    code *= 2
+                ht[seg[p]] = table
+                p += 17 + sum(counts)
+        elif m == 0xC0:
+            h, w = struct.unpack(">HH", seg[1:5])
+            comps = [
+                (seg[6 + 3 * j], seg[7 + 3 * j] >> 4, seg[7 + 3 * j] & 15,
+                 seg[8 + 3 * j])
+                for j in range(seg[5])
+            ]
+            frame = (w, h, comps)
+        elif m == 0xDD:
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:
+            sos = {seg[1 + 2 * j]: seg[2 + 2 * j] for j in range(seg[0])}
+            i += ln
+            break
+        i += ln
+    w, h, comps = frame
+    hm = max(c[1] for c in comps)
+    vm = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hm))
+    mcuy = -(-h // (8 * vm))
+
+    # entropy segment -> bit string (un-stuffed, stop at markers)
+    def segment_bits(start):
+        bits, j = [], start
+        while j < len(data):
+            b = data[j]
+            if b == 0xFF:
+                nxt = data[j + 1]
+                if nxt == 0x00:
+                    bits.append(format(0xFF, "08b"))
+                    j += 2
+                    continue
+                break
+            bits.append(format(b, "08b"))
+            j += 1
+        return "".join(bits), j
+
+    bits, j = segment_bits(i)
+    segments = [bits]
+    while j < len(data) and 0xD0 <= data[j + 1] <= 0xD7:
+        bits, j = segment_bits(j + 2)
+        segments.append(bits)
+
+    def huff(table, s, p):
+        for L in range(1, 17):
+            if s[p : p + L] in table:
+                return table[s[p : p + L]], p + L
+        raise AssertionError("bad code")
+
+    def recv_extend(s, p, t):
+        if t == 0:
+            return 0, p
+        v = int(s[p : p + t], 2)
+        if v < 2 ** (t - 1):
+            v -= 2**t - 1
+        return v, p + t
+
+    store = {
+        cid: np.zeros((mcuy * cv * 8, mcux * ch * 8))
+        for cid, ch, cv, _ in comps
+    }
+    seg_idx, s, p = 0, segments[0], 0
+    preds = {cid: 0 for cid, *_ in comps}
+    n_per_seg = dri if dri else mcux * mcuy
+    for m in range(mcux * mcuy):
+        if dri and m and m % n_per_seg == 0:
+            seg_idx += 1
+            s, p = segments[seg_idx], 0
+            preds = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(m, mcux)
+        for cid, ch, cv, tq in comps:
+            for by in range(cv):
+                for bx in range(ch):
+                    t, p = huff(ht[sos[cid] >> 4], s, p)
+                    d, p = recv_extend(s, p, t)
+                    preds[cid] += d
+                    zz = [0] * 64
+                    zz[0] = preds[cid]
+                    k = 1
+                    while k < 64:
+                        rs, p = huff(ht[16 + (sos[cid] & 15)], s, p)
+                        r, t = rs >> 4, rs & 15
+                        if t == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break
+                        k += r
+                        v, p = recv_extend(s, p, t)
+                        zz[k] = v
+                        k += 1
+                    # naive per-coefficient IDCT (O(64^2) cosine sum)
+                    blk = np.zeros((8, 8))
+                    for y in range(8):
+                        for x in range(8):
+                            acc = 0.0
+                            for kk in range(64):
+                                u, v_ = divmod(int(_ZIGZAG[kk]), 8)
+                                cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                                cv_ = 1 / np.sqrt(2) if v_ == 0 else 1.0
+                                acc += (
+                                    0.25 * cu * cv_ * zz[kk] * qt[tq][kk]
+                                    * np.cos((2 * y + 1) * u * np.pi / 16)
+                                    * np.cos((2 * x + 1) * v_ * np.pi / 16)
+                                )
+                            blk[y, x] = acc
+                    out = np.clip(np.floor(blk + 128.0 + 0.5), 0, 255)
+                    r0 = (my * cv + by) * 8
+                    c0 = (mx * ch + bx) * 8
+                    store[cid][r0 : r0 + 8, c0 : c0 + 8] = out
+    planes = []
+    for cid, ch, cv, _ in comps:
+        pl = store[cid]
+        pl = np.repeat(np.repeat(pl, vm // cv, axis=0), hm // ch, axis=1)
+        planes.append(pl[:h, :w])
+    if len(planes) == 1:
+        return w, h, planes[0].astype(np.uint8)
+    y, cb, cr = planes
+    r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+        0,
+        255,
+    )
+    b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+    return w, h, np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _imgs():
+    rng = np.random.default_rng(99)
+    x = np.linspace(0, 255, 40)
+    smooth = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    noisy = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    odd = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    return [smooth, noisy, odd]
+
+
+def test_decoder_matches_independent_naive_decoder_gray():
+    """Main decoder vs the from-first-principles one: equal to within
+    +-1 LSB (float IDCT summation-order ulps can flip a .5 rounding —
+    the cross-decoder tolerance libjpeg documents), >=99% exact."""
+    for img in _imgs():
+        for q in (35, 75, 92):
+            data = encode_jpeg(img, quality=q)
+            w, h, nc, got = decode_jpeg(data)
+            nw, nh, naive = _naive_decode(data)
+            assert (w, h) == (nw, nh) == (img.shape[1], img.shape[0])
+            diff = np.abs(got.astype(int) - naive.astype(int))
+            assert diff.max() <= 1, diff.max()
+            assert (diff == 0).mean() >= 0.99
+
+
+def test_decoder_matches_naive_color_and_subsampling():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (19, 26, 3), dtype=np.uint8)
+    for ss in ("444", "420"):
+        data = encode_jpeg(img, quality=80, subsampling=ss)
+        w, h, nc, got = decode_jpeg(data)
+        nw, nh, naive = _naive_decode(data)
+        assert (w, h, nc) == (26, 19, 3)
+        diff = np.abs(got.astype(int) - naive.astype(int))
+        assert diff.max() <= 1
+        assert (diff == 0).mean() >= 0.99
+
+
+def test_decoder_matches_naive_with_restart_markers():
+    img = _imgs()[0]
+    data = encode_jpeg(img, quality=70, restart_interval=2)
+    assert b"\xff\xd0" in data  # RST0 actually emitted
+    _, _, _, got = decode_jpeg(data)
+    _, _, naive = _naive_decode(data)
+    assert np.abs(got.astype(int) - naive.astype(int)).max() <= 1
+
+
+def test_roundtrip_quality_psnr_floor():
+    """Lossy but sane: smooth images reconstruct above a PSNR floor that
+    rises with quality."""
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    psnrs = []
+    for q in (30, 75, 95):
+        _, _, _, out = decode_jpeg(encode_jpeg(img, quality=q))
+        mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+        psnrs.append(10 * np.log10(255**2 / max(mse, 1e-12)))
+    assert psnrs[0] > 30 and psnrs[2] > 40
+    assert psnrs == sorted(psnrs)
+
+
+def test_decode_is_deterministic():
+    img = np.random.default_rng(1).integers(0, 256, (24, 24), dtype=np.uint8)
+    data = encode_jpeg(img, quality=60)
+    a = decode_jpeg(data)[3]
+    b = decode_jpeg(data)[3]
+    assert np.array_equal(a, b)
+
+
+def test_unsupported_variants_rejected():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = encode_jpeg(img, 75)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg at all")
+    # progressive (SOF2)
+    b1 = bytearray(good)
+    b1[b1.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(b1))
+    # arithmetic coding (SOF9 -> 0xC9)
+    b2 = bytearray(good)
+    b2[b2.find(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg(bytes(b2))
+    # 12-bit precision
+    b3 = bytearray(good)
+    sof = b3.find(b"\xff\xc0")
+    b3[sof + 4] = 12
+    with pytest.raises(ValueError, match="12-bit"):
+        decode_jpeg(bytes(b3))
+    # truncated entropy segment
+    with pytest.raises(ValueError, match="corrupt|truncated"):
+        decode_jpeg(good[:-12])
+
+
+def test_decode_batch_routes_jpeg_real_and_progressive_fake(spark):
+    """m07 plumbing: JPEG payloads decode for real inside the Arrow
+    kernel; a progressive JPEG falls back to the labeled fake path
+    without failing the job."""
+    import kmeanwithmapreduce_spark.operators.multimodal as mm
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    good = encode_jpeg(img, 75)
+    prog = bytearray(good)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    rows = [(1, bytearray(good)), (2, bytearray(bytes(prog)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.decode_batch(df).collect()}
+    pix = decode_jpeg(good)[3]
+    want_mean = float(pix.sum(dtype=np.int64)) / pix.size / 255.0
+    assert (got[1].width, got[1].height, got[1].channels) == (16, 16, 1)
+    assert got[1].mean_intensity == pytest.approx(want_mean, abs=0)
+    # the progressive payload took the deterministic fake path
+    n = len(bytes(prog))
+    assert got[2].width == 16 + n % 64 and got[2].channels == 3
