@@ -1,0 +1,221 @@
+"""Persisted ANN index: train the IVF coarse quantizer + PQ codebooks
+ONCE, save them with the encoded corpus, then serve many searches and
+incremental adds against the SAVED parameters — the FAISS lifecycle
+(train / add / search / persist), which s03/s04's train-per-query
+registry entries deliberately do not model.
+
+Layout under ``index_path``::
+
+    _ann_meta.json    quantizer parameters: coarse centroids, PQ
+                      codebooks, m/k_codes/n_cells/d/by_residual.
+                      JSON floats round-trip exactly (repr shortest
+                      form), so a loaded index reproduces searches
+                      bit-for-bit — pinned in tests.
+    codes/epoch=N/    the encoded corpus (vec_id, cluster, codes):
+                      epoch 0 is the build, each add_batch appends one
+                      epoch (parquet _SUCCESS commit, the repo-wide
+                      epoch discipline). ~ (8 + m) small ints per
+                      vector — at 100 TB of raw embeddings (64-dim
+                      float32 = 256 B/vec) the m=4 index is ~3% of
+                      corpus bytes, and search scans ONLY it.
+
+Contract: quantizers are FROZEN at build time (the FAISS contract —
+adds never retrain). Therefore add_batch(new) == re-encoding the union
+under the same saved parameters, which tests pin exactly; drift from a
+fresh retrain on the grown corpus is a quality question for the
+caller's re-index policy, not a correctness one.
+
+Search goes through pq.search_encoded — the SAME code path the golden-
+pinned s04/s05 entries execute — so loaded-index search equals freshly-
+trained search structurally, not just numerically.
+
+Reference parity: no reference analog (SURVEY §2 Part B extension).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fsutil import read_json, write_json
+from ..streaming.ingest import _committed_epochs
+from .pq import _K_CODES, _M_SUB, pq_encode, search_encoded, train_pq_codebooks
+
+_META = "_ann_meta.json"
+_CODES_SCHEMA = "vec_id bigint, cluster int, codes array<int>"
+
+
+class AnnIndex:
+    """Driver-side handle: quantizer parameters + the codes path."""
+
+    def __init__(
+        self, spark: SparkSession, index_path: str, meta: dict
+    ) -> None:
+        self.spark = spark
+        self.index_path = index_path
+        self.n_cells = meta["n_cells"]
+        self.m = meta["m"]
+        self.k_codes = meta["k_codes"]
+        self.d = meta["d"]
+        self.by_residual = meta["by_residual"]
+        self.centroids = meta["centroids"]
+        self.codebooks = meta["codebooks"]
+
+    # -- persistence -------------------------------------------------
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_path: str) -> "AnnIndex":
+        meta = read_json(spark, os.path.join(index_path, _META))
+        if meta is None:
+            raise FileNotFoundError(f"no ANN index at {index_path}")
+        return cls(spark, index_path, meta)
+
+    def _codes_path(self) -> str:
+        return os.path.join(self.index_path, "codes")
+
+    def codes(self) -> DataFrame:
+        """The encoded corpus: every committed epoch's rows."""
+        done = _committed_epochs(self.spark, self._codes_path())
+        if not done:
+            return self.spark.createDataFrame([], _CODES_SCHEMA)
+        return self.spark.read.schema(_CODES_SCHEMA).parquet(
+            *[
+                os.path.join(self._codes_path(), f"epoch={ep}")
+                for ep in done
+            ]
+        )
+
+    # -- encode / add ------------------------------------------------
+
+    def _encode(self, vectors: DataFrame) -> DataFrame:
+        """(vec_id, embedding) -> (vec_id, cluster, codes) under the
+        SAVED quantizers: coarse assign via the engine's argmin (strict-<
+        lowest-index tie-break), then PQ codes — both as plan literals,
+        zero shuffle."""
+        from ..kmeans import core
+
+        feats = vectors.select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("features")
+        )
+        assigned = core.assign(feats, self.centroids)
+        return pq_encode(
+            assigned,
+            self.codebooks,
+            vec_col="features",
+            residual_centroids=self.centroids if self.by_residual else None,
+        ).select("vec_id", "cluster", "codes")
+
+    def add_batch(self, vectors: DataFrame) -> int:
+        """Encode new vectors against the saved index and append them as
+        the next committed epoch; returns the epoch id. vec_ids must be
+        new (checked); quantizers are NOT retrained (the FAISS add
+        contract — re-index deliberately, not implicitly)."""
+        dup = vectors.select("vec_id").join(
+            self.codes().select("vec_id"), "vec_id", "semi"
+        ).count()
+        if dup:
+            raise ValueError(
+                f"add_batch: {dup} vec_id(s) already in the index at "
+                f"{self.index_path}"
+            )
+        done = _committed_epochs(self.spark, self._codes_path())
+        epoch = (done[-1] + 1) if done else 0
+        self._encode(vectors).write.mode("overwrite").parquet(
+            os.path.join(self._codes_path(), f"epoch={epoch}")
+        )
+        return epoch
+
+    # -- search ------------------------------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        *,
+        n_probe: int = 2,
+        top_k: int = 10,
+    ) -> DataFrame:
+        """Top-k ADC neighbors per query row (query_id|vec_id,
+        embedding). Same code path as the golden-pinned s04/s05 search
+        (pq.search_encoded) over the persisted codes."""
+        idc = "query_id" if "query_id" in queries.columns else "vec_id"
+        qvecs = [
+            (int(r[0]), [float(v) for v in r[1]])
+            for r in queries.select(idc, "embedding").orderBy(idc).collect()
+        ]
+        return search_encoded(
+            self.codes(),
+            self.centroids,
+            self.codebooks,
+            qvecs,
+            n_probe=n_probe,
+            top_k=top_k,
+            by_residual=self.by_residual,
+        )
+
+
+def build_ann_index(
+    vectors: DataFrame,
+    index_path: str,
+    *,
+    n_cells: int = 8,
+    m: int = _M_SUB,
+    k_codes: int = _K_CODES,
+    by_residual: bool = False,
+    sample: int = 2048,
+) -> AnnIndex:
+    """Train coarse + PQ quantizers on ``vectors`` (vec_id, embedding),
+    encode them as codes epoch 0, and persist everything under
+    ``index_path``. The meta write is the commit (last, atomic): a
+    crashed build leaves no loadable index and is cleanly re-runnable."""
+    from ..kmeans import core
+
+    spark = vectors.sparkSession
+    if read_json(spark, os.path.join(index_path, _META)) is not None:
+        raise ValueError(f"ANN index already exists at {index_path}")
+    feats = vectors.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("features")
+    )
+    d = len(feats.select("features").first()[0])
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    # deterministic coarse quantizer: the s03 recipe (injected
+    # lowest-vec_id init, compat-mode Lloyd)
+    init = [
+        [float(v) for v in r["features"]]
+        for r in feats.orderBy("vec_id").limit(n_cells).collect()
+    ]
+    if len(init) < n_cells:
+        raise ValueError(f"{len(init)} vectors < n_cells={n_cells}")
+    res = core.lloyd(
+        feats,
+        core.KMeansParams(k=n_cells, thresh=1e-2, max_loop=4, mode="compat"),
+        init_centroids=init,
+    )
+    centroids = res.centroids
+    books = train_pq_codebooks(
+        spark,
+        "",  # unused: embeddings frame supplied directly
+        m=m,
+        k_codes=k_codes,
+        d=d,
+        sample=sample,
+        residual_centroids=centroids if by_residual else None,
+        embeddings=vectors,
+    )
+    meta = {
+        "n_cells": n_cells,
+        "m": m,
+        "k_codes": k_codes,
+        "d": d,
+        "by_residual": by_residual,
+        "centroids": [[float(v) for v in c] for c in centroids],
+        "codebooks": books,
+    }
+    idx = AnnIndex(spark, index_path, meta)
+    idx._encode(vectors).write.mode("overwrite").parquet(
+        os.path.join(index_path, "codes", "epoch=0")
+    )
+    write_json(spark, os.path.join(index_path, _META), meta)
+    return idx

@@ -64,6 +64,7 @@ def train_pq_codebooks(
     sample: int = 2048,
     iters: int = 8,
     residual_centroids: list[list[float]] | None = None,
+    embeddings: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """m per-subspace codebooks, each k_codes × (d/m), trained by a
     driver-local NumPy Lloyd on a bounded content-hash-ordered sample.
@@ -89,7 +90,12 @@ def train_pq_codebooks(
         raise ValueError(f"d={d} not divisible by m={m}")
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # ``embeddings`` lets the ANN-index layer train on an arbitrary
+    # (vec_id, embedding) frame; default stays the sf_dir table so the
+    # frozen s04/s05 golden oracles are untouched
+    e = embeddings if embeddings is not None else load_table(
+        spark, sf_dir, "embeddings"
+    )
     rows = (
         e.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -247,22 +253,52 @@ def ivfpq_search(
     # expressions it exceeds janino's 64 KB method limit and the whole
     # stage falls back to interpreted eval. Fixed left-to-right Python
     # double sums mirror the unrolled expression exactly.
-    qrows = (
-        cells.where(F.col("vec_id") < _N_QUERIES)
+    qvecs = [
+        (int(r["vec_id"]), [float(v) for v in r["features"]])
+        for r in cells.where(F.col("vec_id") < _N_QUERIES)
         .select("vec_id", "features")
         .orderBy("vec_id")
         .collect()
+    ]
+    return search_encoded(
+        coded,
+        centroids,
+        books,
+        qvecs,
+        n_probe=n_probe,
+        top_k=top_k,
+        by_residual=by_residual,
     )
 
-    def _sqd(q, c, lo, n):
-        out = 0.0
-        for i in range(n):
-            out = out + (float(q[lo + i]) - float(c[i])) ** 2
-        return out
 
+def _sqd(q, c, lo, n):
+    out = 0.0
+    for i in range(n):
+        out = out + (float(q[lo + i]) - float(c[i])) ** 2
+    return out
+
+
+def search_encoded(
+    coded: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    qvecs: list[tuple[int, list[float]]],
+    *,
+    n_probe: int,
+    top_k: int,
+    by_residual: bool,
+) -> DataFrame:
+    """The IVF-PQ query side over an ALREADY-ENCODED corpus frame
+    (vec_id, cluster, codes) — shared verbatim by the train-and-search
+    entries (s04/s05, golden-pinned) and the persisted-index path
+    (operators/ann_index.py), so loaded-index search is structurally
+    identical to freshly-trained search. ``qvecs`` is the driver-side
+    query batch [(query_id, vector)]."""
+    spark = coded.sparkSession
+    m = len(books)
+    dsub = len(books[0][0])
     probe_rows = []
-    for r in qrows:
-        q = [float(v) for v in r["features"]]
+    for qid, q in qvecs:
         d2 = sorted(
             (_sqd(q, c, 0, len(c)), cell) for cell, c in enumerate(centroids)
         )
@@ -275,7 +311,7 @@ def ivfpq_search(
                 [_sqd(qq, c, j * dsub, dsub) for c in books[j]]
                 for j in range(m)
             ]
-            probe_rows.append((int(r["vec_id"]), int(cell), lut))
+            probe_rows.append((int(qid), int(cell), lut))
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int, lut array<array<double>>"
     )

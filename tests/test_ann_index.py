@@ -1,0 +1,130 @@
+"""Persisted ANN index (operators/ann_index.py): save/load exactness,
+incremental add == single-pass encode under frozen quantizers, and the
+lifecycle contracts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeanwithmapreduce_spark.operators.ann_index import AnnIndex, build_ann_index
+from kmeanwithmapreduce_spark.operators.pq import search_encoded
+from kmeanwithmapreduce_spark.sources.readers import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("by_residual", [False, True])
+def test_loaded_index_search_equals_fresh(spark, sf_dir, tmp_path, by_residual):
+    """Persist -> load must reproduce searches BIT-FOR-BIT (JSON float
+    round-trip of centroids/codebooks is exact)."""
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    queries = e.where(F.col("vec_id") < 5)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(corpus, p, n_cells=8, by_residual=by_residual)
+    fresh = _rows(idx.search(queries, n_probe=2, top_k=10))
+    loaded = AnnIndex.load(spark, p)
+    assert loaded.centroids == idx.centroids
+    assert loaded.codebooks == idx.codebooks
+    got = _rows(loaded.search(queries, n_probe=2, top_k=10))
+    assert got == fresh and len(fresh) > 0
+
+
+def test_add_batch_equals_single_pass_encode(spark, sf_dir, tmp_path):
+    """Quantizers are frozen at build: adding a batch must equal
+    encoding the union in one pass under the same saved parameters —
+    codes row-for-row AND search results."""
+    e = _emb(spark, sf_dir)
+    a = e.where((F.col("vec_id") >= 5) & (F.col("vec_id") % 3 != 0))
+    b = e.where((F.col("vec_id") >= 5) & (F.col("vec_id") % 3 == 0))
+    queries = e.where(F.col("vec_id") < 5)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(a, p, n_cells=8)
+    assert idx.add_batch(b) == 1
+
+    union = e.where(F.col("vec_id") >= 5)
+    assert _rows(idx.codes()) == _rows(idx._encode(union))
+    got = _rows(idx.search(queries, n_probe=2, top_k=10))
+    want = _rows(
+        search_encoded(
+            idx._encode(union),
+            idx.centroids,
+            idx.codebooks,
+            [
+                (int(r[0]), [float(v) for v in r[1]])
+                for r in queries.orderBy("vec_id").collect()
+            ],
+            n_probe=2,
+            top_k=10,
+            by_residual=False,
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_add_batch_refuses_duplicate_ids_and_build_refuses_overwrite(
+    spark, sf_dir, tmp_path
+):
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(corpus, p)
+    with pytest.raises(ValueError, match="already in the index"):
+        idx.add_batch(corpus.limit(3))
+    with pytest.raises(ValueError, match="already exists"):
+        build_ann_index(corpus, p)
+
+
+def test_crashed_build_is_invisible_and_rebuildable(spark, sf_dir, tmp_path):
+    """The meta write is the commit: codes without meta = no index."""
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    p = str(tmp_path / "idx")
+    # fake a crashed build: codes epoch 0 present, no _ann_meta.json
+    corpus.limit(2).select(
+        "vec_id", F.lit(0).alias("cluster"), F.array(F.lit(0)).alias("codes")
+    ).write.mode("overwrite").parquet(os.path.join(p, "codes", "epoch=0"))
+    with pytest.raises(FileNotFoundError):
+        AnnIndex.load(spark, p)
+    idx = build_ann_index(corpus, p)  # redo overwrites the garbage
+    assert idx.codes().count() == corpus.count()
+
+
+def test_search_recall_sanity_vs_bruteforce(spark, sf_dir, tmp_path):
+    """Recall@10 floor through the PERSISTED path. The synthetic
+    embeddings are near-uniform (neighbor gaps are tiny — see the s05
+    0.42-recall characterization), so the floor is overlap with the
+    true L2 top-10, not a top-1 hit: measured 0.36 mean at m=8/probe=4
+    on this corpus; 0.2 is the regression floor (and far above the
+    ~0.02 of random top-10 picks from a 495-vector corpus)."""
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    queries = e.where(F.col("vec_id") < 5)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(corpus, p, m=8, by_residual=True)
+    got = idx.search(queries, n_probe=4, top_k=10).collect()
+    topk = {}
+    for r in got:
+        topk.setdefault(r.query_id, set()).add(r.vec_id)
+
+    Q = {int(r[0]): np.array(r[1], dtype=float) for r in queries.collect()}
+    C = {int(r[0]): np.array(r[1], dtype=float) for r in corpus.collect()}
+    cids = np.array(sorted(C))
+    M = np.stack([C[v] for v in cids])
+    recalls = []
+    for qid, qv in Q.items():
+        d2 = ((M - qv) ** 2).sum(axis=1)
+        true10 = set(cids[np.argsort(d2)[:10]].tolist())
+        recalls.append(len(true10 & topk.get(qid, set())) / 10)
+    assert float(np.mean(recalls)) >= 0.2, recalls
