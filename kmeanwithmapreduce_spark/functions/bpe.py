@@ -77,7 +77,31 @@ class BoundedCache(dict):
         super().__setitem__(k, v)
 
 
-def _word_symbols(word: str) -> list[str]:
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's byte->printable-unicode table (Radford et al. 2019,
+    public encoder.py algorithm): every byte 0-255 maps to a single
+    visible character — printable latin bytes to themselves, the rest
+    to U+0100.. — so byte-level merge symbols are ordinary strings and
+    the whole char-mode machinery (merge tables, ranks, caches, JSON
+    persistence) applies unchanged."""
+    bs = list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_TO_UNI = _bytes_to_unicode()
+_UNI_TO_BYTE = {u: b for b, u in _BYTE_TO_UNI.items()}
+
+
+def _word_symbols(word: str, mode: str = "char") -> list[str]:
+    if mode == "byte":
+        return [_BYTE_TO_UNI[b] for b in word.encode("utf-8")] + [_EOW]
     return list(word) + [_EOW]
 
 
@@ -104,6 +128,7 @@ def train_merges(
     word_freqs: Sequence[tuple[str, int]],
     n_merges: int,
     min_count: int = 2,
+    mode: str = "char",
 ) -> list[tuple[str, str]]:
     """Classic BPE merge training over a word-frequency table.
 
@@ -124,7 +149,7 @@ def train_merges(
     import heapq
 
     words: list[tuple[list[str], int]] = [
-        (_word_symbols(w), f) for w, f in word_freqs
+        (_word_symbols(w, mode), f) for w, f in word_freqs
     ]
     pair_counts: Counter = Counter()
     pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
@@ -188,17 +213,29 @@ def train_merges(
 
 class BPETokenizer:
     """Immutable merge table + greedy encoder. Safe to ship to
-    executors by passing ``merges`` (plain list of string pairs) into a
-    UDF closure and rebuilding there."""
+    executors by passing ``merges`` (plain list of string pairs) and
+    ``mode`` into a UDF closure and rebuilding there.
 
-    def __init__(self, merges: Sequence[tuple[str, str]]):
+    ``mode="char"`` (default): base symbols are unicode characters —
+    the t13 golden-oracle model. ``mode="byte"``: base symbols are the
+    GPT-2 byte->unicode alphabet over the word's utf-8 bytes, so the
+    base vocabulary is CLOSED at 256 symbols + EOW and any input —
+    emoji, CJK, mojibake, bytes never seen in training — tokenizes
+    without an unknown symbol and detokenizes back exactly (whitespace-
+    normalized); char mode instead grows its alphabet with every novel
+    character in the corpus."""
+
+    def __init__(self, merges: Sequence[tuple[str, str]], mode: str = "char"):
+        if mode not in ("char", "byte"):
+            raise ValueError(f"mode must be 'char' or 'byte', got {mode!r}")
+        self.mode = mode
         self.merges: list[tuple[str, str]] = [tuple(m) for m in merges]
         self.ranks: dict[tuple[str, str], int] = {
             p: r for r, p in enumerate(self.merges)
         }
 
     def encode_word(self, word: str) -> list[str]:
-        syms = _word_symbols(word)
+        syms = _word_symbols(word, self.mode)
         ranks = self.ranks
         while len(syms) > 1:
             best_rank = None
@@ -241,13 +278,14 @@ class BPETokenizer:
         return len(self.encode(text, cache))
 
     def save(self, path: str) -> None:
-        """Persist the merge table as JSON — the tokenizer IS its merge
-        list, so this is the whole artifact a pipeline ships between
-        the train job and every downstream tokenize job."""
+        """Persist the merge table (+ mode) as JSON — the tokenizer IS
+        its merge list, so this is the whole artifact a pipeline ships
+        between the train job and every downstream tokenize job."""
         import json
 
         with open(path, "w", encoding="utf-8") as fh:
             json.dump({"format": "bpe-merges", "version": 1,
+                       "mode": self.mode,
                        "merges": self.merges}, fh, ensure_ascii=False)
 
     @classmethod
@@ -258,15 +296,28 @@ class BPETokenizer:
             obj = json.load(fh)
         if obj.get("format") != "bpe-merges" or obj.get("version") != 1:
             raise ValueError(f"{path}: not a v1 bpe-merges file")
-        return cls([tuple(m) for m in obj["merges"]])
+        # files written before the byte mode existed carry no "mode"
+        # key: they are char-mode by construction
+        return cls([tuple(m) for m in obj["merges"]], obj.get("mode", "char"))
 
-    @staticmethod
-    def detokenize(tokens: Iterable[str]) -> str:
+    def detokenize(self, tokens: Iterable[str]) -> str:
         """Inverse of encode up to whitespace normalization: word
         boundaries are the end-of-word symbols. A window cut mid-word
         yields the partial word (no trailing space) — the documented
-        chunking semantics."""
-        return "".join(tokens).replace(_EOW, " ").rstrip(" ")
+        chunking semantics. In byte mode, symbols map back through the
+        GPT-2 table to utf-8 bytes and decode (a mid-word cut can land
+        inside a multi-byte codepoint; the partial codepoint decodes
+        with errors='replace')."""
+        text = "".join(tokens)
+        if self.mode == "byte":
+            words = text.split(_EOW)
+            return " ".join(
+                bytes(_UNI_TO_BYTE[ch] for ch in w).decode(
+                    "utf-8", errors="replace"
+                )
+                for w in words
+            ).rstrip(" ")
+        return text.replace(_EOW, " ").rstrip(" ")
 
 
 def train_bpe(
@@ -275,13 +326,20 @@ def train_bpe(
     n_merges: int = 200,
     top_words: int = 20_000,
     min_count: int = 2,
+    mode: str = "char",
 ) -> BPETokenizer:
     """End-to-end training: corpus → capped word table (one Spark agg)
-    → driver merge loop. Deterministic per corpus content."""
+    → driver merge loop. Deterministic per corpus content. ``mode`` picks
+    the base alphabet: "char" (default, the t13 golden model) or "byte"
+    (GPT-2 byte alphabet — closed vocabulary, no-UNK on any input)."""
     return BPETokenizer(
         train_merges(
-            word_frequencies(docs, text_col, top_words), n_merges, min_count
-        )
+            word_frequencies(docs, text_col, top_words),
+            n_merges,
+            min_count,
+            mode,
+        ),
+        mode,
     )
 
 
@@ -293,13 +351,13 @@ def bpe_count_col(
 ) -> DataFrame:
     """Append the BPE token count of ``text_col`` — Arrow-batched
     mapInPandas, merge table in the closure, cross-batch word cache."""
-    merges = tokenizer.merges
+    merges, mode = tokenizer.merges, tokenizer.mode
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, LongType())]
     )
 
     def gen(batches: Iterator) -> Iterator:
-        tok = BPETokenizer(merges)
+        tok = BPETokenizer(merges, mode)
         cache: dict = BoundedCache()
         for pdf in batches:
             pdf[out_col] = [
@@ -318,14 +376,14 @@ def bpe_tokens_col(
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
     """Append the full BPE token array (array<string>) of ``text_col``."""
-    merges = tokenizer.merges
+    merges, mode = tokenizer.merges, tokenizer.mode
     schema = StructType(
         list(df.schema.fields)
         + [StructField(out_col, ArrayType(StringType()))]
     )
 
     def gen(batches: Iterator) -> Iterator:
-        tok = BPETokenizer(merges)
+        tok = BPETokenizer(merges, mode)
         cache: dict = BoundedCache()
         for pdf in batches:
             pdf[out_col] = [

@@ -452,7 +452,7 @@ def _chunk_documents_bpe(
 
     from ..functions.bpe import BoundedCache, BPETokenizer
 
-    merges = tokenizer.merges
+    merges, tmode = tokenizer.merges, tokenizer.mode
     in_fields = {f.name: f for f in docs.schema.fields}
     schema = StructType(
         [in_fields[c] for c in id_cols]
@@ -465,7 +465,7 @@ def _chunk_documents_bpe(
     cols = list(id_cols) + [text_col]
 
     def gen(batches):
-        tok = BPETokenizer(merges)
+        tok = BPETokenizer(merges, tmode)
         cache: dict = BoundedCache()
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in id_cols}
@@ -481,7 +481,7 @@ def _chunk_documents_bpe(
                     for c, v in zip(id_cols, ids):
                         out[c].append(v)
                     out["chunk_idx"].append(k)
-                    out["chunk_text"].append(BPETokenizer.detokenize(win))
+                    out["chunk_text"].append(tok.detokenize(win))
                     out["n_tokens"].append(len(win))
             yield pd.DataFrame(out, columns=list(id_cols) + [
                 "chunk_idx", "chunk_text", "n_tokens"

@@ -17,6 +17,7 @@ Two corpora:
 Usage:
   python scripts/bpe_scale.py [sf_dir] [n_merges ...]
   python scripts/bpe_scale.py --synthetic [n_merges ...]
+  python scripts/bpe_scale.py --synthetic --byte 8192   (byte-level mode)
 """
 
 from __future__ import annotations
@@ -63,7 +64,8 @@ def _synthetic_corpus(spark):
 def main() -> int:
     args = sys.argv[1:]
     synthetic = "--synthetic" in args
-    args = [a for a in args if a != "--synthetic"]
+    mode = "byte" if "--byte" in args else "char"
+    args = [a for a in args if a not in ("--synthetic", "--byte")]
     sf_dir = (
         args[0]
         if args and not args[0].isdigit()
@@ -105,10 +107,10 @@ def main() -> int:
         t_wordtable = time.monotonic() - t0
 
         t0 = time.monotonic()
-        merges = train_merges(wf, n_merges=n_merges, min_count=2)
+        merges = train_merges(wf, n_merges=n_merges, min_count=2, mode=mode)
         t_train = time.monotonic() - t0
 
-        tok = BPETokenizer(merges)
+        tok = BPETokenizer(merges, mode)
         t0 = time.monotonic()
         bpe_count_col(docs, tok).write.format("noop").mode("overwrite").save()
         t_apply_cold = time.monotonic() - t0
@@ -123,6 +125,7 @@ def main() -> int:
             json.dumps(
                 {
                     "corpus": corpus,
+                    "mode": mode,
                     "n_docs": n_docs,
                     "total_chars": int(total_chars),
                     "n_distinct_words": int(n_distinct_words),

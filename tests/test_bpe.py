@@ -72,7 +72,7 @@ def test_encoder_matches_sequential_reference():
 def test_detokenize_roundtrip():
     tok = B.BPETokenizer(B.train_merges([("ab", 4), ("abc", 3)], 6))
     text = "ab abc ab"
-    assert B.BPETokenizer.detokenize(tok.encode(text)) == text
+    assert tok.detokenize(tok.encode(text)) == text
 
 
 @pytest.fixture(scope="module")
@@ -141,7 +141,7 @@ def test_chunk_documents_bpe_total_coverage(spark, docs, trained):
         assert sum(x.n_tokens for x in rows) == len(toks), r.doc_id
         for x in rows:
             win = toks[x.chunk_idx * 32 : x.chunk_idx * 32 + 32]
-            assert x.chunk_text == B.BPETokenizer.detokenize(win)
+            assert x.chunk_text == trained.detokenize(win)
 
 
 def test_chunk_documents_bpe_overlap_counts(spark, docs, trained):
@@ -244,3 +244,107 @@ def test_tokenizer_save_load_roundtrip(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         BPETokenizer.load(str(tmp_path / "bad.json"))
+
+
+# --------------------------------------------------------------------------
+# byte mode (GPT-2 bytes->unicode alphabet) — round 8
+
+
+def test_byte_mode_roundtrip_non_ascii_and_emoji():
+    corpus = [
+        ("héllo wörld 🙂🙂", 5),
+        ("日本語 テスト", 4),
+        ("mixed ascii héllo", 3),
+    ]
+    wf = [(w, c) for text, c in corpus for w in text.split()]
+    tok = B.BPETokenizer(B.train_merges(wf, 64, mode="byte"), "byte")
+    for text, _ in corpus:
+        assert tok.detokenize(tok.encode(text)) == text
+    # inputs NEVER seen in training — including codepoints outside the
+    # training alphabet — still tokenize (no UNK) and round-trip
+    for novel in ("straße", "здравствуй мир", "🚀 launch", "a b"):
+        toks = tok.encode(novel)
+        assert toks
+        assert tok.detokenize(toks) == " ".join(novel.split())
+
+
+def test_byte_mode_vocabulary_is_closed():
+    """Every symbol an encode can ever emit decomposes into the 256-char
+    byte alphabet + EOW — char mode's alphabet instead grows with novel
+    input characters."""
+    wf = [("abc", 9), ("abd", 5)]
+    tok = B.BPETokenizer(B.train_merges(wf, 8, mode="byte"), "byte")
+    alphabet = set(B._BYTE_TO_UNI.values())
+    for novel in ("xyz", "日本", "🙂"):
+        for sym in tok.encode(novel):
+            assert sym == B._EOW or set(sym) <= alphabet, sym
+
+    ctok = B.BPETokenizer(B.train_merges(wf, 8, mode="char"), "char")
+    assert any(
+        set(sym) - alphabet - {B._EOW}
+        for sym in ctok.encode("日本")
+        if sym != B._EOW
+    )
+
+
+def test_byte_mode_encoder_matches_sequential_reference():
+    """The greedy lowest-rank encoder == sequential merge application,
+    in byte mode too (same argument as char mode: a rank-r merge only
+    creates pairs ranked after r)."""
+    wf = [("héllo", 7), ("hellö", 5), ("hello", 4), ("🙂🙂", 3)]
+    merges = B.train_merges(wf, 32, mode="byte")
+    tok = B.BPETokenizer(merges, "byte")
+
+    def seq_encode(word):
+        syms = B._word_symbols(word, "byte")
+        for a, b in merges:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    for w in ("héllo", "hellö", "hello", "🙂🙂", "unseen", "héllö"):
+        assert tok.encode_word(w) == seq_encode(w), w
+
+
+def test_byte_mode_save_load_and_legacy_files(tmp_path):
+    import json
+
+    wf = [("naïve", 6), ("naive", 4)]
+    tok = B.BPETokenizer(B.train_merges(wf, 16, mode="byte"), "byte")
+    p = str(tmp_path / "tok.json")
+    tok.save(p)
+    loaded = B.BPETokenizer.load(p)
+    assert loaded.mode == "byte" and loaded.merges == tok.merges
+    assert loaded.encode("naïve") == tok.encode("naïve")
+
+    # a pre-byte-mode file (no "mode" key) loads as char mode
+    obj = json.load(open(p))
+    del obj["mode"]
+    p2 = str(tmp_path / "legacy.json")
+    json.dump(obj, open(p2, "w"))
+    assert B.BPETokenizer.load(p2).mode == "char"
+
+
+def test_byte_mode_spark_apply_and_chunking(spark):
+    """The mapInPandas apply paths carry the mode into the executor-side
+    rebuild: counts and chunk texts must match driver-side byte-mode
+    encoding."""
+    rows = [(1, "héllo wörld héllo"), (2, "🙂 日本語 テスト 🙂")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    tok = B.train_bpe(docs, n_merges=32, min_count=1, mode="byte")
+    assert tok.mode == "byte"
+    got = {r.doc_id: r.n_tokens for r in B.bpe_count_col(docs, tok).collect()}
+    want = {i: len(tok.encode(t)) for i, t in rows}
+    assert got == want
+    chunks = chunk_documents(docs, seq_len=4, stride=4, tokenizer=tok).collect()
+    for c in chunks:
+        toks = tok.encode(dict(rows)[c.doc_id])
+        win = toks[c.chunk_idx * 4 : c.chunk_idx * 4 + 4]
+        assert c.chunk_text == tok.detokenize(win)
