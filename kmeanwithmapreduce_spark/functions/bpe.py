@@ -50,7 +50,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
-_EOW = "</w>"  # end-of-word symbol (separate symbol, never a char)
+_EOW = "</w>"  # end-of-word symbol, char mode (separate symbol, never a char
+#                 in the SYMBOL LIST — but after detokenize's join it is a
+#                 plain substring, so a literal "</w>" in char-mode input
+#                 text corrupts word boundaries; documented limitation)
+# Byte mode closes this hole for free: its sentinel is a private-use
+# codepoint NO byte maps to (the GPT-2 table tops out at U+0143), so the
+# joined token string can never contain it from data.
+_EOW_BYTE = "\ue000"
 
 # Per-task word→tokens cache cap. At 32k merges the cached value for a
 # word is a handful of short strings; 2^18 entries is tens of MB — a
@@ -101,7 +108,7 @@ _UNI_TO_BYTE = {u: b for b, u in _BYTE_TO_UNI.items()}
 
 def _word_symbols(word: str, mode: str = "char") -> list[str]:
     if mode == "byte":
-        return [_BYTE_TO_UNI[b] for b in word.encode("utf-8")] + [_EOW]
+        return [_BYTE_TO_UNI[b] for b in word.encode("utf-8")] + [_EOW_BYTE]
     return list(word) + [_EOW]
 
 
@@ -310,7 +317,7 @@ class BPETokenizer:
         with errors='replace')."""
         text = "".join(tokens)
         if self.mode == "byte":
-            words = text.split(_EOW)
+            words = text.split(_EOW_BYTE)
             return " ".join(
                 bytes(_UNI_TO_BYTE[ch] for ch in w).decode(
                     "utf-8", errors="replace"

@@ -502,6 +502,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         return _decode_jpeg_inner(data)
     except (struct.error, IndexError):
         raise ValueError("corrupt JPEG: truncated header/marker data") from None
+    except KeyError as e:
+        # undefined quant/huffman table id, or a component outside the
+        # sampling map — a malformed stream, not a crash: decode_batch's
+        # one-bad-payload isolation catches ValueError only
+        raise ValueError(f"corrupt JPEG: undefined table/component {e}") from None
+    except StopIteration:
+        raise ValueError(
+            "corrupt JPEG: SOS names a component id absent from SOF"
+        ) from None
 
 
 def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, np.ndarray]:

@@ -110,8 +110,23 @@ class AnnIndex:
     def add_batch(self, vectors: DataFrame) -> int:
         """Encode new vectors against the saved index and append them as
         the next committed epoch; returns the epoch id. vec_ids must be
-        new (checked); quantizers are NOT retrained (the FAISS add
-        contract — re-index deliberately, not implicitly)."""
+        non-NULL, unique within the batch, and new to the index (all
+        checked — a duplicate silently occupying two top_k slots would
+        displace genuine neighbors in every later search); quantizers
+        are NOT retrained (the FAISS add contract — re-index
+        deliberately, not implicitly)."""
+        row = vectors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("vec_id").alias("n_ids"),
+            F.sum(F.col("vec_id").isNull().cast("int")).alias("n_null"),
+        ).first()
+        if row.n and row.n_null:
+            raise ValueError(f"add_batch: {row.n_null} row(s) with NULL vec_id")
+        if row.n and row.n_ids != row.n:
+            raise ValueError(
+                f"add_batch: duplicate vec_ids within the batch "
+                f"({row.n} rows, {row.n_ids} distinct)"
+            )
         dup = vectors.select("vec_id").join(
             self.codes().select("vec_id"), "vec_id", "semi"
         ).count()

@@ -526,8 +526,10 @@ def apply_doc_filters(
     path passes the registry t02 over the full table, the incremental
     path passes textops.quality_score_frame over the wave — identical
     per-doc values either way). Every stage here is a pure per-document
-    decision EXCEPT ``mixture_weights`` (corpus-global token shares) —
-    incremental callers must leave it None.
+    decision EXCEPT ``mixture_weights`` (corpus-global token shares)
+    and ``span_dedup_tokens`` (span ownership = min doc_id over the
+    WHOLE input frame) — incremental callers must leave both unset and
+    run them globally over the assembled corpus instead.
 
     ``obs`` (the caller's Observation dict) enables the pii-redaction
     counter; None disables stats for that stage."""

@@ -71,7 +71,7 @@ from pyspark.sql import functions as F
 
 from ..sources.fsutil import read_json, write_json
 from .corpus import apply_doc_filters, connected_components, release_components
-from .dedup import lsh_candidate_pairs, minhash_bands
+from .dedup import band_collisions, lsh_candidate_pairs, minhash_bands
 from .textops import quality_score_frame
 
 _MANIFEST = "_corpus_waves.json"
@@ -87,9 +87,26 @@ _CONFIG_KEYS = (
     "repetition_thresholds",
     "scrub_pii",
     "lm_logprob_min",
-    "span_dedup_tokens",
     "n_shards",
+    "decontaminate_fp",
+    "lm_reference_fp",
 )
+
+
+def _frame_fingerprint(df: DataFrame | None) -> list | None:
+    """Cheap content identity of a reference frame: row count + an
+    order-independent decimal sum of per-row xxhash64 over all columns
+    (one small agg; reference corpora are eval-benchmark-sized)."""
+    if df is None:
+        return None
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    return [int(row.n), str(row.h)]
 
 
 def corpus_waves_manifest(spark: SparkSession, corpus_path: str) -> dict:
@@ -163,7 +180,6 @@ def ingest_corpus_wave(
     scrub_pii: bool = False,
     lm_reference: DataFrame | None = None,
     lm_logprob_min: float = -10.0,
-    span_dedup_tokens: int | None = None,
     n_shards: int = 8,
     checkpoint: str = "local",
     enforce_monotone_ids: bool = True,
@@ -176,11 +192,15 @@ def ingest_corpus_wave(
     auto-assigns the next wave.
 
     Parity contract (pinned): with per-doc-deterministic knobs only —
-    note there is deliberately NO ``mixture_weights`` (corpus-global
-    token shares cannot be decided per wave; re-mix globally via the
-    batch pipeline or curation.domain_mixture_sample over read_corpus)
-    — ``read_corpus`` after waves 1..N equals the batch
-    prepare_training_corpus keep-set over the union of the waves.
+    there is deliberately NO ``mixture_weights`` (corpus-global token
+    shares) and NO ``span_dedup_tokens`` (span ownership is the MINIMUM
+    doc_id over the WHOLE corpus, so a per-wave pass would let spans
+    repeated across waves survive); run those globally over
+    ``read_corpus`` output instead — and ``read_corpus`` after waves
+    1..N equals the batch prepare_training_corpus keep-set over the
+    union of the waves. Reference frames (``decontaminate_against``,
+    ``lm_reference``) are content-fingerprinted into the frozen config,
+    so a wave cleaned against a different benchmark is refused.
 
     ``enforce_monotone_ids`` requires each wave's doc_ids to be strictly
     above every previously-ingested id (an O(1) manifest check). That is
@@ -213,8 +233,14 @@ def ingest_corpus_wave(
         else None,
         "scrub_pii": scrub_pii,
         "lm_logprob_min": lm_logprob_min if lm_reference is not None else None,
-        "span_dedup_tokens": span_dedup_tokens,
         "n_shards": n_shards,
+        # reference-corpus content fingerprints: the drift freeze must
+        # cover WHICH eval/reference corpus the waves were cleaned
+        # against, not just the scalar thresholds — a wave decontaminated
+        # against a different benchmark silently breaks the
+        # corpus-is-a-pure-function-of-(docs, config) determinism
+        "decontaminate_fp": _frame_fingerprint(decontaminate_against),
+        "lm_reference_fp": _frame_fingerprint(lm_reference),
     }
     if m["config"] is not None:
         prior_cfg = {k: m["config"].get(k) for k in _CONFIG_KEYS}
@@ -271,19 +297,18 @@ def ingest_corpus_wave(
         remap = _read_remap(spark, corpus_path, prior_waves)
         prior_idx = _read_band_index(spark, corpus_path, prior_waves)
         # cross edges: new doc -> CURRENT canonical of the prior partner
-        # (stored at-ingest cid resolved through the broadcast closure)
+        # (stored at-ingest cid resolved through the broadcast closure);
+        # the collision rule itself is dedup.band_collisions — shared
+        # verbatim with incremental_neardup_pairs
         resolved_idx = prior_idx.join(
             F.broadcast(remap), prior_idx.cid == remap.old_cid, "left"
         ).select(
             "band",
             "key",
-            F.col("doc_id").alias("p_doc"),
             F.coalesce("new_cid", "cid").alias("rep"),
         )
-        cross = (
-            nb.join(resolved_idx, ["band", "key"])
-            .select(F.col("doc_id").alias("u"), F.col("rep").alias("v"))
-            .distinct()
+        cross = band_collisions(nb, resolved_idx).select(
+            F.col("new_doc").alias("u"), F.col("rep").alias("v")
         )
         intra = lsh_candidate_pairs(nb).select(
             F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -326,7 +351,6 @@ def ingest_corpus_wave(
                 lm_reference=lm_reference,
                 lm_logprob_min=lm_logprob_min,
                 lang_rates=lang_rates,
-                span_dedup_tokens=span_dedup_tokens,
                 scrub_pii=scrub_pii,
                 obs=obs,
             )

@@ -309,6 +309,23 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def band_collisions(new_bands: DataFrame, index: DataFrame) -> DataFrame:
+    """THE incremental candidate rule, in one place: distinct rows of
+    (new_doc, <index columns except band/key>) for every (band, key)
+    the new documents' bands share with the stored index. Both
+    incremental_neardup_pairs (partner = doc_id) and the incremental
+    corpus ingest (partner = resolved cluster canonical) are this join
+    — a change to the collision semantics lands once."""
+    a = new_bands.alias("a")
+    b = index.alias("b")
+    keep = [c for c in index.columns if c not in ("band", "key")]
+    return (
+        a.join(b, ["band", "key"])
+        .select(F.col("a.doc_id").alias("new_doc"), *[F.col(f"b.{c}") for c in keep])
+        .distinct()
+    )
+
+
 def incremental_neardup_pairs(
     new_docs: DataFrame, band_index: DataFrame
 ) -> DataFrame:
@@ -331,24 +348,15 @@ def incremental_neardup_pairs(
     partitioned by (band, key-hash); each batch join touches only the
     buckets its keys hash to."""
     nb = minhash_bands(new_docs)
-    a = nb.alias("a")
-    idx = band_index.alias("b")
     cross = (
-        a.join(idx, ["band", "key"])
-        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        band_collisions(nb, band_index)
+        .where(F.col("new_doc") != F.col("doc_id"))
         .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.least(F.col("new_doc"), F.col("doc_id")).alias("doc_a"),
+            F.greatest(F.col("new_doc"), F.col("doc_id")).alias("doc_b"),
         )
     )
-    b2 = nb.alias("b")
-    intra = (
-        a.join(b2, ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
+    intra = lsh_candidate_pairs(nb)
     return cross.union(intra).distinct()
 
 

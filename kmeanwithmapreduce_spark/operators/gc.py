@@ -38,7 +38,6 @@ from ..sources.table import (
     gc_table,
     table_epochs,
 )
-from ..streaming.ingest import _committed_epochs
 from .corpus_incremental import _MANIFEST, corpus_waves_manifest
 
 
@@ -108,7 +107,7 @@ def gc_corpus(
             if got:
                 out[f"{name}:mart_state"] = got
             continue
-        if _committed_epochs(spark, p) and table_epochs(spark, p):
+        if table_epochs(spark, p):
             got = [
                 os.path.join(p, f"epoch={e}")
                 for e in gc_table(spark, p, keep)

@@ -334,10 +334,13 @@ def upsert_table(
 ) -> int:
     """MERGE ``batch`` into the bucketed table: rows whose key exists are
     replaced, new keys are inserted, and keys in ``deletes`` (a frame
-    with the key column) are removed. Writes a new epoch containing ONLY
-    the buckets holding changed keys — each rewritten in full (prior
-    bucket content minus changed keys, plus the batch rows). Returns the
-    new epoch id; an empty change set is a no-op returning the current
+    with the key column) are removed. A key appearing in BOTH loses the
+    delete — the batch row wins (upsert precedence, the SQL MERGE
+    WHEN-MATCHED-THEN-UPDATE ordering); pass disjoint sets if a delete
+    must be unconditional. Writes a new epoch containing ONLY the
+    buckets holding changed keys — each rewritten in full (prior bucket
+    content minus changed keys, plus the batch rows). Returns the new
+    epoch id; an empty change set is a no-op returning the current
     epoch. Schema must match the table exactly (a partial-bucket epoch
     mixing schemas would corrupt union reads — evolve by rebuilding)."""
     spark = batch.sparkSession
@@ -359,6 +362,14 @@ def upsert_table(
     try:
         changed = batch.select(key)
         if deletes is not None:
+            from pyspark.sql import functions as F_
+
+            n_null = deletes.where(F_.col(key).isNull()).count()
+            if n_null:
+                raise ValueError(
+                    f"{n_null} delete row(s) with NULL {key} — a NULL key "
+                    "identifies no row (and would produce a NULL bucket)"
+                )
             changed = changed.union(deletes.select(key)).distinct()
         bucket = _bucket_expr(key, n_buckets)
         touched = sorted(

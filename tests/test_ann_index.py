@@ -128,3 +128,18 @@ def test_search_recall_sanity_vs_bruteforce(spark, sf_dir, tmp_path):
         true10 = set(cids[np.argsort(d2)[:10]].tolist())
         recalls.append(len(true10 & topk.get(qid, set())) / 10)
     assert float(np.mean(recalls)) >= 0.2, recalls
+
+
+def test_add_batch_refuses_null_and_intra_batch_duplicates(spark, sf_dir, tmp_path):
+    e = _emb(spark, sf_dir)
+    corpus = e.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 100))
+    idx = build_ann_index(corpus, str(tmp_path / "idx"))
+    fresh = e.where(F.col("vec_id") >= 100).limit(2)
+    dup_batch = fresh.union(fresh)  # same vec_ids twice
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        idx.add_batch(dup_batch)
+    null_batch = fresh.select(
+        F.lit(None).cast("long").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        idx.add_batch(null_batch)

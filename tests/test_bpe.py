@@ -274,10 +274,10 @@ def test_byte_mode_vocabulary_is_closed():
     input characters."""
     wf = [("abc", 9), ("abd", 5)]
     tok = B.BPETokenizer(B.train_merges(wf, 8, mode="byte"), "byte")
-    alphabet = set(B._BYTE_TO_UNI.values())
+    alphabet = set(B._BYTE_TO_UNI.values()) | {B._EOW_BYTE}
     for novel in ("xyz", "日本", "🙂"):
         for sym in tok.encode(novel):
-            assert sym == B._EOW or set(sym) <= alphabet, sym
+            assert set(sym) <= alphabet, sym
 
     ctok = B.BPETokenizer(B.train_merges(wf, 8, mode="char"), "char")
     assert any(
@@ -348,3 +348,14 @@ def test_byte_mode_spark_apply_and_chunking(spark):
         toks = tok.encode(dict(rows)[c.doc_id])
         win = toks[c.chunk_idx * 4 : c.chunk_idx * 4 + 4]
         assert c.chunk_text == tok.detokenize(win)
+
+
+def test_byte_mode_roundtrips_literal_eow_marker_text():
+    """Byte mode's sentinel is a private-use codepoint no byte maps to,
+    so text containing a literal "</w>" round-trips exactly — the
+    char-mode sentinel collision (documented limitation there) is
+    structurally impossible in byte mode."""
+    wf = [("a</w>b", 3), ("plain", 2)]
+    tok = B.BPETokenizer(B.train_merges(wf, 16, mode="byte"), "byte")
+    for text in ("a</w>b", "x </w> y", "</w></w>"):
+        assert tok.detokenize(tok.encode(text)) == " ".join(text.split())

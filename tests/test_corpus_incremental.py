@@ -223,3 +223,36 @@ def test_no_leaked_persisted_rdds(spark, tmp_path):
     w1 = spark.createDataFrame([_doc(1, TEXT_A), _doc(2, TEXT_D)], DOC_SCHEMA)
     ingest_corpus_wave(spark, w1, corpus, 0)
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_reference_frame_drift_refused(spark, tmp_path):
+    """The config freeze covers WHICH reference corpus waves were
+    cleaned against (content fingerprint), not just the thresholds."""
+    corpus = str(tmp_path / "corpus")
+    evalset1 = spark.createDataFrame(
+        [(900, " ".join(f"e{i}" for i in range(10)))], "doc_id bigint, text string"
+    )
+    evalset2 = spark.createDataFrame(
+        [(900, " ".join(f"f{i}" for i in range(10)))], "doc_id bigint, text string"
+    )
+    ingest_corpus_wave(
+        spark,
+        spark.createDataFrame([_doc(1, TEXT_A)], DOC_SCHEMA),
+        corpus,
+        0,
+        decontaminate_against=evalset1,
+    )
+    with pytest.raises(ValueError, match="config drift"):
+        ingest_corpus_wave(
+            spark,
+            spark.createDataFrame([_doc(10, TEXT_D)], DOC_SCHEMA),
+            corpus,
+            decontaminate_against=evalset2,
+        )
+    # same frame content -> accepted
+    ingest_corpus_wave(
+        spark,
+        spark.createDataFrame([_doc(10, TEXT_D)], DOC_SCHEMA),
+        corpus,
+        decontaminate_against=evalset1,
+    )

@@ -299,3 +299,34 @@ def test_decode_batch_routes_jpeg_real_and_progressive_fake(spark):
     # the progressive payload took the deterministic fake path
     n = len(bytes(prog))
     assert got[2].width == 16 + n % 64 and got[2].channels == 3
+
+
+def test_malformed_tables_raise_valueerror_not_keyerror(spark):
+    """A JPEG whose SOF references an undefined quant table (or whose
+    SOS names an unknown component) must raise ValueError — so
+    decode_batch's one-bad-payload isolation routes it to the fake path
+    instead of the whole Spark job dying on a KeyError."""
+    import kmeanwithmapreduce_spark.operators.multimodal as mm
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = encode_jpeg(img, 75)
+
+    # SOF0 component 1 -> quant table id 3 (never defined)
+    bad_q = bytearray(good)
+    sof = bad_q.find(b"\xff\xc0")
+    bad_q[sof + 2 + 8] = 3  # Tq byte of component 1
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        decode_jpeg(bytes(bad_q))
+
+    # SOS names component id 9, absent from SOF
+    bad_c = bytearray(good)
+    sos = bad_c.find(b"\xff\xda")
+    bad_c[sos + 2 + 3] = 9  # Cs byte
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        decode_jpeg(bytes(bad_c))
+
+    # and through the Spark kernel: both land on the fake path, job lives
+    rows = [(1, bytearray(bytes(bad_q))), (2, bytearray(bytes(bad_c)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.decode_batch(df).collect()}
+    assert got[1].channels == 3 and got[2].channels == 3  # fake-path shape

@@ -206,3 +206,21 @@ def test_contract_violations(spark, tpath):
     # empty change set: no-op returning the current epoch
     assert upsert_table(_mk(spark, []), tpath) == 0
     assert _bucketed_epochs(spark, tpath) == [0]
+
+
+def test_upsert_deletes_contract(spark, tpath):
+    """NULL delete keys are refused loudly; a key in both batch and
+    deletes resolves as the batch row (documented MERGE precedence)."""
+    create_bucketed_table(_mk(spark, [(1, "a"), (2, "b")]), tpath, "k", NB)
+    with pytest.raises(ValueError, match="NULL k"):
+        upsert_table(
+            _mk(spark, []),
+            tpath,
+            deletes=spark.createDataFrame([(None,)], "k bigint"),
+        )
+    upsert_table(
+        _mk(spark, [(2, "B2")]),
+        tpath,
+        deletes=spark.createDataFrame([(2,)], "k bigint"),
+    )
+    assert _rows(read_bucketed_table(spark, tpath)) == [(1, "a"), (2, "B2")]
