@@ -12,7 +12,9 @@
   sweep — cleaning/curation (c01-c14), advanced aggregates (j05),
   IVF-PQ search (s04/s05), sketches (t08-t12), temporal/sequence/graph
   analytics (q31-q43, g01), BM25 (s06), audit/profiling (v01),
-  BPE subword stats (t13), versioned-table time travel (v02).
+  BPE subword stats (t13), versioned-table time travel (v02),
+  real media decode (m04 PNG / m05 WAV / m06 AVI / m07 baseline JPEG),
+  and the bucketed MERGE-upsert table (v03).
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible
   query, plus golden-row VALUES oracles for the deterministic iterative
   pipelines — every registered entry carries one. k02/t06/m03/s03 all use the same recipe: fully
