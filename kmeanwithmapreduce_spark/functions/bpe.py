@@ -290,9 +290,10 @@ class BPETokenizer:
         between the train job and every downstream tokenize job."""
         import json
 
+        eow = _EOW_BYTE if self.mode == "byte" else _EOW
         with open(path, "w", encoding="utf-8") as fh:
             json.dump({"format": "bpe-merges", "version": 1,
-                       "mode": self.mode,
+                       "mode": self.mode, "eow": eow,
                        "merges": self.merges}, fh, ensure_ascii=False)
 
     @classmethod
@@ -305,7 +306,20 @@ class BPETokenizer:
             raise ValueError(f"{path}: not a v1 bpe-merges file")
         # files written before the byte mode existed carry no "mode"
         # key: they are char-mode by construction
-        return cls([tuple(m) for m in obj["merges"]], obj.get("mode", "char"))
+        mode = obj.get("mode", "char")
+        want_eow = _EOW_BYTE if mode == "byte" else _EOW
+        # sentinel check: a byte-mode file saved by a build with a
+        # DIFFERENT end-of-word sentinel would load without error but
+        # its learned EOW merges would silently never fire — detect
+        # instead of reinterpreting (char files may omit the key)
+        got_eow = obj.get("eow", _EOW if mode == "char" else None)
+        if got_eow != want_eow:
+            raise ValueError(
+                f"{path}: saved with end-of-word sentinel {got_eow!r}, "
+                f"this build uses {want_eow!r} for mode={mode!r} — "
+                "retrain/re-save the tokenizer with this build"
+            )
+        return cls([tuple(m) for m in obj["merges"]], mode)
 
     def detokenize(self, tokens: Iterable[str]) -> str:
         """Inverse of encode up to whitespace normalization: word

@@ -502,15 +502,6 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         return _decode_jpeg_inner(data)
     except (struct.error, IndexError):
         raise ValueError("corrupt JPEG: truncated header/marker data") from None
-    except KeyError as e:
-        # undefined quant/huffman table id, or a component outside the
-        # sampling map — a malformed stream, not a crash: decode_batch's
-        # one-bad-payload isolation catches ValueError only
-        raise ValueError(f"corrupt JPEG: undefined table/component {e}") from None
-    except StopIteration:
-        raise ValueError(
-            "corrupt JPEG: SOS names a component id absent from SOF"
-        ) from None
 
 
 def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -586,10 +577,24 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, np.ndarray]:
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
 
-    # per-component coefficient storage
+    # per-component coefficient storage. Validate every table/component
+    # reference AT THE LOOKUP SITE (not via a broad KeyError catch at the
+    # top: that would also reclassify genuine decoder bugs as "corrupt
+    # JPEG" and silently route valid images to decode_batch's fake path)
     comp_info = []
+    scan_map = {c: (d, a) for c, d, a in scan_comps}
     for cid, ch, cv, tq in comps:
-        td, ta = next((d, a) for c, d, a in scan_comps if c == cid)
+        if cid not in scan_map:
+            raise ValueError(
+                f"corrupt JPEG: SOF component {cid} missing from SOS"
+            )
+        td, ta = scan_map[cid]
+        if tq not in qtables:
+            raise ValueError(f"corrupt JPEG: undefined quant table {tq}")
+        if (0x00 | td) not in htables or (0x10 | ta) not in htables:
+            raise ValueError(
+                f"corrupt JPEG: undefined huffman table (dc={td}, ac={ta})"
+            )
         bw, bh = mcux * ch, mcuy * cv  # blocks across / down
         comp_info.append({
             "h": ch, "v": cv,

@@ -115,32 +115,38 @@ class AnnIndex:
         displace genuine neighbors in every later search); quantizers
         are NOT retrained (the FAISS add contract — re-index
         deliberately, not implicitly)."""
-        row = vectors.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("vec_id").alias("n_ids"),
-            F.sum(F.col("vec_id").isNull().cast("int")).alias("n_null"),
-        ).first()
-        if row.n and row.n_null:
-            raise ValueError(f"add_batch: {row.n_null} row(s) with NULL vec_id")
-        if row.n and row.n_ids != row.n:
-            raise ValueError(
-                f"add_batch: duplicate vec_ids within the batch "
-                f"({row.n} rows, {row.n_ids} distinct)"
+        vectors = vectors.persist()  # 3 passes: validate, overlap, encode
+        try:
+            row = vectors.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("vec_id").alias("n_ids"),
+                F.sum(F.col("vec_id").isNull().cast("int")).alias("n_null"),
+            ).first()
+            if row.n and row.n_null:
+                raise ValueError(
+                    f"add_batch: {row.n_null} row(s) with NULL vec_id"
+                )
+            if row.n and row.n_ids != row.n:
+                raise ValueError(
+                    f"add_batch: duplicate vec_ids within the batch "
+                    f"({row.n} rows, {row.n_ids} distinct)"
+                )
+            dup = vectors.select("vec_id").join(
+                self.codes().select("vec_id"), "vec_id", "semi"
+            ).count()
+            if dup:
+                raise ValueError(
+                    f"add_batch: {dup} vec_id(s) already in the index at "
+                    f"{self.index_path}"
+                )
+            done = _committed_epochs(self.spark, self._codes_path())
+            epoch = (done[-1] + 1) if done else 0
+            self._encode(vectors).write.mode("overwrite").parquet(
+                os.path.join(self._codes_path(), f"epoch={epoch}")
             )
-        dup = vectors.select("vec_id").join(
-            self.codes().select("vec_id"), "vec_id", "semi"
-        ).count()
-        if dup:
-            raise ValueError(
-                f"add_batch: {dup} vec_id(s) already in the index at "
-                f"{self.index_path}"
-            )
-        done = _committed_epochs(self.spark, self._codes_path())
-        epoch = (done[-1] + 1) if done else 0
-        self._encode(vectors).write.mode("overwrite").parquet(
-            os.path.join(self._codes_path(), f"epoch={epoch}")
-        )
-        return epoch
+            return epoch
+        finally:
+            vectors.unpersist()
 
     # -- search ------------------------------------------------------
 

@@ -77,6 +77,11 @@ from .textops import quality_score_frame
 _MANIFEST = "_corpus_waves.json"
 _BAND_SCHEMA = "doc_id bigint, band int, key string, cid bigint"
 _REMAP_SCHEMA = "old_cid bigint, new_cid bigint"
+# bumped whenever the frozen-config key set or any wave-visible rule
+# changes; continuing a corpus across versions is refused loudly
+# (version 2: span_dedup_tokens removed from the wave surface,
+# reference-frame fingerprints added to the freeze)
+_FORMAT_VERSION = 2
 
 # knobs frozen at wave 0 — a wave ingested under different rules would
 # silently break the waves==batch determinism story
@@ -225,6 +230,7 @@ def ingest_corpus_wave(
         )
 
     config = {
+        "format_version": _FORMAT_VERSION,
         "quality_threshold": quality_threshold,
         "lang_rates": lang_rates,
         "decontamination_threshold": decontamination_threshold,
@@ -243,6 +249,19 @@ def ingest_corpus_wave(
         "lm_reference_fp": _frame_fingerprint(lm_reference),
     }
     if m["config"] is not None:
+        # version gate BEFORE the key-by-key compare: a manifest written
+        # by a different pipeline version may freeze rules this version
+        # no longer implements (or lack fingerprints this one requires)
+        # — comparing only the keys we know would silently un-freeze
+        # them. Refuse loudly instead of guessing.
+        stored_ver = m["config"].get("format_version")
+        if stored_ver != _FORMAT_VERSION:
+            raise ValueError(
+                f"ingest_corpus_wave: corpus at {corpus_path} was built by "
+                f"pipeline format_version {stored_ver!r}, this build writes "
+                f"{_FORMAT_VERSION}. Continue it with the matching build, "
+                "or rebuild into a fresh corpus_path."
+            )
         prior_cfg = {k: m["config"].get(k) for k in _CONFIG_KEYS}
         this_cfg = {k: config.get(k) for k in _CONFIG_KEYS}
         if prior_cfg != this_cfg:
@@ -307,10 +326,12 @@ def ingest_corpus_wave(
             "key",
             F.coalesce("new_cid", "cid").alias("rep"),
         )
-        cross = band_collisions(nb, resolved_idx).select(
+        # inner distincts skipped: connected_components' symmetrize
+        # applies one distinct over the whole edge set anyway
+        cross = band_collisions(nb, resolved_idx, distinct=False).select(
             F.col("new_doc").alias("u"), F.col("rep").alias("v")
         )
-        intra = lsh_candidate_pairs(nb).select(
+        intra = lsh_candidate_pairs(nb, distinct=False).select(
             F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
         )
         edges = intra.unionByName(cross)

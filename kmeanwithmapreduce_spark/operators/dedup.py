@@ -274,7 +274,7 @@ def minhash_bands(d: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(bands: DataFrame, distinct: bool = True) -> DataFrame:
     """Candidate near-dup pairs from a band index: bucket-restricted
     self-join on (band, key) + distinct — the standard sub-quadratic
     LSH path. A HOT bucket (thousands of byte-identical documents
@@ -291,14 +291,17 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     pair expansion (SCALE.md note)."""
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    out = (
         a.join(b, ["band", "key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    # distinct=False lets a caller that already dedups downstream (a
+    # terminal distinct, or connected_components' symmetrize) skip an
+    # extra exchange+aggregate stage
+    return out.distinct() if distinct else out
 
 
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +312,9 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def band_collisions(new_bands: DataFrame, index: DataFrame) -> DataFrame:
+def band_collisions(
+    new_bands: DataFrame, index: DataFrame, distinct: bool = True
+) -> DataFrame:
     """THE incremental candidate rule, in one place: distinct rows of
     (new_doc, <index columns except band/key>) for every (band, key)
     the new documents' bands share with the stored index. Both
@@ -319,11 +324,10 @@ def band_collisions(new_bands: DataFrame, index: DataFrame) -> DataFrame:
     a = new_bands.alias("a")
     b = index.alias("b")
     keep = [c for c in index.columns if c not in ("band", "key")]
-    return (
-        a.join(b, ["band", "key"])
-        .select(F.col("a.doc_id").alias("new_doc"), *[F.col(f"b.{c}") for c in keep])
-        .distinct()
+    out = a.join(b, ["band", "key"]).select(
+        F.col("a.doc_id").alias("new_doc"), *[F.col(f"b.{c}") for c in keep]
     )
+    return out.distinct() if distinct else out
 
 
 def incremental_neardup_pairs(
@@ -348,15 +352,17 @@ def incremental_neardup_pairs(
     partitioned by (band, key-hash); each batch join touches only the
     buckets its keys hash to."""
     nb = minhash_bands(new_docs)
+    # inner distincts skipped: the terminal distinct below dedups once
+    # (one exchange+aggregate, the pre-refactor plan shape)
     cross = (
-        band_collisions(nb, band_index)
+        band_collisions(nb, band_index, distinct=False)
         .where(F.col("new_doc") != F.col("doc_id"))
         .select(
             F.least(F.col("new_doc"), F.col("doc_id")).alias("doc_a"),
             F.greatest(F.col("new_doc"), F.col("doc_id")).alias("doc_b"),
         )
     )
-    intra = lsh_candidate_pairs(nb)
+    intra = lsh_candidate_pairs(nb, distinct=False)
     return cross.union(intra).distinct()
 
 

@@ -362,9 +362,7 @@ def upsert_table(
     try:
         changed = batch.select(key)
         if deletes is not None:
-            from pyspark.sql import functions as F_
-
-            n_null = deletes.where(F_.col(key).isNull()).count()
+            n_null = deletes.where(F.col(key).isNull()).count()
             if n_null:
                 raise ValueError(
                     f"{n_null} delete row(s) with NULL {key} — a NULL key "

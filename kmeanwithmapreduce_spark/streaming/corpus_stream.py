@@ -33,6 +33,8 @@ _IDENT_FILE = "_stream_ident.json"
 def _check_or_stamp_ident(
     spark: SparkSession, corpus_path: str, checkpoint_path: str
 ) -> None:
+    from ..operators.corpus_incremental import corpus_waves_manifest
+
     ident = {"checkpoint": qualified(spark, checkpoint_path)}
     marker = os.path.join(corpus_path, _IDENT_FILE)
     existing = read_json(spark, marker)
@@ -47,6 +49,18 @@ def _check_or_stamp_ident(
                 "fresh corpus_path."
             )
         return
+    if corpus_waves_manifest(spark, corpus_path)["waves"]:
+        # committed waves but no stream marker: the corpus was built by
+        # manual ingest_corpus_wave calls (or an unknown writer). A new
+        # stream's epoch ids restart at 0 and would be silently
+        # swallowed as committed-wave replays — refuse, don't stamp.
+        raise ValueError(
+            f"streaming_corpus_ingest: corpus {corpus_path!r} already has "
+            "committed waves but no stream identity marker — it was built "
+            "by direct ingest_corpus_wave calls. A new stream's epoch ids "
+            "would collide with the existing wave ids; continue it with "
+            "ingest_corpus_wave, or stream into a fresh corpus_path."
+        )
     write_json(spark, marker, ident)
 
 

@@ -324,12 +324,21 @@ def test_byte_mode_save_load_and_legacy_files(tmp_path):
     assert loaded.mode == "byte" and loaded.merges == tok.merges
     assert loaded.encode("naïve") == tok.encode("naïve")
 
-    # a pre-byte-mode file (no "mode" key) loads as char mode
+    # a pre-byte-mode file (neither "mode" nor "eow" keys) loads as char
     obj = json.load(open(p))
-    del obj["mode"]
+    del obj["mode"], obj["eow"]
     p2 = str(tmp_path / "legacy.json")
     json.dump(obj, open(p2, "w"))
     assert B.BPETokenizer.load(p2).mode == "char"
+
+    # a byte-mode file saved with a DIFFERENT sentinel is refused loudly
+    # (its EOW merges would silently never fire under this build)
+    obj = json.load(open(p))
+    obj["eow"] = "</w>"
+    p3 = str(tmp_path / "stale.json")
+    json.dump(obj, open(p3, "w"))
+    with pytest.raises(ValueError, match="sentinel"):
+        B.BPETokenizer.load(p3)
 
 
 def test_byte_mode_spark_apply_and_chunking(spark):
