@@ -125,6 +125,12 @@ def _wave_dir(corpus_path: str, sub: str, wave: int) -> str:
     return os.path.join(corpus_path, sub, f"wave={wave}")
 
 
+def _columns_ddl(schema) -> str:
+    """The manifest's frozen column rendering — also a valid DDL schema
+    string (read_corpus passes it as the explicit union read schema)."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
 def _read_remap(spark: SparkSession, corpus_path: str, waves: list[int]) -> DataFrame:
     """The current retro-merge closure = the LAST committed wave's full
     snapshot (each wave rewrites the whole, tiny, closure)."""
@@ -159,7 +165,12 @@ def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     live = [w["wave"] for w in m["waves"] if w["n_kept"] > 0]
     if not live:
         return spark.createDataFrame([], m["config"]["columns"])
-    docs = spark.read.parquet(*[_wave_dir(corpus_path, "docs", w) for w in live])
+    # explicit schema: the union must never infer-and-NULL-pad a wave
+    # written under a drifted shape (the ingest refuses drift, but the
+    # read side enforces the frozen columns independently)
+    docs = spark.read.schema(m["config"]["columns"]).parquet(
+        *[_wave_dir(corpus_path, "docs", w) for w in live]
+    )
     retired = _read_remap(spark, corpus_path, waves).select(
         F.col("old_cid").alias("doc_id")
     )
@@ -270,6 +281,20 @@ def ingest_corpus_wave(
                 f"corpus was built with {prior_cfg}, this wave passes "
                 f"{this_cfg}. The corpus is a pure function of (docs, "
                 "config); re-ingest into a fresh corpus_path to change rules."
+            )
+        # SCHEMA freeze (same refuse-loudly contract as the knob freeze):
+        # the wave-allowed filter chain is schema-preserving, so the
+        # incoming docs must match the columns recorded at wave 0 —
+        # otherwise read_corpus's union would serve NULLs for the
+        # drifted wave's rows (silent corruption, not a loud refusal).
+        want = m["config"]["columns"]
+        got = _columns_ddl(new_docs.schema)
+        if got != want:
+            raise ValueError(
+                f"ingest_corpus_wave: wave schema drift at {corpus_path}: "
+                f"corpus columns are ({want}) but this wave has ({got}). "
+                "Waves must carry the exact column set and types frozen "
+                "at wave 0; rebuild into a fresh corpus_path to evolve."
             )
 
     obs: dict[str, Observation] = {}
@@ -407,9 +432,7 @@ def ingest_corpus_wave(
         # chain order; pii_redactions is a sum, not a stage count)
         last_stage = [k for k in obs if k != "pii_redactions"][-1]
         if m["config"] is None:
-            config["columns"] = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in kept.schema.fields
-            )
+            config["columns"] = _columns_ddl(kept.schema)
             m["config"] = config
         m["waves"].append(
             {

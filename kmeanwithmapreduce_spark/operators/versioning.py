@@ -228,8 +228,9 @@ def v03_bucketed_upsert_time_travel(
     (sources/table.py bucketed section): documents v1 as epoch 0, the
     c14 mutation applied as a MERGE (upsert changed/added rows + delete
     removed ids — epoch 1 rewrites only the touched buckets, never the
-    whole table), then a copy-forward rollback to epoch 0 (epoch 2).
-    Output shape and values are identical to v02 — the oracle is the
+    whole table), then a copy-forward rollback to epoch 0 (epoch 2),
+    and THREE time-travel reads (as_of=e0, as_of=e1, current — matching
+    BASELINE §M). Output shape and values are identical to v02 — the oracle is the
     same SQL — so this entry pins that partial-bucket epochs compose to
     exactly the snapshot semantics."""
     from ..sources.table import (

@@ -256,3 +256,61 @@ def test_reference_frame_drift_refused(spark, tmp_path):
         corpus,
         decontaminate_against=evalset1,
     )
+
+
+def test_wave_schema_drift_refused_and_read_schema_explicit(spark, tmp_path):
+    """A wave missing, adding, or retyping a column must be REFUSED
+    before any write (the refuse-loudly config-freeze contract) — a
+    committed drifted wave would make read_corpus's union serve NULLs
+    for its rows. And read_corpus pins the frozen columns as an
+    explicit read schema, independent of the ingest-side guard."""
+    corpus = str(tmp_path / "corpus")
+    ingest_corpus_wave(
+        spark, spark.createDataFrame([_doc(1, TEXT_A)], DOC_SCHEMA), corpus, 0
+    )
+
+    # missing column
+    with pytest.raises(ValueError, match="schema drift"):
+        ingest_corpus_wave(
+            spark,
+            spark.createDataFrame(
+                [(10, TEXT_D, "en", len(TEXT_D))],
+                "doc_id bigint, text string, lang string, n_chars bigint",
+            ),
+            corpus,
+        )
+    # retyped column
+    with pytest.raises(ValueError, match="schema drift"):
+        ingest_corpus_wave(
+            spark,
+            spark.createDataFrame(
+                [(10, TEXT_D, "en", "web", str(len(TEXT_D)))],
+                "doc_id bigint, text string, lang string, source string,"
+                " n_chars string",
+            ),
+            corpus,
+        )
+    # added column
+    with pytest.raises(ValueError, match="schema drift"):
+        ingest_corpus_wave(
+            spark,
+            spark.createDataFrame(
+                [_doc(10, TEXT_D) + ("x",)], DOC_SCHEMA + ", extra string"
+            ),
+            corpus,
+        )
+    # nothing committed by the refused attempts; a conforming wave lands
+    m = corpus_waves_manifest(spark, corpus)
+    assert [w["wave"] for w in m["waves"]] == [0]
+    ingest_corpus_wave(
+        spark, spark.createDataFrame([_doc(10, TEXT_D)], DOC_SCHEMA), corpus
+    )
+    out = read_corpus(spark, corpus)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ]
+    assert {r.doc_id: r.source for r in out.collect()} == {1: "web", 10: "web"}
