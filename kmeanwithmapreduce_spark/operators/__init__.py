@@ -54,7 +54,12 @@ from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .profiling import PROFILE_QUERIES
 from .subword import SUBWORD_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
-from .versioning import TIME_TRAVEL_QUERIES, UPSERT_QUERIES, VERSIONING_QUERIES
+from .versioning import (
+    REBUCKET_QUERIES,
+    TIME_TRAVEL_QUERIES,
+    UPSERT_QUERIES,
+    VERSIONING_QUERIES,
+)
 
 EXTRA_QUERIES = {
     **CLEANING_QUERIES,
@@ -89,6 +94,7 @@ EXTRA_QUERIES = {
     **AVI_QUERIES,
     **UPSERT_QUERIES,
     **JPEG_QUERIES,
+    **REBUCKET_QUERIES,
 }
 
 __all__ = [

@@ -144,7 +144,7 @@ def _reset_epoch_dir(spark: SparkSession, base: str, who: str) -> None:
     _jvm, jbase, fs = hadoop(spark, base)
     if not fs.exists(jbase):
         return
-    allowed = ("epoch=", "_gc_log.json", "_table_meta.json")
+    allowed = ("epoch=", "_gc_log.json", "_table_meta.json", "_claims", "_staged")
     foreign = [
         st.getPath().getName()
         for st in fs.listStatus(jbase)
@@ -268,8 +268,70 @@ def v03_bucketed_upsert_time_travel(
     return diff.unionByName(clean)
 
 
+def v04_rebucket_time_travel(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> DataFrame:
+    """v03 with a REBUCKET boundary in the middle (sources/table.py
+    rebucket_table): documents v1 as epoch 0 (4 buckets), the c14
+    mutation MERGEd as epoch 1, the modulus changed 4 -> 16 as epoch 2
+    (one full epoch recorded in the meta's modulus history), then a
+    copy-forward rollback to epoch 0 under the NEW modulus (epoch 3).
+    Output is v02/v03's diff + rollback_clean plus one extra row,
+    ``rebucket_clean`` — the read at the rebucket epoch must be
+    key-for-key identical to the read just before it (a rebucket moves
+    bytes between buckets, never changes content) — so the oracle is
+    V02_SQL plus one literal row. Pins that time travel stays exact
+    across a modulus boundary and that post-boundary writes compose."""
+    from ..sources.table import (
+        create_bucketed_table,
+        read_bucketed_table,
+        rebucket_table,
+        rollback_bucketed,
+        upsert_table,
+    )
+
+    base = _entry_base(sf_dir, "v04", base_path)
+    _reset_epoch_dir(spark, base, "v04_rebucket_time_travel")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    v2 = _mutate_v2(d)
+    e0 = create_bucketed_table(d, base, "doc_id", n_buckets=4)
+    changed = v2.subtract(d)
+    removed = d.join(v2, "doc_id", "left_anti").select("doc_id")
+    e1 = upsert_table(changed, base, deletes=removed)
+    e2 = rebucket_table(spark, base, 16)
+    rollback_bucketed(spark, base, e0)
+
+    t0 = read_bucketed_table(spark, base, as_of=e0)
+    t1 = read_bucketed_table(spark, base, as_of=e1)
+    t2 = read_bucketed_table(spark, base, as_of=e2)
+    cur = read_bucketed_table(spark, base)
+    diff = diff_summary(snapshot_diff(t0, t1, "doc_id", ["text", "lang"]))
+
+    def _clean(label, old, new):
+        return snapshot_diff(old, new, "doc_id", ["text", "lang"]).agg(
+            F.lit(label).alias("status"),
+            (F.sum((F.col("status") != "unchanged").cast("int")) == 0)
+            .cast("bigint")
+            .alias("n"),
+        )
+
+    return diff.unionByName(_clean("rollback_clean", t0, cur)).unionByName(
+        _clean("rebucket_clean", t1, t2)
+    )
+
+
+V04_SQL = (
+    V02_SQL
+    + "UNION ALL\nSELECT 'rebucket_clean' AS status, CAST(1 AS BIGINT) AS n\n"
+)
+
+
 VERSIONING_QUERIES = {
     "c14_snapshot_diff": (c14_snapshot_diff, C14_SQL),
+}
+
+REBUCKET_QUERIES = {
+    "v04_rebucket_time_travel": (v04_rebucket_time_travel, V04_SQL),
 }
 
 TIME_TRAVEL_QUERIES = {

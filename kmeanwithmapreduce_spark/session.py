@@ -16,9 +16,65 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# applications whose executors already received the package zip —
+# addPyFile is sticky for the app's lifetime, so once is enough
+_SHIPPED_APPS: set[str] = set()
+
 
 def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package's source to executors as a zip (addPyFile).
+
+    mapInPandas / pandas-UDF closures reference package modules BY NAME
+    (pickle serializes functions by module path), so executor Python
+    workers must be able to ``import kmeanwithmapreduce_spark.*`` at
+    task time. Nothing guarantees that: a driver launched from any cwd
+    other than the repo root (``python /root/repo/bench.py`` from /tmp)
+    puts the repo on the DRIVER's sys.path only, and every Python-kernel
+    operator (BPE apply, codec decode, ANN LUT kernel) dies on executors
+    with ModuleNotFoundError. On a real cluster the same applies to every
+    executor host. ``sc.addPyFile`` distributes the zip and prepends it
+    to each worker's sys.path — the standard PySpark packaging answer.
+
+    Idempotent per application id (re-ships after an app restart, so a
+    changed source tree wins). Degrades with a loud warning instead of
+    raising: a failure here only loses the cwd-independence hardening,
+    not the session."""
+    try:
+        sc = spark.sparkContext
+        app = sc.applicationId
+        if app in _SHIPPED_APPS:
+            return
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        zpath = os.path.join(
+            tempfile.gettempdir(),
+            f"{os.path.basename(pkg_dir)}_pyfiles_{app}.zip",
+        )
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for d, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in d:
+                    continue
+                for fn in sorted(files):
+                    if fn.endswith(".py"):
+                        full = os.path.join(d, fn)
+                        zf.write(full, os.path.relpath(full, root))
+        sc.addPyFile(zpath)
+        _SHIPPED_APPS.add(app)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        import warnings
+
+        warnings.warn(
+            f"ship_package: could not ship the package zip to executors "
+            f"({exc!r}); Python-kernel operators require the driver cwd "
+            "to be the repo root until this is resolved"
+        )
 
 
 def get_spark(
@@ -78,4 +134,6 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

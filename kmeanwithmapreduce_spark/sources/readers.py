@@ -38,10 +38,15 @@ def ensure_session_conf(spark: SparkSession) -> None:
     - UTC session timezone: timestamp outputs must match a UTC-naive
       DuckDB oracle regardless of the host timezone.
 
-    Both are runtime-settable; idempotent.
+    Both are runtime-settable; idempotent. Also ships the package source
+    to executors (session.ship_package) so Python-kernel operators work
+    under an externally-built session whatever the driver's cwd.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ..session import ship_package
+
+    ship_package(spark)
 
 
 def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -3,15 +3,35 @@ copy-forward rollback — the streaming SCD2 ``_SUCCESS``-epoch commit
 discipline (streaming/ingest.py) generalized into a reusable
 table-format layer.
 
-Commit protocol (no pointer, no crash window):
+Commit protocol (no pointer, no crash window, optimistic concurrency):
 
-- ``write_snapshot`` writes the full snapshot to ``epoch=N/`` where N =
-  highest COMMITTED epoch + 1; parquet's own ``_SUCCESS`` marker is the
-  commit. A writer that died mid-write left no ``_SUCCESS``, so the
-  next writer picks the same N and its overwrite redoes the epoch
-  cleanly. There is deliberately NO "promote current" pointer step — a
-  pointer swap adds a crash window between marking the epoch done and
-  swapping (the streaming_scd2_ingest rationale).
+- ``write_snapshot`` stages the full snapshot under ``_staged/<uuid>/``
+  (a writer-unique dir — concurrent writers can never clobber each
+  other's data files), then COMMITS it as ``epoch=N/`` where N =
+  highest COMMITTED epoch + 1 via a two-step: (1) atomically create the
+  claim marker ``_claims/epoch=N.json`` (``fs.create(overwrite=false)``
+  — put-if-absent on a real FS; the Delta/Iceberg commit-conflict
+  model), (2) rename the staged dir to ``epoch=N``. Parquet's own
+  ``_SUCCESS`` (inside the renamed dir) is the read-visibility marker.
+  Two concurrent writers racing for the same N: exactly one wins the
+  claim; the loser raises ``ConcurrentWriteError`` naming the winner
+  instead of silently overwriting its epoch (the round-8 verdict's
+  lost-update class). Claims are kept forever (tiny JSON, one per
+  epoch), so a loser can never re-claim an epoch whose winner already
+  finished.
+- Crash windows, all recoverable: died before claiming -> an orphan
+  ``_staged`` dir, invisible to everything (re-run commits normally);
+  died between claim and rename -> the claim names a FULLY-staged dir
+  (staging strictly precedes claiming), so the next writer's entry
+  recovery rolls the rename forward deterministically and then commits
+  its own epoch on top. There is deliberately NO "promote current"
+  pointer step — a pointer swap adds a crash window between marking
+  the epoch done and swapping (the streaming_scd2_ingest rationale).
+- Atomicity caveat (documented, inherent): ``fs.create(overwrite=
+  false)`` is put-if-absent on HDFS/ABFS/GCS; on a raw local FS and on
+  S3 without a consistency layer it is check-then-create, leaving a
+  theoretical sub-ms TOCTOU window — the same boundary Delta documents
+  for non-atomic stores.
 - ``read_table`` resolves to the highest committed epoch (or an
   explicit ``as_of`` epoch) at PLAN time and reads exactly that
   subdirectory — a concurrent append never shifts a running query.
@@ -41,6 +61,135 @@ from ..streaming.ingest import _committed_epochs
 from .fsutil import hadoop, read_json, write_json
 
 _GC_LOG = "_gc_log.json"
+_CLAIMS_DIR = "_claims"
+_STAGING_DIR = "_staged"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed (or already committed) the epoch this
+    write raced for. The losing write left no visible state — re-run it
+    against the updated table."""
+
+
+def _writer_label(writer: str | None) -> str:
+    if writer is not None:
+        return writer
+    import socket
+
+    return f"{socket.gethostname()}:{os.getpid()}"
+
+
+def _claim_file(table_path: str, epoch: int) -> str:
+    return os.path.join(table_path, _CLAIMS_DIR, f"epoch={epoch}.json")
+
+
+def _try_claim(spark: SparkSession, table_path: str, epoch: int, payload: dict) -> dict | None:
+    """Atomically create the epoch's claim marker; returns None when this
+    writer won, or the existing claim (possibly {} if torn/unreadable)
+    when the epoch was already claimed. The claim is written DIRECTLY
+    with overwrite=false — a tmp+rename here would break the
+    put-if-absent atomicity that makes it a claim."""
+    import json as _json
+
+    jvm, _, fs = hadoop(spark, table_path)
+    p = jvm.org.apache.hadoop.fs.Path(_claim_file(table_path, epoch))
+    try:
+        stream = fs.create(p, False)
+    except Exception:
+        if fs.exists(p):  # lost the race: surface the winner
+            return read_json(spark, _claim_file(table_path, epoch)) or {}
+        raise  # a real FS failure, not a claim conflict
+    stream.write(_json.dumps(payload).encode("utf-8"))
+    stream.close()
+    return None
+
+
+def _staged_dir(table_path: str, token: str) -> str:
+    return os.path.join(table_path, _STAGING_DIR, token)
+
+
+def _recover_commits(
+    spark: SparkSession, table_path: str, committed: list[int], marker: str
+) -> list[int]:
+    """Roll FORWARD dead writers' claimed-but-unrenamed commits: a claim
+    whose epoch is not committed names a staged dir that was complete
+    BEFORE the claim was created (the protocol stages first), so
+    finishing the rename is always safe and deterministic. Claims with
+    no surviving staged dir are skipped (a GC'd epoch, or a live writer
+    mid-rename — both resolve without us). Returns the epochs
+    completed. Called at the top of every WRITE path; read paths stay
+    mutation-free (an unrecovered dead commit is simply invisible)."""
+    jvm, _, fs = hadoop(spark, table_path)
+    jclaims = jvm.org.apache.hadoop.fs.Path(os.path.join(table_path, _CLAIMS_DIR))
+    if not fs.exists(jclaims):
+        return []
+    done = set(committed)
+    completed: list[int] = []
+    for st in fs.listStatus(jclaims):
+        name = st.getPath().getName()
+        if not (name.startswith("epoch=") and name.endswith(".json")):
+            continue
+        ep = int(name[len("epoch=") : -len(".json")])
+        if ep in done:
+            continue
+        claim = read_json(spark, _claim_file(table_path, ep)) or {}
+        token = claim.get("staged")
+        if not token:
+            continue
+        jst = jvm.org.apache.hadoop.fs.Path(_staged_dir(table_path, token))
+        if not fs.exists(jst):
+            continue  # GC'd epoch / already renamed by its owner
+        ep_dir = os.path.join(table_path, f"epoch={ep}")
+        jep = jvm.org.apache.hadoop.fs.Path(ep_dir)
+        jmark = jvm.org.apache.hadoop.fs.Path(os.path.join(ep_dir, marker))
+        # a leftover target dir is deletable only while UNCOMMITTED —
+        # if the marker appeared, the owner just finished; stand down
+        if fs.exists(jep) and not fs.exists(jmark):
+            fs.delete(jep, True)
+        if fs.exists(jep):
+            continue
+        if fs.rename(jst, jep):
+            completed.append(ep)
+    return sorted(completed)
+
+
+def _commit_staged(
+    spark: SparkSession,
+    table_path: str,
+    epoch: int,
+    token: str,
+    marker: str,
+    writer: str | None,
+) -> None:
+    """Claim ``epoch`` and rename the fully-staged dir in. Raises
+    ConcurrentWriteError (no visible state left behind) when another
+    writer holds or already committed the epoch."""
+    other = _try_claim(
+        spark, table_path, epoch, {"writer": _writer_label(writer), "staged": token}
+    )
+    if other is not None:
+        raise ConcurrentWriteError(
+            f"epoch {epoch} at {table_path} was claimed by writer "
+            f"{other.get('writer', 'unknown')!r} while this write was "
+            "staged — the table advanced concurrently. Re-run this write "
+            "against the updated table (this attempt committed nothing)."
+        )
+    jvm, _, fs = hadoop(spark, table_path)
+    ep_dir = os.path.join(table_path, f"epoch={epoch}")
+    jep = jvm.org.apache.hadoop.fs.Path(ep_dir)
+    jmark = jvm.org.apache.hadoop.fs.Path(os.path.join(ep_dir, marker))
+    # leftover uncommitted target (a legacy pre-claim writer that died
+    # mid-write): we hold the claim, so deleting it cannot race a commit
+    if fs.exists(jep) and not fs.exists(jmark):
+        fs.delete(jep, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(_staged_dir(table_path, token)), jep):
+        # a concurrent _recover_commits may have finished our rename for
+        # us (it saw our claim); that counts as success
+        if not fs.exists(jmark):
+            raise IOError(
+                f"commit rename of staged epoch {epoch} at {table_path} "
+                "failed and the epoch is not committed"
+            )
 
 
 def table_epochs(spark: SparkSession, table_path: str) -> list[int]:
@@ -59,18 +208,29 @@ def _shape(schema) -> list[tuple[str, str]]:
 
 
 def write_snapshot(
-    df: DataFrame, table_path: str, allow_schema_change: bool = False
+    df: DataFrame,
+    table_path: str,
+    allow_schema_change: bool = False,
+    writer: str | None = None,
 ) -> int:
     """Append ``df`` as the next committed snapshot; returns its epoch.
-    Mode is overwrite WITHIN the chosen epoch dir (replay/crash-redo
-    semantics), never across epochs.
+    Stage-then-claim-then-rename (module docstring): concurrent writers
+    racing for the same epoch resolve to exactly one winner, the loser
+    raising ConcurrentWriteError with nothing visible left behind.
+    ``writer`` is a diagnostic label carried in the claim (defaults to
+    host:pid) — it is what the LOSING side sees in its error.
 
     Refuses silent schema drift: the snapshot's (column, type) list
     must equal the latest committed epoch's, unless the caller states
     the evolution explicitly with ``allow_schema_change=True`` (older
     epochs keep their own schema — time-travel reads return what was
     committed, not a unified view)."""
+    import uuid
+
     spark = df.sparkSession
+    _recover_commits(
+        spark, table_path, _committed_epochs(spark, table_path), "_SUCCESS"
+    )
     done = _committed_epochs(spark, table_path)
     epoch = (done[-1] + 1) if done else 0
     if done and not allow_schema_change:
@@ -84,9 +244,9 @@ def write_snapshot(
                 f"{_shape(df.schema)}. Pass allow_schema_change=True to "
                 "evolve the table explicitly."
             )
-    df.write.mode("overwrite").parquet(
-        os.path.join(table_path, f"epoch={epoch}")
-    )
+    token = uuid.uuid4().hex
+    df.write.mode("overwrite").parquet(_staged_dir(table_path, token))
+    _commit_staged(spark, table_path, epoch, token, "_SUCCESS", writer)
     return epoch
 
 
@@ -151,6 +311,11 @@ def gc_table(spark: SparkSession, table_path: str, keep: int) -> list[int]:
             ),
             True,
         )
+        # tidy the epoch's claim marker (recovery skips claims whose
+        # staged dir is gone, so a leftover is harmless — just noise)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(_claim_file(table_path, ep)), False
+        )
     return victims
 
 
@@ -200,6 +365,12 @@ def _table_meta(spark: SparkSession, table_path: str) -> dict:
             f"{table_path} is not a bucketed table (no {_META_FILE}); "
             "create it with create_bucketed_table"
         )
+    # modulus history (round 9, rebucket_table): [{"epoch": E,
+    # "n_buckets": K}] ascending — epoch E and everything after it (up
+    # to the next entry) is bucketed mod K, and E itself is a FULL
+    # epoch. Pre-rebucket tables lack the key: their whole history is
+    # one era anchored at the create epoch.
+    meta.setdefault("history", [{"epoch": 0, "n_buckets": meta["n_buckets"]}])
     return meta
 
 
@@ -227,12 +398,27 @@ def _epoch_listing(spark: SparkSession, table_path: str, epoch: int) -> list[int
     )["buckets"]
 
 
+def _era_epochs(meta: dict, epochs: list[int]) -> list[int]:
+    """Slice ``epochs`` (committed, ascending) to the current bucketing
+    ERA for that window: everything at or after the newest committed
+    rebucket (full) epoch within it. Bucket IDs from different moduli
+    share a number space but not a meaning — resolution descending past
+    a rebucket-DOWN boundary would surface old-modulus dirs whose ids
+    the full epoch doesn't list, duplicating their rows. The rebucket
+    epoch is full by construction, so the slice loses nothing."""
+    window = set(epochs)
+    anchors = [h["epoch"] for h in meta["history"] if h["epoch"] in window]
+    barrier = max(anchors) if anchors else 0
+    return [e for e in epochs if e >= barrier]
+
+
 def _resolve_buckets(
     spark: SparkSession, table_path: str, epochs: list[int]
 ) -> dict[int, tuple[int, str | None]]:
     """bucket -> (epoch of its newest rewrite among ``epochs``, dir path
     or None when that rewrite was empty). Newest-first walk over the
-    per-epoch listings — driver-side metadata only."""
+    per-epoch listings — driver-side metadata only. ``epochs`` must be
+    a single-era window (callers slice via _era_epochs)."""
     resolved: dict[int, tuple[int, str | None]] = {}
     for ep in reversed(epochs):
         ep_dir = os.path.join(table_path, f"epoch={ep}")
@@ -259,53 +445,104 @@ def _write_epoch(
     epoch: int,
     meta: dict,
     buckets: list[int],
+    writer: str | None = None,
 ) -> int:
-    """Write one epoch's bucket dirs + the _buckets.json commit marker."""
+    """Write one epoch: stage the bucket dirs + the _buckets.json marker
+    under ``_staged/<uuid>``, then claim-and-rename (module docstring) —
+    the rename brings the marker in atomically, so a reader sees the
+    whole epoch or none of it, and two racing writers resolve to one
+    winner + one loud ConcurrentWriteError."""
+    import uuid
+
     spark = df.sparkSession
-    ep_dir = os.path.join(table_path, f"epoch={epoch}")
+    token = uuid.uuid4().hex
+    staged = _staged_dir(table_path, token)
     df.withColumn("bucket", _bucket_expr(meta["key"], meta["n_buckets"])).repartition(
         max(1, min(len(buckets), spark.sparkContext.defaultParallelism)),
         "bucket",
-    ).write.partitionBy("bucket").mode("overwrite").parquet(ep_dir)
+    ).write.partitionBy("bucket").mode("overwrite").parquet(staged)
     write_json(
-        spark, os.path.join(ep_dir, _BUCKETS_FILE), {"buckets": sorted(buckets)}
+        spark, os.path.join(staged, _BUCKETS_FILE), {"buckets": sorted(buckets)}
     )
+    _commit_staged(spark, table_path, epoch, token, _BUCKETS_FILE, writer)
     return epoch
 
 
+def _bucket_shaped_epochs(spark: SparkSession, table_path: str) -> list[int]:
+    """Epoch dirs that LOOK like bucketed-table epochs — holding a
+    ``bucket=`` partition dir or a ``_buckets.json`` — committed or not.
+    This is the crashed-create classifier: a create that died after the
+    epoch-0 write but before the meta commit leaves such a dir carrying
+    a parquet ``_SUCCESS``, which the snapshot-epoch guard would
+    otherwise misread as a foreign snapshot table (round-8 ADVICE)."""
+    jvm, jpath, fs = hadoop(spark, table_path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("epoch="):
+            continue
+        for sub in fs.listStatus(st.getPath()):
+            sname = sub.getPath().getName()
+            if sname == _BUCKETS_FILE or sname.startswith("bucket="):
+                out.append(int(name.split("=", 1)[1]))
+                break
+    return sorted(out)
+
+
 def create_bucketed_table(
-    df: DataFrame, table_path: str, key: str, n_buckets: int = 64
+    df: DataFrame,
+    table_path: str,
+    key: str,
+    n_buckets: int = 64,
+    writer: str | None = None,
 ) -> int:
     """Create a bucketed upsert table from an initial snapshot; returns
     epoch 0. ``key`` must be unique per row (the MERGE identity); the
-    initial epoch lists every bucket so reads always resolve."""
+    initial epoch lists every bucket so reads always resolve.
+
+    Meta is the create COMMIT (written last): a create that crashed at
+    any earlier point left no readable table — its leftovers (a staged
+    dir, a claim, or a bucket-shaped epoch 0, with or without the
+    _buckets.json marker) are purged and the create redone from
+    scratch. Epoch dirs that are NOT bucket-shaped stay protected by
+    the snapshot-table guard."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     spark = df.sparkSession
     if read_json(spark, os.path.join(table_path, _META_FILE)) is not None:
         raise ValueError(f"bucketed table already exists at {table_path}")
-    if _committed_epochs(spark, table_path):
+    shaped = set(_bucket_shaped_epochs(spark, table_path))
+    if [e for e in _committed_epochs(spark, table_path) if e not in shaped]:
         raise ValueError(
             f"{table_path} already holds snapshot-table epochs; refusing "
             "to create a bucketed table over them"
         )
-    if _bucketed_epochs(spark, table_path) != [] and _bucketed_epochs(
-        spark, table_path
-    ) != [0]:
+    if shaped - {0}:
         # meta is the create commit: epoch-0-only leftovers are a crashed
-        # create (redo overwrites them); anything more is a foreign table
+        # create (purged below); anything more is a foreign table
         raise ValueError(
             f"{table_path} holds bucketed epochs but no {_META_FILE}; "
             "refusing to create over an unknown layout"
         )
+    # purge crashed-create leftovers: no meta means no reader can depend
+    # on any of this, so the redo starts from a clean slate (this also
+    # clears a stale epoch-0 claim that would otherwise block the redo)
+    jvm, _, fs = hadoop(spark, table_path)
+    for sub in ("epoch=0", _CLAIMS_DIR, _STAGING_DIR):
+        jp = jvm.org.apache.hadoop.fs.Path(os.path.join(table_path, sub))
+        if fs.exists(jp):
+            fs.delete(jp, True)
     _check_keys(df, key)
     meta = {
         "format": "bucketed",
         "key": key,
         "n_buckets": int(n_buckets),
         "columns": _shape(df.schema),
+        "history": [{"epoch": 0, "n_buckets": int(n_buckets)}],
     }
-    _write_epoch(df, table_path, 0, meta, list(range(n_buckets)))
+    _write_epoch(df, table_path, 0, meta, list(range(n_buckets)), writer)
     # meta lands AFTER epoch 0: a crash in between leaves no meta, so the
     # table reads as nonexistent and create is cleanly re-runnable
     write_json(spark, os.path.join(table_path, _META_FILE), meta)
@@ -330,7 +567,10 @@ def _check_keys(df: DataFrame, key: str) -> None:
 
 
 def upsert_table(
-    batch: DataFrame, table_path: str, deletes: DataFrame | None = None
+    batch: DataFrame,
+    table_path: str,
+    deletes: DataFrame | None = None,
+    writer: str | None = None,
 ) -> int:
     """MERGE ``batch`` into the bucketed table: rows whose key exists are
     replaced, new keys are inserted, and keys in ``deletes`` (a frame
@@ -342,9 +582,21 @@ def upsert_table(
     content minus changed keys, plus the batch rows). Returns the new
     epoch id; an empty change set is a no-op returning the current
     epoch. Schema must match the table exactly (a partial-bucket epoch
-    mixing schemas would corrupt union reads — evolve by rebuilding)."""
+    mixing schemas would corrupt union reads — evolve by rebuilding).
+
+    Concurrency: the merge is computed against the committed state read
+    AT ENTRY and commits via the claim protocol — a second writer that
+    advanced the table first wins, and this call raises
+    ConcurrentWriteError (its merge would silently drop the winner's
+    changes for the touched buckets; re-run to merge against the new
+    state). Entry recovery first rolls forward any dead writer's
+    claimed-but-unrenamed epoch so the merge never reads around it."""
     spark = batch.sparkSession
     meta = _table_meta(spark, table_path)
+    _recover_commits(
+        spark, table_path, _bucketed_epochs(spark, table_path), _BUCKETS_FILE
+    )
+    _complete_pending_rebucket(spark, table_path, meta)
     key, n_buckets = meta["key"], meta["n_buckets"]
     if _shape(batch.schema) != [tuple(c) for c in meta["columns"]]:
         raise ValueError(
@@ -376,7 +628,7 @@ def upsert_table(
         )
         if not touched:
             return done[-1]
-        resolved = _resolve_buckets(spark, table_path, done)
+        resolved = _resolve_buckets(spark, table_path, _era_epochs(meta, done))
         prior_paths = [
             resolved[b][1]
             for b in touched
@@ -391,7 +643,7 @@ def upsert_table(
         merged = prior.join(
             changed.hint("broadcast"), key, "left_anti"
         ).unionByName(batch)
-        return _write_epoch(merged, table_path, done[-1] + 1, meta, touched)
+        return _write_epoch(merged, table_path, done[-1] + 1, meta, touched, writer)
     finally:
         batch.unpersist()
 
@@ -423,7 +675,9 @@ def read_bucketed_table(
             f"epoch {as_of} at {table_path} predates the GC floor {floor} "
             "(gc_bucketed_table removed content its reads depended on)"
         )
-    resolved = _resolve_buckets(spark, table_path, [e for e in done if e <= as_of])
+    resolved = _resolve_buckets(
+        spark, table_path, _era_epochs(meta, [e for e in done if e <= as_of])
+    )
     paths = sorted(p for _, p in resolved.values() if p is not None)
     schema = ", ".join(f"`{n}` {t}" for n, t in meta["columns"])
     if not paths:
@@ -431,11 +685,101 @@ def read_bucketed_table(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def _complete_pending_rebucket(
+    spark: SparkSession, table_path: str, meta: dict, writer: str | None = None
+) -> int | None:
+    """If the meta's newest history entry names an epoch that is not
+    committed (a rebucket died between recording its intent and
+    committing the full epoch), complete it: the epoch's content is
+    deterministic — the whole table at the last committed epoch,
+    re-hashed under the new modulus — so the redo composes with the
+    claim protocol like any other commit. Returns the completed epoch,
+    or None when nothing was pending. Every bucketed WRITE path runs
+    this before planning (an upsert planned around a pending rebucket
+    would mix bucket-id spaces)."""
+    last = meta["history"][-1]
+    done = _bucketed_epochs(spark, table_path)
+    if not done or last["epoch"] in done:
+        return None
+    content = read_bucketed_table(spark, table_path, as_of=done[-1])
+    return _write_epoch(
+        content,
+        table_path,
+        last["epoch"],
+        meta,
+        list(range(last["n_buckets"])),
+        writer,
+    )
+
+
+def rebucket_table(
+    spark: SparkSession,
+    table_path: str,
+    new_n_buckets: int,
+    writer: str | None = None,
+) -> int:
+    """Change the table's bucket count — the 100x-growth operation the
+    frozen-at-create modulus otherwise forbids (a 16-bucket table at
+    100x data pays 1/16-table rewrites per one-row MERGE; rebucket to
+    1024 and the same MERGE touches 1/1024).
+
+    Writes ONE full epoch: the current content re-hashed under the new
+    modulus, recorded in the meta's modulus history so resolution never
+    mixes bucket-id spaces — reads at any epoch (before, at, or after
+    the boundary) stay bit-exact, each era resolving only its own
+    epochs (the rebucket epoch is full, so nothing older is needed).
+    Time travel, rollback targets, and the GC floor all keep their
+    semantics across the boundary.
+
+    Crash-safe in two halves: the meta history entry (atomic
+    write_json) records the INTENT first; the full epoch commits via
+    the claim protocol. A crash in between leaves a pending rebucket
+    that every subsequent write path completes deterministically before
+    planning (_complete_pending_rebucket); reads are correct throughout
+    (they only consult committed epochs, all of the old era)."""
+    if new_n_buckets < 1:
+        raise ValueError("rebucket_table: new_n_buckets must be >= 1")
+    meta = _table_meta(spark, table_path)
+    _recover_commits(
+        spark, table_path, _bucketed_epochs(spark, table_path), _BUCKETS_FILE
+    )
+    pending = _complete_pending_rebucket(spark, table_path, meta, writer)
+    if pending is not None:
+        raise ValueError(
+            f"rebucket_table: completed a PENDING rebucket (epoch "
+            f"{pending}) at {table_path} first — re-run to apply a "
+            "further modulus change on top of it"
+        )
+    if int(new_n_buckets) == meta["n_buckets"]:
+        raise ValueError(
+            f"rebucket_table: {table_path} already has n_buckets="
+            f"{meta['n_buckets']}"
+        )
+    done = _bucketed_epochs(spark, table_path)
+    if not done:
+        raise ValueError(f"no committed epochs at {table_path}")
+    epoch = done[-1] + 1
+    new_meta = {
+        **meta,
+        "n_buckets": int(new_n_buckets),
+        "history": meta["history"]
+        + [{"epoch": epoch, "n_buckets": int(new_n_buckets)}],
+    }
+    write_json(spark, os.path.join(table_path, _META_FILE), new_meta)
+    got = _complete_pending_rebucket(spark, table_path, new_meta, writer)
+    assert got == epoch, (got, epoch)
+    return epoch
+
+
 def rollback_bucketed(spark: SparkSession, table_path: str, epoch: int) -> int:
     """Copy-forward rollback for the bucketed table: append a FULL epoch
     (every bucket listed) whose content is the table at ``epoch`` —
     history stays intact, exactly like the snapshot table's rollback."""
     meta = _table_meta(spark, table_path)
+    _recover_commits(
+        spark, table_path, _bucketed_epochs(spark, table_path), _BUCKETS_FILE
+    )
+    _complete_pending_rebucket(spark, table_path, meta)
     done = _bucketed_epochs(spark, table_path)
     content = read_bucketed_table(spark, table_path, as_of=epoch)
     return _write_epoch(
@@ -456,7 +800,7 @@ def gc_bucketed_table(
     floor view resolves to it. Returns the deleted paths."""
     if keep < 1:
         raise ValueError("gc_bucketed_table: keep must be >= 1")
-    _table_meta(spark, table_path)
+    meta = _table_meta(spark, table_path)
     done = _bucketed_epochs(spark, table_path)
     if len(done) <= keep:
         return []
@@ -468,7 +812,7 @@ def gc_bucketed_table(
     write_json(spark, os.path.join(table_path, _GC_LOG), log)
 
     needed = _resolve_buckets(
-        spark, table_path, [e for e in done if e <= floor]
+        spark, table_path, _era_epochs(meta, [e for e in done if e <= floor])
     )
     needed_by_epoch: dict[int, set[int]] = {}
     for b, (ep, _path) in needed.items():
@@ -482,6 +826,10 @@ def gc_bucketed_table(
         ep_dir = os.path.join(table_path, f"epoch={ep}")
         if not keep_buckets:
             fs.delete(jvm.org.apache.hadoop.fs.Path(ep_dir), True)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_claim_file(table_path, ep)),
+                False,
+            )
             deleted.append(ep_dir)
             continue
         for b in _epoch_listing(spark, table_path, ep):

@@ -178,3 +178,81 @@ def test_read_json_recovers_from_tmp_in_torn_rename_window(spark, tmp_path):
     # neither file -> absent
     os.remove(p)
     assert read_json(spark, p) is None
+
+
+# --------------------------------------------------------------------------
+# Optimistic concurrency (round 9): stage -> claim -> rename. Exactly one
+# of two racing writers commits an epoch; the loser raises naming the
+# winner; a writer dead between claim and rename is rolled forward.
+
+
+def test_two_interleaved_snapshot_writers_one_wins(spark, tpath):
+    import uuid
+
+    from kmeanwithmapreduce_spark.sources.table import (
+        ConcurrentWriteError,
+        _commit_staged,
+        _staged_dir,
+    )
+
+    write_snapshot(spark.range(3), tpath)  # epoch 0
+    # writer B: reads the table (next epoch = 1) and finishes STAGING
+    tok_b = uuid.uuid4().hex
+    spark.range(30).write.parquet(_staged_dir(tpath, tok_b))
+    # writer A: full commit of epoch 1 lands first
+    assert write_snapshot(spark.range(10), tpath, writer="writer-A") == 1
+    # writer B resumes: its claim of epoch 1 must LOSE, loudly, naming A
+    with pytest.raises(ConcurrentWriteError, match="writer-A"):
+        _commit_staged(spark, tpath, 1, tok_b, "_SUCCESS", "writer-B")
+    # nothing of B is visible; epoch 1 is A's
+    assert table_epochs(spark, tpath) == [0, 1]
+    assert read_table(spark, tpath).count() == 10
+    # B re-runs against the updated table and lands as epoch 2
+    assert write_snapshot(spark.range(30), tpath, writer="writer-B") == 2
+    assert read_table(spark, tpath).count() == 30
+
+
+def test_snapshot_writer_dead_after_claim_is_rolled_forward(spark, tpath):
+    import uuid
+
+    from kmeanwithmapreduce_spark.sources.table import _staged_dir, _try_claim
+
+    write_snapshot(spark.range(3), tpath)  # epoch 0
+    # dead writer: staged epoch 1 COMPLETELY, claimed it, died pre-rename
+    tok = uuid.uuid4().hex
+    spark.range(77).write.parquet(_staged_dir(tpath, tok))
+    assert _try_claim(spark, tpath, 1, {"writer": "dead", "staged": tok}) is None
+    # the dead commit is invisible to readers until a writer recovers it
+    assert table_epochs(spark, tpath) == [0]
+    assert read_table(spark, tpath).count() == 3
+    # the next writer's entry recovery completes the dead writer's
+    # epoch 1 deterministically, then commits its own snapshot as 2
+    assert write_snapshot(spark.range(5), tpath) == 2
+    assert read_table(spark, tpath, as_of=1).count() == 77
+    assert read_table(spark, tpath).count() == 5
+
+
+def test_claim_survives_for_committed_epoch_blocks_reclaim(spark, tpath):
+    """Claims are kept after commit: a straggler that lost the race can
+    never re-claim the epoch after the winner finished (the delete-claim
+    -after-commit variant reopens exactly the lost-update race)."""
+    from kmeanwithmapreduce_spark.sources.table import (
+        ConcurrentWriteError,
+        _claim_file,
+        _try_claim,
+    )
+
+    write_snapshot(spark.range(3), tpath, writer="writer-A")
+    assert os.path.exists(_claim_file(tpath, 0))
+    got = _try_claim(spark, tpath, 0, {"writer": "straggler", "staged": "x"})
+    assert got is not None and got["writer"] == "writer-A"
+    # and the public path raises rather than touching epoch 0
+    import uuid
+
+    from kmeanwithmapreduce_spark.sources.table import _commit_staged, _staged_dir
+
+    tok = uuid.uuid4().hex
+    spark.range(9).write.parquet(_staged_dir(tpath, tok))
+    with pytest.raises(ConcurrentWriteError, match="writer-A"):
+        _commit_staged(spark, tpath, 0, tok, "_SUCCESS", "straggler")
+    assert read_table(spark, tpath, as_of=0).count() == 3

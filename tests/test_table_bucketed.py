@@ -224,3 +224,116 @@ def test_upsert_deletes_contract(spark, tpath):
         deletes=spark.createDataFrame([(2,)], "k bigint"),
     )
     assert _rows(read_bucketed_table(spark, tpath)) == [(1, "a"), (2, "B2")]
+
+
+# --------------------------------------------------------------------------
+# Round 9: optimistic concurrency + crashed-create redo.
+
+
+def _stage_bucketed(spark, tpath, rows, buckets):
+    """Replicate _write_epoch's STAGING half (data + marker, no claim) —
+    a writer frozen just before its commit step."""
+    import uuid
+
+    from kmeanwithmapreduce_spark.sources.fsutil import write_json
+    from kmeanwithmapreduce_spark.sources.table import (
+        _BUCKETS_FILE,
+        _bucket_expr,
+        _staged_dir,
+    )
+
+    tok = uuid.uuid4().hex
+    staged = _staged_dir(tpath, tok)
+    _mk(spark, rows).withColumn("bucket", _bucket_expr("k", NB)).write.partitionBy(
+        "bucket"
+    ).parquet(staged)
+    write_json(spark, os.path.join(staged, _BUCKETS_FILE), {"buckets": buckets})
+    return tok
+
+
+def _bucket_of(spark, k):
+    from kmeanwithmapreduce_spark.sources.table import _bucket_expr
+
+    return (
+        spark.range(1)
+        .select(F.lit(k).cast("bigint").alias("k"))
+        .select(_bucket_expr("k", NB).alias("b"))
+        .first()
+        .b
+    )
+
+
+def test_two_interleaved_upsert_writers_one_wins(spark, tpath):
+    from kmeanwithmapreduce_spark.sources.table import (
+        _BUCKETS_FILE,
+        ConcurrentWriteError,
+        _commit_staged,
+    )
+
+    create_bucketed_table(_mk(spark, [(i, f"v{i}") for i in range(20)]), tpath, "k", NB)
+    # writer B: computed its merge for epoch 1 and finished staging
+    tok_b = _stage_bucketed(spark, tpath, [(7, "B")], [_bucket_of(spark, 7)])
+    # writer A: commits epoch 1 first
+    assert upsert_table(_mk(spark, [(7, "A")]), tpath, writer="writer-A") == 1
+    # writer B resumes: loses the claim, loudly, naming A
+    with pytest.raises(ConcurrentWriteError, match="writer-A"):
+        _commit_staged(spark, tpath, 1, tok_b, _BUCKETS_FILE, "writer-B")
+    got = {r.k: r.v for r in read_bucketed_table(spark, tpath).collect()}
+    assert got[7] == "A" and len(got) == 20
+    # B re-runs against the merged state and lands as epoch 2
+    assert upsert_table(_mk(spark, [(7, "B")]), tpath, writer="writer-B") == 2
+    assert {r.v for r in read_bucketed_table(spark, tpath).where("k=7").collect()} == {"B"}
+
+
+def test_upsert_writer_dead_after_claim_is_rolled_forward(spark, tpath):
+    from kmeanwithmapreduce_spark.sources.table import _bucketed_epochs, _try_claim
+
+    create_bucketed_table(_mk(spark, [(1, "a"), (2, "b")]), tpath, "k", NB)
+    # dead writer: epoch 1 = full rewrite of k=1's bucket, staged +
+    # claimed, died before the rename
+    b1 = _bucket_of(spark, 1)
+    rows = [(1, "DEAD-WRITER")] + ([(2, "b")] if _bucket_of(spark, 2) == b1 else [])
+    tok = _stage_bucketed(spark, tpath, rows, [b1])
+    assert _try_claim(spark, tpath, 1, {"writer": "dead", "staged": tok}) is None
+    assert _bucketed_epochs(spark, tpath) == [0]
+    assert {r.k: r.v for r in read_bucketed_table(spark, tpath).collect()}[1] == "a"
+    # the next upsert's entry recovery completes epoch 1, then merges
+    # ITS change against the recovered state as epoch 2
+    assert upsert_table(_mk(spark, [(2, "B2")]), tpath) == 2
+    got = {r.k: r.v for r in read_bucketed_table(spark, tpath).collect()}
+    assert got == {1: "DEAD-WRITER", 2: "B2"}
+    as_of1 = {r.k: r.v for r in read_bucketed_table(spark, tpath, as_of=1).collect()}
+    assert as_of1 == {1: "DEAD-WRITER", 2: "b"}
+
+
+def test_crashed_create_is_redone(spark, tmp_path):
+    """ADVICE round 8: a create that crashed after the epoch-0 write but
+    before the meta commit must be redoable — the epoch-0 leftovers
+    carry a parquet _SUCCESS that the snapshot-table guard used to
+    misread as a foreign snapshot table."""
+    from kmeanwithmapreduce_spark.sources.fsutil import read_json
+
+    # variant 1: died between epoch-0 commit and the meta write
+    p1 = str(tmp_path / "crashed1")
+    create_bucketed_table(_mk(spark, [(1, "a")]), p1, "k", NB)
+    os.remove(os.path.join(p1, "_table_meta.json"))
+    assert create_bucketed_table(_mk(spark, [(1, "REDO")]), p1, "k", NB) == 0
+    assert _rows(read_bucketed_table(spark, p1)) == [(1, "REDO")]
+    assert read_json(spark, os.path.join(p1, "_table_meta.json")) is not None
+
+    # variant 2: died before the _buckets.json marker (bucket-shaped
+    # epoch 0 with parquet _SUCCESS, no marker, no meta)
+    p2 = str(tmp_path / "crashed2")
+    _mk(spark, [(1, "GARBAGE")]).withColumn("bucket", F.lit(0)).write.partitionBy(
+        "bucket"
+    ).parquet(os.path.join(p2, "epoch=0"))
+    assert create_bucketed_table(_mk(spark, [(1, "REDO2")]), p2, "k", NB) == 0
+    assert _rows(read_bucketed_table(spark, p2)) == [(1, "REDO2")]
+
+    # foreign layouts stay protected: a real snapshot table is refused
+    p3 = str(tmp_path / "snap")
+    from kmeanwithmapreduce_spark.sources.table import write_snapshot
+
+    write_snapshot(spark.range(3), p3)
+    with pytest.raises(ValueError, match="snapshot-table epochs"):
+        create_bucketed_table(_mk(spark, [(1, "x")]), p3, "k", NB)
