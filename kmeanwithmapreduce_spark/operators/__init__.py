@@ -8,6 +8,7 @@ from .joins_advanced import ADVANCED_JOIN_QUERIES
 from .multimodal import (
     AVI_QUERIES,
     JPEG_QUERIES,
+    MJPEG_QUERIES,
     MULTIMODAL_QUERIES,
     PNG_QUERIES,
     WAV_QUERIES,
@@ -95,6 +96,7 @@ EXTRA_QUERIES = {
     **UPSERT_QUERIES,
     **JPEG_QUERIES,
     **REBUCKET_QUERIES,
+    **MJPEG_QUERIES,
 }
 
 __all__ = [

@@ -175,6 +175,85 @@ class AnnIndex:
             by_residual=self.by_residual,
         )
 
+    def search_join(
+        self,
+        queries: DataFrame,
+        *,
+        n_probe: int = 2,
+        top_k: int = 10,
+        salt: int | None = None,
+    ) -> DataFrame:
+        """DISTRIBUTED batch search — the table-scale kNN-JOIN path
+        (dedup-vs-index, retrieval eval over a whole embeddings table):
+        queries stay a DataFrame end-to-end. Per-query coarse
+        assignment + ADC lookup tables are computed EXECUTOR-side in an
+        Arrow ``mapInPandas`` kernel (reusing the exact same pure-Python
+        accumulation as the serving path, so results are bit-equal to
+        ``search`` — pinned in tests), then joined against the persisted
+        codes. No driver collect of the query table anywhere.
+
+        ``salt`` distributes the join: the raw key (cell) has only
+        n_cells distinct values, so the codes side is salted by vec_id
+        hash and each probe row replicated ``salt`` ways — n_cells x
+        salt join partitions (default: the session's parallelism).
+        Values are salt-invariant; pass ``salt=None`` semantics via
+        ``search`` instead when the query batch is serving-sized.
+
+        Scale: probe rows are queries x n_probe with an m x k_codes LUT
+        each (~2 KB at the default geometry) — linear in the query
+        table, shuffled once; the codes side reads (vec_id, cluster,
+        codes) only. The kernel is O(n_cells*d + n_probe*m*k_codes*dsub)
+        per query in plain Python — fine for the small side of a kNN
+        join; vectorize with NumPy only if query volume ever dominates
+        (at the cost of re-pinning the accumulation order)."""
+        from .pq import _adc_topk, _sqd
+
+        idc = "query_id" if "query_id" in queries.columns else "vec_id"
+        centroids = self.centroids
+        books = self.codebooks
+        by_residual = self.by_residual
+        m = len(books)
+        dsub = len(books[0][0])
+        n_probe_eff = min(n_probe, len(centroids))
+
+        def _probes(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {"query_id": [], "cell": [], "lut": []}
+                for qid, emb in zip(pdf[idc], pdf["embedding"]):
+                    q = [float(v) for v in emb]
+                    d2 = sorted(
+                        (_sqd(q, c, 0, len(c)), cell)
+                        for cell, c in enumerate(centroids)
+                    )
+                    for _d, cell in d2[:n_probe_eff]:
+                        if by_residual:
+                            qq = [
+                                q[i] - float(centroids[cell][i])
+                                for i in range(len(q))
+                            ]
+                        else:
+                            qq = q
+                        lut = [
+                            [_sqd(qq, c, j * dsub, dsub) for c in books[j]]
+                            for j in range(m)
+                        ]
+                        out["query_id"].append(int(qid))
+                        out["cell"].append(int(cell))
+                        out["lut"].append(lut)
+                yield pd.DataFrame(out)
+
+        # embedding passes through UNCAST: `search` collects the raw
+        # column, and bit-equality requires both paths to widen the same
+        # physical values
+        probes = queries.select(idc, "embedding").mapInPandas(
+            _probes, "query_id long, cell int, lut array<array<double>>"
+        )
+        if salt is None:
+            salt = max(1, self.spark.sparkContext.defaultParallelism)
+        return _adc_topk(self.codes(), probes, m, top_k, salt=int(salt))
+
 
 def build_ann_index(
     vectors: DataFrame,

@@ -808,3 +808,155 @@ FROM (
 JPEG_QUERIES = {
     "m07_jpeg_decode_stats": (m07_jpeg_decode_stats, M07_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# m08 — REAL MJPEG-in-AVI decode (round 9: functions/avi.py routes
+# 'MJPG' frames through functions/jpeg.py — the last in-sandbox-closable
+# codec fake). Each document's first 384 utf-8 bytes (zero-padded)
+# become two 8x8 RGB frames, encoded as a motion-JPEG AVI at quality
+# 50 + 10*(doc_id % 5) with the chroma layout alternating 4:4:4 /
+# 4:2:0 by doc parity (both MCU shapes exercised corpus-wide), then
+# decoded back through the container walker + JPEG kernel. Lossy but
+# DETERMINISTIC, so the aggregate freezes as a golden-VALUES oracle per
+# corpus (m07's recipe); tests additionally pin the container frames
+# against the independent naive JPEG decoder.
+_M08_W, _M08_H, _M08_NF = 8, 8, 2
+_M08_FRAME_BYTES = _M08_W * _M08_H * 3  # 192
+
+
+def encode_mjpeg_batch(df: DataFrame) -> DataFrame:
+    """mapInPandas MJPEG-AVI encoder: payload bytes -> 2-frame 8x8 RGB
+    video, quality 50 + 10*(doc_id % 5), subsampling 444/420 by doc
+    parity."""
+    import numpy as np
+
+    from ..functions.avi import encode_avi_mjpeg
+
+    total = _M08_NF * _M08_FRAME_BYTES
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:total].ljust(total, b"\x00")
+                frames = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    _M08_NF, _M08_H, _M08_W, 3
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        encode_avi_mjpeg(
+                            frames,
+                            fps=10,
+                            quality=50 + 10 * (int(doc_id) % 5),
+                            subsampling="444" if int(doc_id) % 2 == 0 else "420",
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select("doc_id", "payload").mapInPandas(fn, schema)
+
+
+def m08_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    avis = encode_mjpeg_batch(with_binary_payload(d))
+
+    stats_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_t", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, n, frames = decode_avi_rgb(bytes(payload))
+                for i in range(n):
+                    s = int(frames[i].sum(dtype=np.int64))
+                    mean = (float(s) / _M08_FRAME_BYTES) / 255.0
+                    rows.append((doc_id, i, w, h, math.floor(mean * 1e6) / 1e6))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_t"],
+            )
+
+    dec = avis.mapInPandas(fn, stats_schema)
+    return (
+        dec.groupBy(
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("q_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum(F.floor(F.col("mean_t") * 1000000.0))
+            .cast("bigint")
+            .alias("sum_intensity_t"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+        )
+    )
+
+
+# Golden rows generated by scripts/gen_m08_golden.py (engine + hostile
+# vanilla sessions at sf0.001/0.01/0.1 must agree — the m07/k01
+# protocol). Regenerate if the payload recipe, quality/subsampling
+# ladder, or any jpeg.py/avi.py rounding choice changes.
+M08_SQL = """
+WITH fp AS (
+  SELECT count(*) AS c, sum(octet_length(encode(text))) AS nb FROM documents
+)
+SELECT CAST(q_bucket AS INT) AS q_bucket,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(sum_intensity_t AS BIGINT) AS sum_intensity_t,
+       CAST(sum_width AS BIGINT) AS sum_width,
+       CAST(sum_height AS BIGINT) AS sum_height
+FROM (
+  SELECT * FROM (VALUES
+    (0, 200, 53181087, 1600, 1600),
+    (1, 200, 55617295, 1600, 1600),
+    (2, 200, 51570737, 1600, 1600),
+    (3, 200, 54861981, 1600, 1600),
+    (4, 200, 55155327, 1600, 1600)
+  ) v(q_bucket, n_frames, sum_intensity_t, sum_width, sum_height)
+  WHERE (SELECT c FROM fp) = 500 AND (SELECT nb FROM fp) = 153156
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 200, 52836469, 1600, 1600),
+    (1, 200, 55697091, 1600, 1600),
+    (2, 200, 54742438, 1600, 1600),
+    (3, 200, 52944189, 1600, 1600),
+    (4, 200, 50711129, 1600, 1600)
+  ) v(q_bucket, n_frames, sum_intensity_t, sum_width, sum_height)
+  WHERE (SELECT c FROM fp) = 500 AND (SELECT nb FROM fp) = 149174
+  UNION ALL
+  SELECT * FROM (VALUES
+    (0, 2000, 529718254, 16000, 16000),
+    (1, 2000, 527701565, 16000, 16000),
+    (2, 2000, 532048576, 16000, 16000),
+    (3, 2000, 540469236, 16000, 16000),
+    (4, 2000, 515748484, 16000, 16000)
+  ) v(q_bucket, n_frames, sum_intensity_t, sum_width, sum_height)
+  WHERE (SELECT c FROM fp) = 5000 AND (SELECT nb FROM fp) = 1485576
+)
+"""
+
+
+MJPEG_QUERIES = {
+    "m08_mjpeg_frame_stats": (m08_mjpeg_frame_stats, M08_SQL),
+}

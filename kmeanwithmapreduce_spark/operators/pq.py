@@ -315,13 +315,51 @@ def search_encoded(
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int, lut array<array<double>>"
     )
+    return _adc_topk(coded, probes, m, top_k)
+
+
+def _adc_topk(
+    coded: DataFrame,
+    probes: DataFrame,
+    m: int,
+    top_k: int,
+    *,
+    salt: int | None = None,
+) -> DataFrame:
+    """The ADC scoring tail shared by the driver-literal probe path
+    (search_encoded — s04/s05's golden-pinned shape) and the
+    distributed probe path (ann_index.AnnIndex.search_join). ``probes``
+    is (query_id, cell, lut).
+
+    ``salt=None`` broadcasts the probes (a driver-literal or
+    serving-sized query batch). ``salt=S`` is the corpus-scale kNN-JOIN
+    shape: the raw join key (cell) has only n_cells distinct values, so
+    a shuffle join would collapse to n_cells effective partitions; the
+    codes side is salted by vec_id hash and each probe row replicated S
+    ways, making the key (cell, salt) — n_cells x S partitions, values
+    unchanged (the window ranks per query_id regardless of which salt
+    partition scored a candidate)."""
     adc = (F.floor(_adc_expr("lut", "codes", m) * 10000.0) / 10000.0).alias(
         "adc"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    if salt is None:
+        joined = coded.join(F.broadcast(probes), coded.cluster == probes.cell)
+    else:
+        if salt < 1:
+            raise ValueError("_adc_topk: salt must be >= 1")
+        salted = coded.withColumn(
+            "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(salt)).cast("int")
+        )
+        fanned = probes.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        joined = salted.join(
+            fanned,
+            (salted.cluster == fanned.cell) & (salted["_salt"] == fanned["_salt"]),
+        )
     return (
-        coded.join(F.broadcast(probes), coded.cluster == probes.cell)
-        .select("query_id", "vec_id", adc)
+        joined.select("query_id", "vec_id", adc)
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= top_k)
         .select("query_id", "vec_id", "adc", "rk")

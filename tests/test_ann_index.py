@@ -143,3 +143,53 @@ def test_add_batch_refuses_null_and_intra_batch_duplicates(spark, sf_dir, tmp_pa
     )
     with pytest.raises(ValueError, match="NULL vec_id"):
         idx.add_batch(null_batch)
+
+
+# --------------------------------------------------------------------------
+# Round 9: distributed batch search (search_join) — the table-scale
+# kNN-join path. Queries never touch the driver; results must be
+# bit-equal to the serving path.
+
+
+@pytest.mark.parametrize("by_residual", [False, True])
+def test_search_join_equals_search_bit_for_bit(
+    spark, sf_dir, tmp_path, by_residual
+):
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    queries = e.where(F.col("vec_id") < 5)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(corpus, p, n_cells=8, by_residual=by_residual)
+    want = _rows(idx.search(queries, n_probe=2, top_k=10))
+    got = _rows(idx.search_join(queries, n_probe=2, top_k=10))
+    assert got == want and len(want) == 50
+    # salt-invariance: the distribution knob must never change values
+    assert _rows(idx.search_join(queries, n_probe=2, top_k=10, salt=1)) == want
+    assert _rows(idx.search_join(queries, n_probe=2, top_k=10, salt=7)) == want
+
+
+def test_search_join_plan_is_distributed(spark, sf_dir, tmp_path):
+    """The query side must flow through the plan (Arrow mapInPandas ->
+    join), not a driver collect: the probe kernel appears in the plan,
+    the query scan is part of ONE DAG with the codes scan, and the join
+    is not a CartesianProduct / row-python BatchEvalPython."""
+    e = _emb(spark, sf_dir)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(e.where(F.col("vec_id") >= 5), p, n_cells=8)
+    out = idx.search_join(e.where(F.col("vec_id") < 5), n_probe=2, top_k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_search_join_on_loaded_index_and_after_add(spark, sf_dir, tmp_path):
+    e = _emb(spark, sf_dir)
+    a = e.where((F.col("vec_id") >= 5) & (F.col("vec_id") % 3 != 0))
+    b = e.where((F.col("vec_id") >= 5) & (F.col("vec_id") % 3 == 0))
+    queries = e.where(F.col("vec_id") < 5)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(a, p, n_cells=8)
+    idx.add_batch(b)
+    loaded = AnnIndex.load(spark, p)
+    assert _rows(loaded.search_join(queries)) == _rows(idx.search(queries))

@@ -413,6 +413,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "v03_bucketed_upsert_time_travel",
         "m07_jpeg_decode_stats",
         "v04_rebucket_time_travel",
+        "m08_mjpeg_frame_stats",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
