@@ -161,6 +161,12 @@ def main() -> int:
         # bucketed upsert table — create + partial-bucket upsert +
         # rollback + three time-travel reads (e0, e1, current) + SMJ diff
         "v03_bucketed_upsert_time_travel",
+        # round-9 addition (BASELINE §N target): v03 plus a 4 -> 16
+        # rebucket boundary mid-history and four time-travel reads —
+        # the modulus-evolution storage path, guarded as one number.
+        # m08 (MJPEG decode) is NOT a bench entry: per-item Python codec
+        # kernel cost by construction, the m04/m07 exclusion rule.
+        "v04_rebucket_time_travel",
         # m04_png_roundtrip is NOT a bench entry: its cost is the
         # per-item Python PNG encode+decode kernel by construction (the
         # g01/t08/s04 exact-cost exclusion rule); the codec itself is

@@ -497,6 +497,39 @@ def prepare_training_corpus(
     return stats
 
 
+def mixture_stage(
+    kept: DataFrame, mixture_weights: dict[str, int], tokenizer=None
+) -> DataFrame:
+    """The corpus-GLOBAL domain-mixture stage — ONE implementation
+    shared by the batch pipeline (apply_doc_filters) and the
+    incremental release pass (corpus_incremental.release_corpus), so
+    their parity is structural. Semantics: curation's exact-integer
+    token-share downsampling over ``source``."""
+    from .curation import domain_mixture_sample
+
+    mixed = domain_mixture_sample(
+        kept, mixture_weights, tokenizer=tokenizer
+    ).select("doc_id")
+    return kept.join(mixed, "doc_id", "left_semi")
+
+
+def span_dedup_stage(kept: DataFrame, span_tokens: int) -> DataFrame:
+    """The corpus-GLOBAL C4-style duplicate-span removal stage (shared
+    exactly like mixture_stage): text is REWRITTEN to the surviving
+    spans, n_chars refreshed, emptied docs dropped."""
+    from .curation import span_dedup
+
+    rewritten = span_dedup(kept, span=span_tokens).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    return (
+        kept.drop("text")
+        .join(rewritten, "doc_id")
+        .where(F.length("text") > 0)
+        .withColumn("n_chars", F.length("text"))
+    )
+
+
 def apply_doc_filters(
     kept: DataFrame,
     tap,
@@ -577,12 +610,10 @@ def apply_doc_filters(
         kept = tap(kept.join(fluent, "doc_id", "left_semi"), "after_lm_filter")
 
     if mixture_weights is not None:
-        from .curation import domain_mixture_sample
-
-        mixed = domain_mixture_sample(
-            kept, mixture_weights, tokenizer=tokenizer
-        ).select("doc_id")
-        kept = tap(kept.join(mixed, "doc_id", "left_semi"), "after_mixture")
+        kept = tap(
+            mixture_stage(kept, mixture_weights, tokenizer=tokenizer),
+            "after_mixture",
+        )
 
     if lang_rates:
         kept = tap(
@@ -591,18 +622,7 @@ def apply_doc_filters(
         )
 
     if span_dedup_tokens is not None:
-        from .curation import span_dedup
-
-        rewritten = span_dedup(kept, span=span_dedup_tokens).select(
-            "doc_id", F.col("text_clean").alias("text")
-        )
-        kept = tap(
-            kept.drop("text")
-            .join(rewritten, "doc_id")
-            .where(F.length("text") > 0)
-            .withColumn("n_chars", F.length("text")),
-            "after_span_dedup",
-        )
+        kept = tap(span_dedup_stage(kept, span_dedup_tokens), "after_span_dedup")
 
     if scrub_pii:
         from .cleaning import PII_PATTERNS, pii_scrub

@@ -182,6 +182,98 @@ def corpus_keep_list(spark: SparkSession, corpus_path: str) -> DataFrame:
     return read_corpus(spark, corpus_path).select("doc_id")
 
 
+def release_corpus(
+    spark: SparkSession,
+    corpus_path: str,
+    release_path: str,
+    *,
+    mixture_weights: dict[str, int] | None = None,
+    span_dedup_tokens: int | None = None,
+    tokenizer=None,
+    writer: str | None = None,
+) -> dict:
+    """The RELEASE pass closing the incremental loop: the two
+    deliberately wave-excluded, corpus-GLOBAL curation knobs —
+    ``mixture_weights`` (token shares over the WHOLE corpus) and
+    ``span_dedup_tokens`` (span ownership = min doc_id over the WHOLE
+    corpus) — run over ``read_corpus`` output, and the result commits
+    as the next epoch of a versioned snapshot table at ``release_path``
+    (sources/table.py: claim-protocol commit, time travel across
+    releases, rollback, gc_table). The stages are the batch pipeline's
+    own implementations (corpus.mixture_stage / span_dedup_stage), so
+    release == batch is structural.
+
+    Parity contract (pinned in tests): waves 1..N + release over the
+    union == batch ``prepare_training_corpus`` with the same knobs,
+    EXACTLY, whenever the wave-level knobs don't interleave with the
+    global ones — i.e. ``lang_rates`` unset when ``mixture_weights`` is
+    used (batch mixes BEFORE language sampling) and ``scrub_pii`` unset
+    when ``span_dedup_tokens`` is used (batch owns spans over pre-scrub
+    text). Outside that envelope the release is still deterministic and
+    correct-by-its-own-order; the ordering difference is inherent to
+    running global passes after per-wave ones and is disclosed here
+    rather than papered over.
+
+    Lineage: ``_release_manifest_epoch=N.json`` lands next to the
+    release table's epochs, chaining {corpus location, wave ids +
+    funnels, the frozen wave config, the release knobs, funnel counts}
+    to the release epoch — a consumer can verify exactly which waves
+    and rules produced the bytes it trains on. Returns the funnel stats
+    plus ``epoch``.
+
+    Scale: one corpus read (the wave union + tiny retro anti-join), the
+    two global stages (broadcast vocab / shingle window — the c06/c07
+    shapes), one snapshot write. O(corpus) by necessity — these knobs
+    are global; everything per-document already happened per-wave."""
+    from pyspark.sql import Observation
+
+    from ..sources.fsutil import qualified
+    from ..sources.table import write_snapshot
+    from .corpus import mixture_stage, span_dedup_stage
+
+    m = corpus_waves_manifest(spark, corpus_path)
+    if not m["waves"]:
+        raise FileNotFoundError(f"no committed corpus waves at {corpus_path}")
+
+    obs: dict[str, Observation] = {}
+
+    def _tap(df: DataFrame, stage: str) -> DataFrame:
+        obs[stage] = Observation(f"release_{stage}")
+        return df.observe(obs[stage], F.count(F.lit(1)).alias("n"))
+
+    kept = _tap(read_corpus(spark, corpus_path), "corpus")
+    if mixture_weights is not None:
+        kept = _tap(
+            mixture_stage(kept, mixture_weights, tokenizer=tokenizer),
+            "after_mixture",
+        )
+    if span_dedup_tokens is not None:
+        kept = _tap(span_dedup_stage(kept, span_dedup_tokens), "after_span_dedup")
+
+    # a release may legitimately change shape (span dedup refreshes
+    # n_chars only; mixture drops whole rows) — but successive releases
+    # of the same corpus share one schema, so the snapshot table's own
+    # drift check stays meaningful with the default allow=False
+    epoch = write_snapshot(kept, release_path, writer=writer)
+    stats = {stage: o.get["n"] for stage, o in obs.items()}
+    stats["epoch"] = epoch
+    write_json(
+        spark,
+        os.path.join(release_path, f"_release_manifest_epoch={epoch}.json"),
+        {
+            "corpus_path": qualified(spark, corpus_path),
+            "waves": m["waves"],
+            "wave_config": m["config"],
+            "mixture_weights": mixture_weights,
+            "span_dedup_tokens": span_dedup_tokens,
+            "tokenizer": "custom" if tokenizer is not None else None,
+            "funnel": {k: v for k, v in stats.items() if k != "epoch"},
+            "epoch": epoch,
+        },
+    )
+    return stats
+
+
 def ingest_corpus_wave(
     spark: SparkSession,
     new_docs: DataFrame,

@@ -314,3 +314,80 @@ def test_wave_schema_drift_refused_and_read_schema_explicit(spark, tmp_path):
         ("n_chars", "bigint"),
     ]
     assert {r.doc_id: r.source for r in out.collect()} == {1: "web", 10: "web"}
+
+
+# --------------------------------------------------------------------------
+# Round 9: the release pass — waves + release_corpus == batch over the
+# union with the same GLOBAL knobs (mixture / span-dedup), committed as
+# a versioned snapshot with chained lineage.
+
+
+def test_waves_plus_release_equal_batch_with_global_knobs(spark, sf_dir, tmp_path):
+    from kmeanwithmapreduce_spark.operators.corpus_incremental import (
+        release_corpus,
+    )
+    from kmeanwithmapreduce_spark.sources.fsutil import read_json
+    from kmeanwithmapreduce_spark.sources.table import read_table, table_epochs
+
+    d = load_table(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) // 2
+    waves = [d.where(F.col("doc_id") <= cut), d.where(F.col("doc_id") > cut)]
+    corpus = str(tmp_path / "corpus")
+    for i, w in enumerate(waves):
+        ingest_corpus_wave(spark, w, corpus, i, quality_threshold=0.5)
+
+    glob_knobs = dict(
+        mixture_weights={f"src{i}": (2 if i % 2 == 0 else 1) for i in range(20)},
+        span_dedup_tokens=8,
+    )
+    rel = str(tmp_path / "release")
+    stats = release_corpus(spark, corpus, rel, **glob_knobs)
+    assert stats["epoch"] == 0
+    released = read_table(spark, rel)
+
+    batch_stats, batch_kept = _batch_over_union(
+        spark, d, str(tmp_path / "batch"), quality_threshold=0.5, **glob_knobs
+    )
+    got = _rows(released)
+    want = _rows(batch_kept)
+    assert got == want and len(want) > 0
+    # the knobs must actually bite or the parity pin proves nothing:
+    # the mixture stage drops rows, and the funnel is monotone
+    assert stats["after_mixture"] < stats["corpus"]
+    assert stats["after_span_dedup"] <= stats["after_mixture"]
+    assert batch_stats["after_mixture"] < batch_stats["after_quality"]
+
+    # lineage manifest chains waves -> release epoch
+    man = read_json(spark, os.path.join(rel, "_release_manifest_epoch=0.json"))
+    assert man is not None
+    assert [w["wave"] for w in man["waves"]] == [0, 1]
+    assert man["span_dedup_tokens"] == 8 and man["epoch"] == 0
+    assert man["wave_config"]["quality_threshold"] == 0.5
+
+    # a second release (new wave arrives) appends epoch 1; epoch 0 stays
+    w3_lo = hi + 1
+    w3 = d.limit(20).select(
+        (F.col("doc_id") + F.lit(int(w3_lo - lo))).alias("doc_id"),
+        *[c for c in d.columns if c != "doc_id"],
+    )
+    ingest_corpus_wave(spark, w3, corpus, 2, quality_threshold=0.5)
+    stats2 = release_corpus(spark, corpus, rel, **glob_knobs)
+    assert stats2["epoch"] == 1
+    assert table_epochs(spark, rel) == [0, 1]
+    assert _rows(read_table(spark, rel, as_of=0)) == want  # time travel
+    assert read_json(
+        spark, os.path.join(rel, "_release_manifest_epoch=1.json")
+    )["waves"][-1]["wave"] == 2
+
+
+def test_release_requires_committed_waves(spark, tmp_path):
+    from kmeanwithmapreduce_spark.operators.corpus_incremental import (
+        release_corpus,
+    )
+
+    with pytest.raises(FileNotFoundError, match="no committed corpus waves"):
+        release_corpus(
+            spark, str(tmp_path / "nope"), str(tmp_path / "rel"),
+            mixture_weights={"web": 1},
+        )
