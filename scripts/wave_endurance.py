@@ -35,7 +35,10 @@ import json
 import os
 import random
 import shutil
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _family_words(i: int) -> list[str]:
