@@ -126,7 +126,12 @@ for name in ["c06_domain_mixture", "c07_span_dedup",
              # (ordered capped word table + integer merge loop); the
              # vanilla 4-core layout must train the identical merge
              # table and produce the identical golden token totals
-             "t13_bpe_subword_stats"]:
+             "t13_bpe_subword_stats",
+             # v04's rebucket boundary must preserve content under any
+             # session layout and its md5 digest diff is float-free;
+             # m08's golden rows were generated engine==vanilla — keep
+             # both pinned against the hostile session forever
+             "v04_rebucket_time_travel", "m08_mjpeg_frame_stats"]:
     cols = qs[name](spark, sf).columns
     got = canon(qs[name](spark, sf).select(*sorted(cols)).collect())
     want = canon(con.execute(
