@@ -256,3 +256,26 @@ def test_claim_survives_for_committed_epoch_blocks_reclaim(spark, tpath):
     with pytest.raises(ConcurrentWriteError, match="writer-A"):
         _commit_staged(spark, tpath, 0, tok, "_SUCCESS", "straggler")
     assert read_table(spark, tpath, as_of=0).count() == 3
+
+
+def test_gc_tidies_claims_and_never_wedges_later_writes(spark, tpath):
+    """Claims persist per epoch; GC deletes the victims' claims, and —
+    the important half — a claim whose epoch was GC'd (or whose staged
+    dir is gone) is SKIPPED by recovery, never treated as a dead commit
+    to roll forward. A post-GC write must proceed normally."""
+    from kmeanwithmapreduce_spark.sources.table import _claim_file, gc_table
+
+    for n in (3, 5, 7, 9):
+        write_snapshot(spark.range(n), tpath)
+    assert gc_table(spark, tpath, keep=2) == [0, 1]
+    assert not os.path.exists(_claim_file(tpath, 0))
+    assert not os.path.exists(_claim_file(tpath, 1))
+    # and even a STALE leftover claim below the watermark cannot wedge:
+    # fabricate one (as if GC died between epoch delete and claim tidy)
+    import json
+
+    os.makedirs(os.path.dirname(_claim_file(tpath, 1)), exist_ok=True)
+    with open(_claim_file(tpath, 1), "w") as fh:
+        json.dump({"writer": "ghost", "staged": "gone"}, fh)
+    assert write_snapshot(spark.range(11), tpath) == 4
+    assert read_table(spark, tpath).count() == 11

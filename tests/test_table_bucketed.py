@@ -337,3 +337,15 @@ def test_crashed_create_is_redone(spark, tmp_path):
     write_snapshot(spark.range(3), p3)
     with pytest.raises(ValueError, match="snapshot-table epochs"):
         create_bucketed_table(_mk(spark, [(1, "x")]), p3, "k", NB)
+
+
+def test_bucketed_gc_then_upsert_proceeds(spark, tpath):
+    """Fully-superseded epochs lose their claim markers at GC, and a
+    later upsert must plan/commit cleanly over the pruned history."""
+    create_bucketed_table(_mk(spark, [(1, "a")]), tpath, "k", n_buckets=1)
+    upsert_table(_mk(spark, [(1, "b")]), tpath)
+    upsert_table(_mk(spark, [(1, "c")]), tpath)
+    gc_bucketed_table(spark, tpath, keep=1)
+    assert _bucketed_epochs(spark, tpath) == [2]
+    assert upsert_table(_mk(spark, [(1, "d")]), tpath) == 3
+    assert _rows(read_bucketed_table(spark, tpath)) == [(1, "d")]
