@@ -83,29 +83,90 @@ def _claim_file(table_path: str, epoch: int) -> str:
     return os.path.join(table_path, _CLAIMS_DIR, f"epoch={epoch}.json")
 
 
-def _try_claim(spark: SparkSession, table_path: str, epoch: int, payload: dict) -> dict | None:
-    """Atomically create the epoch's claim marker; returns None when this
-    writer won, or the existing claim (possibly {} if torn/unreadable)
-    when the epoch was already claimed. The claim is written DIRECTLY
-    with overwrite=false — a tmp+rename here would break the
-    put-if-absent atomicity that makes it a claim."""
+def _put_if_absent_json(spark: SparkSession, path: str, payload: dict) -> bool:
+    """Atomically create ``path`` with ``payload`` — True when this
+    writer created it, False when it already existed. The content is
+    written to a writer-unique tmp and RENAMED in (Hadoop rename does
+    not overwrite an existing destination — the same property
+    write_json's delete step works around), so the content lands
+    atomically WITH the creation: no torn-file state exists, unlike a
+    create-then-write sequence where a crash between the two leaves an
+    unreadable marker."""
     import json as _json
+    import uuid as _uuid
 
-    jvm, _, fs = hadoop(spark, table_path)
-    p = jvm.org.apache.hadoop.fs.Path(_claim_file(table_path, epoch))
-    try:
-        stream = fs.create(p, False)
-    except Exception:
-        if fs.exists(p):  # lost the race: surface the winner
-            return read_json(spark, _claim_file(table_path, epoch)) or {}
-        raise  # a real FS failure, not a claim conflict
+    jvm, _, fs = hadoop(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(p):
+        return False
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.{_uuid.uuid4().hex}.tmp")
+    stream = fs.create(tmp, True)
     stream.write(_json.dumps(payload).encode("utf-8"))
     stream.close()
-    return None
+    if fs.rename(tmp, p):
+        return True
+    fs.delete(tmp, False)  # lost the race; leave the winner alone
+    return False
+
+
+def _try_claim(spark: SparkSession, table_path: str, epoch: int, payload: dict) -> dict | None:
+    """Atomically create the epoch's claim marker; returns None when this
+    writer won, or the existing claim when the epoch was already
+    claimed (``{}`` for a torn legacy claim)."""
+    if _put_if_absent_json(spark, _claim_file(table_path, epoch), payload):
+        return None
+    return read_json(spark, _claim_file(table_path, epoch)) or {}
 
 
 def _staged_dir(table_path: str, token: str) -> str:
     return os.path.join(table_path, _STAGING_DIR, token)
+
+
+def _gc_staged(
+    spark: SparkSession,
+    table_path: str,
+    committed: list[int],
+    ttl_hours: float,
+) -> list[str]:
+    """Delete ORPHAN staging dirs: a write that lost its claim race (or
+    died before claiming) leaves its fully-staged data under
+    ``_staged/<uuid>`` with nothing referencing it — without this, a
+    long-lived table accumulates unbounded dead snapshots. Two guards
+    keep live writers safe: a staged dir referenced by ANY claim of an
+    uncommitted epoch is recovery material and never touched, and
+    anything younger than ``ttl_hours`` is presumed in-flight (a live
+    pre-claim writer is actively mtime-ing its dir; the default 24 h is
+    far past any sane commit latency)."""
+    jvm, _, fs = hadoop(spark, table_path)
+    jstage = jvm.org.apache.hadoop.fs.Path(os.path.join(table_path, _STAGING_DIR))
+    if not fs.exists(jstage):
+        return []
+    live: set[str] = set()
+    jclaims = jvm.org.apache.hadoop.fs.Path(os.path.join(table_path, _CLAIMS_DIR))
+    if fs.exists(jclaims):
+        done = set(committed)
+        for st in fs.listStatus(jclaims):
+            name = st.getPath().getName()
+            if not (name.startswith("epoch=") and name.endswith(".json")):
+                continue
+            if int(name[len("epoch=") : -len(".json")]) in done:
+                continue
+            claim = read_json(spark, _claim_file(
+                table_path, int(name[len("epoch=") : -len(".json")])
+            )) or {}
+            if claim.get("staged"):
+                live.add(claim["staged"])
+    now = jvm.java.lang.System.currentTimeMillis()
+    deleted: list[str] = []
+    for st in fs.listStatus(jstage):
+        token = st.getPath().getName()
+        if token in live:
+            continue
+        if now - st.getModificationTime() < ttl_hours * 3_600_000:
+            continue
+        fs.delete(st.getPath(), True)
+        deleted.append(os.path.join(table_path, _STAGING_DIR, token))
+    return deleted
 
 
 def _recover_commits(
@@ -132,7 +193,13 @@ def _recover_commits(
         ep = int(name[len("epoch=") : -len(".json")])
         if ep in done:
             continue
-        claim = read_json(spark, _claim_file(table_path, ep)) or {}
+        claim = read_json(spark, _claim_file(table_path, ep))
+        if claim is None:
+            # torn LEGACY claim (pre-put-if-absent protocol: created,
+            # never written). Its content can never land, and at the
+            # head epoch it would wedge every future write — remove it.
+            fs.delete(st.getPath(), False)
+            continue
         token = claim.get("staged")
         if not token:
             continue
@@ -174,17 +241,27 @@ def _commit_staged(
             "staged — the table advanced concurrently. Re-run this write "
             "against the updated table (this attempt committed nothing)."
         )
+    _finish_rename(spark, table_path, epoch, token, marker)
+
+
+def _finish_rename(
+    spark: SparkSession, table_path: str, epoch: int, token: str, marker: str
+) -> None:
+    """The post-claim half of a commit: rename the staged dir to the
+    epoch dir. Callers either hold the claim or are completing a dead
+    claimant's commit; a racing completion losing the rename is success
+    as long as the epoch carries its marker."""
     jvm, _, fs = hadoop(spark, table_path)
     ep_dir = os.path.join(table_path, f"epoch={epoch}")
     jep = jvm.org.apache.hadoop.fs.Path(ep_dir)
     jmark = jvm.org.apache.hadoop.fs.Path(os.path.join(ep_dir, marker))
     # leftover uncommitted target (a legacy pre-claim writer that died
-    # mid-write): we hold the claim, so deleting it cannot race a commit
+    # mid-write): the claim is held, so deleting it cannot race a commit
     if fs.exists(jep) and not fs.exists(jmark):
         fs.delete(jep, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(_staged_dir(table_path, token)), jep):
-        # a concurrent _recover_commits may have finished our rename for
-        # us (it saw our claim); that counts as success
+        # a concurrent recovery may have finished the rename already
+        # (it saw the claim); that counts as success
         if not fs.exists(jmark):
             raise IOError(
                 f"commit rename of staged epoch {epoch} at {table_path} "
@@ -275,7 +352,12 @@ def read_table(
     return spark.read.parquet(os.path.join(table_path, f"epoch={as_of}"))
 
 
-def gc_table(spark: SparkSession, table_path: str, keep: int) -> list[int]:
+def gc_table(
+    spark: SparkSession,
+    table_path: str,
+    keep: int,
+    staged_ttl_hours: float = 24.0,
+) -> list[int]:
     """Delete all but the newest ``keep`` committed epoch dirs; returns
     the epochs removed. The latest epoch is never deletable (keep >= 1),
     uncommitted dirs (in-flight writers) are never touched, and removed
@@ -293,6 +375,7 @@ def gc_table(spark: SparkSession, table_path: str, keep: int) -> list[int]:
     if keep < 1:
         raise ValueError("gc_table: keep must be >= 1 (the latest epoch)")
     done = _committed_epochs(spark, table_path)
+    _gc_staged(spark, table_path, done, staged_ttl_hours)
     victims = done[:-keep] if len(done) > keep else []
     if not victims:
         return []
@@ -543,9 +626,25 @@ def create_bucketed_table(
         "history": [{"epoch": 0, "n_buckets": int(n_buckets)}],
     }
     _write_epoch(df, table_path, 0, meta, list(range(n_buckets)), writer)
-    # meta lands AFTER epoch 0: a crash in between leaves no meta, so the
-    # table reads as nonexistent and create is cleanly re-runnable
-    write_json(spark, os.path.join(table_path, _META_FILE), meta)
+    # meta lands AFTER epoch 0 and PUT-IF-ABSENT: a crash in between
+    # leaves no meta (table reads as nonexistent, create re-runnable),
+    # and two racing creates resolve to one winner — the loser raises
+    # instead of silently last-write-wins-ing a meta that describes the
+    # other writer's data. Residual caveat (documented, not hidden): the
+    # loser's purge step above may have deleted the winner's in-flight
+    # files during the race window, in which case the WINNER fails its
+    # own epoch write loudly — concurrent creates never succeed
+    # silently, but exactly-one-succeeds needs an external "create once"
+    # convention, same as mkdir on every object store.
+    if not _put_if_absent_json(
+        spark, os.path.join(table_path, _META_FILE), meta
+    ):
+        raise ConcurrentWriteError(
+            f"bucketed table at {table_path} was created concurrently by "
+            "another writer (its meta committed first); this attempt's "
+            "files may interleave — verify the table or recreate at a "
+            "fresh path."
+        )
     return 0
 
 
@@ -596,7 +695,8 @@ def upsert_table(
     _recover_commits(
         spark, table_path, _bucketed_epochs(spark, table_path), _BUCKETS_FILE
     )
-    _complete_pending_rebucket(spark, table_path, meta)
+    if _complete_pending_rebucket(spark, table_path, meta) is not None:
+        meta = _table_meta(spark, table_path)  # the modulus changed
     key, n_buckets = meta["key"], meta["n_buckets"]
     if _shape(batch.schema) != [tuple(c) for c in meta["columns"]]:
         raise ValueError(
@@ -685,31 +785,71 @@ def read_bucketed_table(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def _finish_rebucket(
+    spark: SparkSession, table_path: str, meta: dict, epoch: int, n_new: int
+) -> int:
+    """Stage and rename the (deterministic) rebucket epoch: the whole
+    table at the last committed epoch, re-hashed under ``n_new``. The
+    epoch's claim is already held (by this writer, or by the dead/live
+    claimant this call is completing for) — the rename tolerates a
+    racing completion, and identical content makes helper-completion
+    safe even against a live owner."""
+    import uuid
+
+    done = _bucketed_epochs(spark, table_path)
+    content = read_bucketed_table(spark, table_path, as_of=done[-1])
+    token = uuid.uuid4().hex
+    staged = _staged_dir(table_path, token)
+    content.withColumn("bucket", _bucket_expr(meta["key"], n_new)).repartition(
+        max(1, min(n_new, spark.sparkContext.defaultParallelism)), "bucket"
+    ).write.partitionBy("bucket").mode("overwrite").parquet(staged)
+    write_json(
+        spark,
+        os.path.join(staged, _BUCKETS_FILE),
+        {"buckets": list(range(n_new))},
+    )
+    _finish_rename(spark, table_path, epoch, token, _BUCKETS_FILE)
+    return epoch
+
+
 def _complete_pending_rebucket(
     spark: SparkSession, table_path: str, meta: dict, writer: str | None = None
 ) -> int | None:
-    """If the meta's newest history entry names an epoch that is not
-    committed (a rebucket died between recording its intent and
-    committing the full epoch), complete it: the epoch's content is
-    deterministic — the whole table at the last committed epoch,
-    re-hashed under the new modulus — so the redo composes with the
-    claim protocol like any other commit. Returns the completed epoch,
-    or None when nothing was pending. Every bucketed WRITE path runs
-    this before planning (an upsert planned around a pending rebucket
-    would mix bucket-id spaces)."""
-    last = meta["history"][-1]
+    """Complete a rebucket that died mid-protocol. Two crash shapes,
+    both deterministic to finish because the rebucket epoch is a pure
+    function of the committed state + the recorded modulus:
+
+    - intent RECORDED (meta's newest history entry names an
+      uncommitted epoch): stage and rename under the already-held
+      claim;
+    - claim placed but intent NOT yet recorded (the claim at the head
+      epoch carries a ``rebucket`` payload): record the intent first,
+      then finish.
+
+    Returns the completed epoch or None. Every bucketed WRITE path
+    runs this before planning (an upsert planned around a pending
+    rebucket would mix bucket-id spaces); CALLERS MUST RE-READ meta
+    when this returns non-None — the modulus may have changed."""
     done = _bucketed_epochs(spark, table_path)
-    if not done or last["epoch"] in done:
+    if not done:
         return None
-    content = read_bucketed_table(spark, table_path, as_of=done[-1])
-    return _write_epoch(
-        content,
-        table_path,
-        last["epoch"],
-        meta,
-        list(range(last["n_buckets"])),
-        writer,
-    )
+    last = meta["history"][-1]
+    if last["epoch"] not in done:
+        _finish_rebucket(spark, table_path, meta, last["epoch"], last["n_buckets"])
+        return last["epoch"]
+    nxt = done[-1] + 1
+    claim = read_json(spark, _claim_file(table_path, nxt)) or {}
+    if claim.get("rebucket"):
+        n_new = int(claim["rebucket"]["n_buckets"])
+        new_meta = {
+            **meta,
+            "n_buckets": n_new,
+            "history": meta["history"] + [{"epoch": nxt, "n_buckets": n_new}],
+        }
+        write_json(spark, os.path.join(table_path, _META_FILE), new_meta)
+        _finish_rebucket(spark, table_path, new_meta, nxt, n_new)
+        return nxt
+    return None
 
 
 def rebucket_table(
@@ -731,12 +871,17 @@ def rebucket_table(
     Time travel, rollback targets, and the GC floor all keep their
     semantics across the boundary.
 
-    Crash-safe in two halves: the meta history entry (atomic
-    write_json) records the INTENT first; the full epoch commits via
-    the claim protocol. A crash in between leaves a pending rebucket
-    that every subsequent write path completes deterministically before
-    planning (_complete_pending_rebucket); reads are correct throughout
-    (they only consult committed epochs, all of the old era)."""
+    Crash-safe and RACE-safe in three ordered steps: (1) CLAIM the
+    epoch number, with the rebucket intent in the claim payload — from
+    this instant no concurrent upsert can ever commit a partial epoch
+    under a number the history will mark as a full rebucket anchor
+    (the claim loser raises); (2) record the intent in the meta's
+    modulus history (atomic write_json); (3) stage and rename the full
+    epoch under the held claim. A crash after (1) or (2) leaves a
+    pending rebucket that every subsequent write path completes
+    deterministically before planning (_complete_pending_rebucket);
+    reads are correct throughout (they only consult committed epochs,
+    all of the old era)."""
     if new_n_buckets < 1:
         raise ValueError("rebucket_table: new_n_buckets must be >= 1")
     meta = _table_meta(spark, table_path)
@@ -759,6 +904,21 @@ def rebucket_table(
     if not done:
         raise ValueError(f"no committed epochs at {table_path}")
     epoch = done[-1] + 1
+    other = _try_claim(
+        spark,
+        table_path,
+        epoch,
+        {
+            "writer": _writer_label(writer),
+            "rebucket": {"n_buckets": int(new_n_buckets)},
+        },
+    )
+    if other is not None:
+        raise ConcurrentWriteError(
+            f"rebucket_table: epoch {epoch} at {table_path} was claimed "
+            f"by writer {other.get('writer', 'unknown')!r} — the table "
+            "advanced concurrently; re-run against the updated table."
+        )
     new_meta = {
         **meta,
         "n_buckets": int(new_n_buckets),
@@ -766,9 +926,7 @@ def rebucket_table(
         + [{"epoch": epoch, "n_buckets": int(new_n_buckets)}],
     }
     write_json(spark, os.path.join(table_path, _META_FILE), new_meta)
-    got = _complete_pending_rebucket(spark, table_path, new_meta, writer)
-    assert got == epoch, (got, epoch)
-    return epoch
+    return _finish_rebucket(spark, table_path, new_meta, epoch, int(new_n_buckets))
 
 
 def rollback_bucketed(spark: SparkSession, table_path: str, epoch: int) -> int:
@@ -779,7 +937,8 @@ def rollback_bucketed(spark: SparkSession, table_path: str, epoch: int) -> int:
     _recover_commits(
         spark, table_path, _bucketed_epochs(spark, table_path), _BUCKETS_FILE
     )
-    _complete_pending_rebucket(spark, table_path, meta)
+    if _complete_pending_rebucket(spark, table_path, meta) is not None:
+        meta = _table_meta(spark, table_path)  # the modulus changed
     done = _bucketed_epochs(spark, table_path)
     content = read_bucketed_table(spark, table_path, as_of=epoch)
     return _write_epoch(
@@ -788,7 +947,10 @@ def rollback_bucketed(spark: SparkSession, table_path: str, epoch: int) -> int:
 
 
 def gc_bucketed_table(
-    spark: SparkSession, table_path: str, keep: int
+    spark: SparkSession,
+    table_path: str,
+    keep: int,
+    staged_ttl_hours: float = 24.0,
 ) -> list[str]:
     """Bound history: keep the last ``keep`` epochs fully time-travelable
     and delete bucket dirs below that window that are superseded for the
@@ -802,8 +964,9 @@ def gc_bucketed_table(
         raise ValueError("gc_bucketed_table: keep must be >= 1")
     meta = _table_meta(spark, table_path)
     done = _bucketed_epochs(spark, table_path)
+    staged_gone = _gc_staged(spark, table_path, done, staged_ttl_hours)
     if len(done) <= keep:
-        return []
+        return staged_gone
     floor = done[-keep]
     log = _bucketed_gc_log(spark, table_path)
     # LOG-AHEAD: the floor moves before any delete, so a crash mid-GC
@@ -843,4 +1006,4 @@ def gc_bucketed_table(
     if deleted:
         log["removed"] = sorted(set(log.get("removed", [])) | set(deleted))
         write_json(spark, os.path.join(table_path, _GC_LOG), log)
-    return deleted
+    return staged_gone + deleted

@@ -6,7 +6,7 @@ local[4], no engine confs) — the rows must agree pair-wise, else the
 entry is session-dependent and must not be frozen. Prints the VALUES
 rows to paste into operators/multimodal.py (M08_SQL).
 
-Usage:  python scripts/gen_m07_golden.py
+Usage:  python scripts/gen_m08_golden.py
 """
 
 from __future__ import annotations

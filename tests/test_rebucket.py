@@ -147,3 +147,59 @@ def test_rebucket_contract_violations(spark, tpath):
         rebucket_table(spark, tpath, 4)
     with pytest.raises(ValueError, match=">= 1"):
         rebucket_table(spark, tpath, 0)
+
+
+def test_rebucket_claim_beats_racing_upsert(spark, tpath):
+    """The race the round-9 review caught: the rebucket CLAIMS its epoch
+    before recording any intent, so a concurrent upsert can never
+    commit a partial epoch under a number the modulus history marks as
+    a full anchor. The upsert that lost raises naming the rebucket; an
+    upsert arriving later completes the rebucket first and lands on
+    top under the new modulus."""
+    import uuid
+
+    from kmeanwithmapreduce_spark.sources.fsutil import write_json
+    from kmeanwithmapreduce_spark.sources.table import (
+        _BUCKETS_FILE,
+        ConcurrentWriteError,
+        _bucket_expr,
+        _commit_staged,
+        _staged_dir,
+        _try_claim,
+        read_bucketed_table,
+        upsert_table,
+    )
+
+    create_bucketed_table(
+        _mk(spark, [(i, f"v{i}") for i in range(30)]), tpath, "k", 4
+    )
+    # rebucket writer R: claim placed (intent payload), then R "stalls"
+    assert _try_claim(
+        spark, tpath, 1, {"writer": "rebucketer", "rebucket": {"n_buckets": 16}}
+    ) is None
+
+    # an upsert that already staged for epoch 1 loses LOUDLY
+    tok = uuid.uuid4().hex
+    staged = _staged_dir(tpath, tok)
+    _mk(spark, [(7, "LOST")]).withColumn(
+        "bucket", _bucket_expr("k", 4)
+    ).write.partitionBy("bucket").parquet(staged)
+    write_json(spark, os.path.join(staged, _BUCKETS_FILE), {"buckets": [0]})
+    with pytest.raises(ConcurrentWriteError, match="rebucketer"):
+        _commit_staged(spark, tpath, 1, tok, _BUCKETS_FILE, "upserter")
+
+    # a fresh upsert completes R's rebucket (epoch 1, full, mod 16 —
+    # the intent rides in the claim even though R never wrote the meta)
+    e = upsert_table(_mk(spark, [(7, "WON")]), tpath)
+    assert e == 2
+    # the completed rebucket is a FULL mod-16 epoch: all 16 buckets are
+    # listed in the commit (a listed bucket with no dir is committed-
+    # empty — 30 keys need not occupy every bucket)
+    from kmeanwithmapreduce_spark.sources.fsutil import read_json
+
+    listing = read_json(spark, os.path.join(tpath, "epoch=1", "_buckets.json"))
+    assert listing["buckets"] == list(range(16))
+    assert len(_bucket_dirs(tpath, 2)) == 1   # 1/16 modulus in effect
+    got = {r.k: r.v for r in read_bucketed_table(spark, tpath).collect()}
+    assert got[7] == "WON" and len(got) == 30
+    assert {r.k: r.v for r in read_bucketed_table(spark, tpath, as_of=1).collect()}[7] == "v7"

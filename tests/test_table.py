@@ -279,3 +279,54 @@ def test_gc_tidies_claims_and_never_wedges_later_writes(spark, tpath):
         json.dump({"writer": "ghost", "staged": "gone"}, fh)
     assert write_snapshot(spark.range(11), tpath) == 4
     assert read_table(spark, tpath).count() == 11
+
+
+def test_torn_head_claim_is_unwedged(spark, tpath):
+    """A torn legacy claim (created, never written) at the HEAD epoch
+    must not wedge the table forever: recovery removes it and the next
+    write claims the epoch fresh. (The claim write itself is now
+    put-if-absent via tmp+rename, so new torn claims cannot occur.)"""
+    from kmeanwithmapreduce_spark.sources.table import _claim_file
+
+    write_snapshot(spark.range(3), tpath)  # epoch 0
+    torn = _claim_file(tpath, 1)
+    os.makedirs(os.path.dirname(torn), exist_ok=True)
+    open(torn, "w").close()  # zero bytes: unreadable
+    assert write_snapshot(spark.range(9), tpath) == 1
+    assert read_table(spark, tpath, as_of=1).count() == 9
+
+
+def test_put_if_absent_json_is_exclusive(spark, tmp_path):
+    from kmeanwithmapreduce_spark.sources.fsutil import read_json
+    from kmeanwithmapreduce_spark.sources.table import _put_if_absent_json
+
+    p = str(tmp_path / "claim.json")
+    assert _put_if_absent_json(spark, p, {"writer": "A"}) is True
+    assert _put_if_absent_json(spark, p, {"writer": "B"}) is False
+    assert read_json(spark, p) == {"writer": "A"}  # loser changed nothing
+
+
+def test_gc_reclaims_orphan_staging_but_not_recovery_material(spark, tpath):
+    import uuid
+
+    from kmeanwithmapreduce_spark.sources.table import (
+        _staged_dir,
+        _try_claim,
+        gc_table,
+    )
+
+    for n in (3, 5):
+        write_snapshot(spark.range(n), tpath)
+    # orphan: staged by a loser/crashed-pre-claim writer, unreferenced
+    orphan = uuid.uuid4().hex
+    spark.range(7).write.parquet(_staged_dir(tpath, orphan))
+    # recovery material: staged AND claimed for the uncommitted head
+    held = uuid.uuid4().hex
+    spark.range(11).write.parquet(_staged_dir(tpath, held))
+    assert _try_claim(spark, tpath, 2, {"writer": "w", "staged": held}) is None
+    gc_table(spark, tpath, keep=5, staged_ttl_hours=0.0)
+    assert not os.path.exists(_staged_dir(tpath, orphan))
+    assert os.path.exists(_staged_dir(tpath, held))
+    # and the held commit still rolls forward intact afterwards
+    assert write_snapshot(spark.range(1), tpath) == 3
+    assert read_table(spark, tpath, as_of=2).count() == 11
