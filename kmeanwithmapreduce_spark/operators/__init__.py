@@ -55,6 +55,7 @@ from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .profiling import PROFILE_QUERIES
 from .subword import SUBWORD_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
+from .ann_index import ANN_INDEX_QUERIES
 from .versioning import (
     REBUCKET_QUERIES,
     TIME_TRAVEL_QUERIES,
@@ -97,6 +98,7 @@ EXTRA_QUERIES = {
     **JPEG_QUERIES,
     **REBUCKET_QUERIES,
     **MJPEG_QUERIES,
+    **ANN_INDEX_QUERIES,
 }
 
 __all__ = [

@@ -255,6 +255,69 @@ class AnnIndex:
         return _adc_topk(self.codes(), probes, m, top_k, salt=int(salt))
 
 
+def s07_ann_search_join_parity(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> DataFrame:
+    """Registry entry gating the DISTRIBUTED ANN path: build a fresh
+    persisted index over the sf's embeddings corpus (vec_id >= 5; the
+    s03/s04 query/corpus split), run the driver-side serving ``search``
+    AND the executor-side ``search_join`` over the same 5 queries, and
+    emit one row — (searches_equal, n_results) — where equality is
+    BIT-FOR-BIT over (query_id, vec_id, adc, rk). Both paths produce
+    5 x top_k(10) = 50 rows at every sf, so the oracle is a literal.
+
+    The index materializes under ``base_path`` (default: a per-process
+    tmp dir), rebuilt each call; a non-empty dir that does not look
+    like an ANN-index layout is refused rather than cleared."""
+    from ..sources.fsutil import hadoop
+    from ..sources.readers import load_table
+
+    import hashlib
+    import tempfile
+
+    base = base_path or os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_s07_{}_{}".format(
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8], os.getpid()
+        ),
+    )
+    jvm, jbase, fs = hadoop(spark, base)
+    if fs.exists(jbase):
+        allowed = ("_ann_meta.json", "codes", "_claims", "_staged")
+        foreign = [
+            st.getPath().getName()
+            for st in fs.listStatus(jbase)
+            if not st.getPath().getName().startswith(allowed)
+        ]
+        if foreign:
+            raise ValueError(
+                f"s07_ann_search_join_parity: base_path {base!r} holds "
+                f"non-index content (unexpected: {foreign[:5]}); refusing "
+                "to clear it. Pass an empty or dedicated directory."
+            )
+        fs.delete(jbase, True)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ann_index(e.where(F.col("vec_id") >= 5), base, n_cells=8)
+    queries = e.where(F.col("vec_id") < 5)
+    serving = sorted(map(tuple, idx.search(queries, n_probe=2, top_k=10).collect()))
+    joined = sorted(
+        map(tuple, idx.search_join(queries, n_probe=2, top_k=10).collect())
+    )
+    return spark.createDataFrame(
+        [(int(serving == joined and len(serving) > 0), len(joined))],
+        "searches_equal bigint, n_results bigint",
+    )
+
+
+S07_SQL = """
+SELECT CAST(1 AS BIGINT) AS searches_equal, CAST(50 AS BIGINT) AS n_results
+"""
+
+ANN_INDEX_QUERIES = {
+    "s07_ann_search_join_parity": (s07_ann_search_join_parity, S07_SQL),
+}
+
+
 def build_ann_index(
     vectors: DataFrame,
     index_path: str,

@@ -414,6 +414,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "m07_jpeg_decode_stats",
         "v04_rebucket_time_travel",
         "m08_mjpeg_frame_stats",
+        "s07_ann_search_join_parity",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
