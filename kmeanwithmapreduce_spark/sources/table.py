@@ -27,11 +27,11 @@ Commit protocol (no pointer, no crash window, optimistic concurrency):
   its own epoch on top. There is deliberately NO "promote current"
   pointer step — a pointer swap adds a crash window between marking
   the epoch done and swapping (the streaming_scd2_ingest rationale).
-- Atomicity caveat (documented, inherent): ``fs.create(overwrite=
-  false)`` is put-if-absent on HDFS/ABFS/GCS; on a raw local FS and on
-  S3 without a consistency layer it is check-then-create, leaving a
-  theoretical sub-ms TOCTOU window — the same boundary Delta documents
-  for non-atomic stores.
+- Atomicity: claims are created put-if-absent with a scheme-matched
+  primitive — POSIX ``link(2)`` on ``file:`` (atomic, content already
+  in the linked inode; no TOCTOU) and tmp+rename on HDFS/ABFS/GCS
+  (rename does not overwrite there). S3 without a consistency layer
+  remains the documented Delta-style boundary.
 - ``read_table`` resolves to the highest committed epoch (or an
   explicit ``as_of`` epoch) at PLAN time and reads exactly that
   subdirectory — a concurrent append never shifts a running query.
@@ -85,23 +85,51 @@ def _claim_file(table_path: str, epoch: int) -> str:
 
 def _put_if_absent_json(spark: SparkSession, path: str, payload: dict) -> bool:
     """Atomically create ``path`` with ``payload`` — True when this
-    writer created it, False when it already existed. The content is
-    written to a writer-unique tmp and RENAMED in (Hadoop rename does
-    not overwrite an existing destination — the same property
-    write_json's delete step works around), so the content lands
-    atomically WITH the creation: no torn-file state exists, unlike a
-    create-then-write sequence where a crash between the two leaves an
-    unreadable marker."""
+    writer created it, False when it already existed. Two backends,
+    chosen by the filesystem's actual atomicity guarantees (round-9
+    ADVICE: the previous single tmp+rename backend silently relied on
+    rename-does-not-overwrite, which holds on HDFS/ABFS but NOT on
+    RawLocalFileSystem, where rename is POSIX rename(2) and replaces —
+    two racing claimants could both see rename==true):
+
+    - ``file:`` scheme — write a writer-unique tmp, then ``link(2)`` it
+      to the destination. Hard-link creation is the POSIX put-if-absent
+      primitive: it fails with EEXIST when the destination exists, and
+      the full content is already durable in the linked inode, so the
+      claim appears atomically WITH its content (no torn state, no
+      TOCTOU — the exactly-one-winner concurrency tests run on this
+      very filesystem).
+    - everything else (HDFS/ABFS/GCS) — tmp + ``fs.rename``, which on
+      those stores does not overwrite an existing destination; same
+      content-lands-with-creation property. (S3 without a consistency
+      layer remains the documented Delta-style boundary.)"""
     import json as _json
     import uuid as _uuid
+    from urllib.parse import urlparse
 
     jvm, _, fs = hadoop(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(path)
     if fs.exists(p):
         return False
+    data = _json.dumps(payload).encode("utf-8")
+    if fs.getUri().getScheme() == "file":
+        local = urlparse(path).path or path
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = f"{local}.{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, local)
+            return True
+        except FileExistsError:
+            return False  # lost the race; leave the winner alone
+        finally:
+            os.unlink(tmp)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.{_uuid.uuid4().hex}.tmp")
     stream = fs.create(tmp, True)
-    stream.write(_json.dumps(payload).encode("utf-8"))
+    stream.write(data)
     stream.close()
     if fs.rename(tmp, p):
         return True
@@ -204,18 +232,34 @@ def _recover_commits(
         if not token:
             continue
         jst = jvm.org.apache.hadoop.fs.Path(_staged_dir(table_path, token))
-        if not fs.exists(jst):
-            continue  # GC'd epoch / already renamed by its owner
         ep_dir = os.path.join(table_path, f"epoch={ep}")
         jep = jvm.org.apache.hadoop.fs.Path(ep_dir)
         jmark = jvm.org.apache.hadoop.fs.Path(os.path.join(ep_dir, marker))
+        if not fs.exists(jst):
+            # No staged material left. Usually a GC'd epoch (harmless
+            # noise) — but a claim at an UNCOMMITTED epoch with neither
+            # a staged dir nor an epoch dir is a CONSUMED claim (round-9
+            # ADVICE: two racing recoveries can delete each other's
+            # just-committed rename and consume the staged dir); nothing
+            # can ever land under it, and at the head epoch it would
+            # wedge every future write (its number can never be
+            # re-claimed). Remove it so the table self-heals. The
+            # protocol leaves no live state this can race: staging
+            # strictly precedes claiming, and rename is atomic (there
+            # is no healthy instant with both dirs absent).
+            if not fs.exists(jep):
+                fs.delete(st.getPath(), False)
+            continue
         # a leftover target dir is deletable only while UNCOMMITTED —
         # if the marker appeared, the owner just finished; stand down
         if fs.exists(jep) and not fs.exists(jmark):
             fs.delete(jep, True)
         if fs.exists(jep):
             continue
-        if fs.rename(jst, jep):
+        if fs.rename(jst, jep) or fs.exists(jmark):
+            # the rename either succeeded, or a racing recovery beat us
+            # to it (re-check the marker — round-9 ADVICE: a failed
+            # rename whose epoch IS committed is a success, not a skip)
             completed.append(ep)
     return sorted(completed)
 
@@ -529,16 +573,19 @@ def _write_epoch(
     meta: dict,
     buckets: list[int],
     writer: str | None = None,
+    token: str | None = None,
 ) -> int:
     """Write one epoch: stage the bucket dirs + the _buckets.json marker
     under ``_staged/<uuid>``, then claim-and-rename (module docstring) —
     the rename brings the marker in atomically, so a reader sees the
     whole epoch or none of it, and two racing writers resolve to one
-    winner + one loud ConcurrentWriteError."""
+    winner + one loud ConcurrentWriteError. ``token`` lets a caller
+    pre-pick the staging id so it can later tell whether ITS staged
+    data is what got committed (the create-race repair)."""
     import uuid
 
     spark = df.sparkSession
-    token = uuid.uuid4().hex
+    token = token or uuid.uuid4().hex
     staged = _staged_dir(table_path, token)
     df.withColumn("bucket", _bucket_expr(meta["key"], meta["n_buckets"])).repartition(
         max(1, min(len(buckets), spark.sparkContext.defaultParallelism)),
@@ -609,6 +656,19 @@ def create_bucketed_table(
             f"{table_path} holds bucketed epochs but no {_META_FILE}; "
             "refusing to create over an unknown layout"
         )
+    import uuid
+
+    # re-check meta IMMEDIATELY before the purge (round-9 ADVICE): a
+    # racing winner may have committed epoch 0 + meta after our entry
+    # scan — purging now would destroy a fully-created table's data.
+    # This narrows the destructive window from the whole epoch-0 write
+    # to the instants between this check and the deletes below.
+    if read_json(spark, os.path.join(table_path, _META_FILE)) is not None:
+        raise ConcurrentWriteError(
+            f"bucketed table at {table_path} was created concurrently by "
+            "another writer (its meta committed while this create was "
+            "scanning); this attempt wrote nothing."
+        )
     # purge crashed-create leftovers: no meta means no reader can depend
     # on any of this, so the redo starts from a clean slate (this also
     # clears a stale epoch-0 claim that would otherwise block the redo)
@@ -625,25 +685,57 @@ def create_bucketed_table(
         "columns": _shape(df.schema),
         "history": [{"epoch": 0, "n_buckets": int(n_buckets)}],
     }
-    _write_epoch(df, table_path, 0, meta, list(range(n_buckets)), writer)
+    # the create label carries a create-unique token so the loser branch
+    # below can recognize its OWN epoch-0 claim (host:pid alone is
+    # ambiguous between two threads of one process)
+    label = f"{_writer_label(writer)}#create={uuid.uuid4().hex}"
+    token = uuid.uuid4().hex
+    _write_epoch(
+        df, table_path, 0, meta, list(range(n_buckets)), label, token=token
+    )
     # meta lands AFTER epoch 0 and PUT-IF-ABSENT: a crash in between
     # leaves no meta (table reads as nonexistent, create re-runnable),
-    # and two racing creates resolve to one winner — the loser raises
-    # instead of silently last-write-wins-ing a meta that describes the
-    # other writer's data. Residual caveat (documented, not hidden): the
-    # loser's purge step above may have deleted the winner's in-flight
-    # files during the race window, in which case the WINNER fails its
-    # own epoch write loudly — concurrent creates never succeed
-    # silently, but exactly-one-succeeds needs an external "create once"
-    # convention, same as mkdir on every object store.
+    # and two racing creates resolve to one meta winner — the loser
+    # raises instead of silently last-write-wins-ing a meta that
+    # describes the other writer's data. Guarantee (round-9 ADVICE
+    # wording): concurrent creates never BOTH succeed; the pre-purge
+    # re-check plus the loser-side repair below make the known
+    # interleavings LOUD (the loser's data is withdrawn so it cannot
+    # serve under the winner's meta — a subsequent read fails with
+    # "no committed epochs" rather than returning the wrong rows).
+    # Exactly-one-succeeds-with-intact-data on a shared path still
+    # needs an external "create once" convention, same as mkdir on
+    # every object store.
     if not _put_if_absent_json(
         spark, os.path.join(table_path, _META_FILE), meta
     ):
+        claim = read_json(spark, _claim_file(table_path, 0)) or {}
+        staged_consumed = not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(_staged_dir(table_path, token))
+        )
+        if claim.get("writer") == label and staged_consumed:
+            # epoch 0 is OURS (the loser's) — our claim committed AND
+            # our staged dir was the one renamed in (if our rename had
+            # no-opped against a winner's already-committed epoch, the
+            # staged dir would still exist and the data would be the
+            # winner's — leave that intact). The winner's meta must not
+            # silently describe our data — withdraw it and the claim so
+            # the mix-up surfaces as a loud missing-epoch read.
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(table_path, "epoch=0")
+                ),
+                True,
+            )
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_claim_file(table_path, 0)),
+                False,
+            )
         raise ConcurrentWriteError(
             f"bucketed table at {table_path} was created concurrently by "
-            "another writer (its meta committed first); this attempt's "
-            "files may interleave — verify the table or recreate at a "
-            "fresh path."
+            "another writer (its meta committed first); any epoch-0 data "
+            "this attempt committed was withdrawn — verify the table or "
+            "recreate at a fresh path."
         )
     return 0
 

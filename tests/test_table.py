@@ -330,3 +330,117 @@ def test_gc_reclaims_orphan_staging_but_not_recovery_material(spark, tpath):
     # and the held commit still rolls forward intact afterwards
     assert write_snapshot(spark.range(1), tpath) == 3
     assert read_table(spark, tpath, as_of=2).count() == 11
+
+
+# --------------------------------------------------------------------------
+# Round 10 (ADVICE r9): claim atomicity on the local FS, consumed-claim
+# self-heal, create-race loser repair.
+
+
+def test_put_if_absent_is_atomic_under_thread_hammer(spark, tmp_path):
+    """On file:// the claim primitive is POSIX link(2) — genuinely
+    atomic, not check-then-rename (which on a local FS OVERWRITES, so
+    two racers could both report victory). 32 threads race one path;
+    exactly one must win and the surviving content must be the
+    winner's, repeated across rounds."""
+    import threading
+
+    from kmeanwithmapreduce_spark.sources.fsutil import read_json
+    from kmeanwithmapreduce_spark.sources.table import _put_if_absent_json
+
+    for rnd in range(8):
+        p = str(tmp_path / f"claim_{rnd}.json")
+        results = {}
+        barrier = threading.Barrier(32)
+
+        def run(i, p=p, results=results, barrier=barrier):
+            barrier.wait()
+            results[i] = _put_if_absent_json(spark, p, {"writer": i})
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(32)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        winners = [i for i, won in results.items() if won]
+        assert len(winners) == 1
+        assert read_json(spark, p) == {"writer": winners[0]}
+        # no tmp litter left behind by the 31 losers
+        litter = [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+        assert litter == []
+
+
+def test_consumed_head_claim_is_unwedged_snapshot(spark, tpath):
+    """ADVICE r9: a claim whose staged dir was consumed without the
+    epoch committing (racing recoveries deleting each other's rename)
+    must not wedge the table forever — recovery removes it and the
+    next write claims the epoch fresh."""
+    import json
+
+    from kmeanwithmapreduce_spark.sources.table import _claim_file
+
+    write_snapshot(spark.range(3), tpath)  # epoch 0
+    consumed = _claim_file(tpath, 1)
+    os.makedirs(os.path.dirname(consumed), exist_ok=True)
+    with open(consumed, "w") as fh:
+        json.dump({"writer": "dead", "staged": "consumed-token"}, fh)
+    # no staged dir, no epoch=1 dir: previously ConcurrentWriteError forever
+    assert write_snapshot(spark.range(9), tpath) == 1
+    assert read_table(spark, tpath, as_of=1).count() == 9
+
+
+def test_consumed_head_claim_is_unwedged_bucketed(spark, tmp_path):
+    import json
+
+    from kmeanwithmapreduce_spark.sources.table import (
+        _claim_file,
+        create_bucketed_table,
+        read_bucketed_table,
+        upsert_table,
+    )
+
+    tpath = str(tmp_path / "btbl")
+    base = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    create_bucketed_table(base, tpath, key="k", n_buckets=4)
+    consumed = _claim_file(tpath, 1)
+    with open(consumed, "w") as fh:
+        json.dump({"writer": "dead", "staged": "consumed-token"}, fh)
+    batch = spark.range(2).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    assert upsert_table(batch, tpath) == 1
+    got = {r["k"]: r["v"] for r in read_bucketed_table(spark, tpath).collect()}
+    assert got[0] == 2 and got[9] == 1
+
+
+def test_create_race_loser_withdraws_its_epoch0(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (create_bucketed_table tail): when the meta
+    put-if-absent loses, the loser's already-committed epoch 0 must
+    not silently serve under the winner's meta — it is withdrawn and
+    the subsequent read fails LOUDLY with no-committed-epochs."""
+    from kmeanwithmapreduce_spark.sources import table as T
+
+    tpath = str(tmp_path / "race")
+    winner_meta = {
+        "format": "bucketed",
+        "key": "k",
+        "n_buckets": 4,
+        "columns": [["k", "bigint"], ["v", "int"]],
+        "history": [{"epoch": 0, "n_buckets": 4}],
+    }
+    real = T._put_if_absent_json
+
+    def winner_lands_first(spark_, path, payload):
+        if path.endswith(T._META_FILE):
+            # the racing winner's meta commits just before ours
+            real(spark_, path, winner_meta)
+        return real(spark_, path, payload)
+
+    monkeypatch.setattr(T, "_put_if_absent_json", winner_lands_first)
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    with pytest.raises(T.ConcurrentWriteError, match="withdrawn"):
+        T.create_bucketed_table(df, tpath, key="k", n_buckets=4)
+    monkeypatch.setattr(T, "_put_if_absent_json", real)
+    # winner's meta intact; loser's epoch-0 data withdrawn -> loud read
+    from kmeanwithmapreduce_spark.sources.fsutil import read_json
+
+    assert read_json(spark, os.path.join(tpath, T._META_FILE)) == winner_meta
+    assert not os.path.exists(os.path.join(tpath, "epoch=0"))
+    with pytest.raises(FileNotFoundError, match="no committed epochs"):
+        T.read_bucketed_table(spark, tpath)
