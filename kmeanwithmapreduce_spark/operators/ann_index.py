@@ -202,11 +202,17 @@ class AnnIndex:
         Scale: probe rows are queries x n_probe with an m x k_codes LUT
         each (~2 KB at the default geometry) — linear in the query
         table, shuffled once; the codes side reads (vec_id, cluster,
-        codes) only. The kernel is O(n_cells*d + n_probe*m*k_codes*dsub)
-        per query in plain Python — fine for the small side of a kNN
-        join; vectorize with NumPy only if query volume ever dominates
-        (at the cost of re-pinning the accumulation order)."""
-        from .pq import _adc_topk, _sqd
+        codes) only. Round 10: both the probe kernel below and the ADC
+        scorer (pq._adc_score_cogroup) are VECTORIZED NumPy — batched
+        over queries/candidates, but accumulating distances dimension-
+        by-dimension (and subspace-by-subspace) with float64 elementwise
+        adds, left to right, so every per-element IEEE sequence equals
+        the pure-Python serving path's (_sqd / _adc_expr) and results
+        stay bit-equal to ``search`` — pinned in tests and by the s07
+        registry entry. NumPy *reductions* (``.sum()``, ``dot``) are
+        deliberately never used: pairwise summation would shift ulps
+        across the 1e-4 ADC floor."""
+        from .pq import _adc_topk
 
         idc = "query_id" if "query_id" in queries.columns else "vec_id"
         centroids = self.centroids
@@ -217,32 +223,43 @@ class AnnIndex:
         n_probe_eff = min(n_probe, len(centroids))
 
         def _probes(batches):
+            import numpy as np
             import pandas as pd
 
+            C = np.array(centroids, dtype=np.float64)  # (n_cells, d)
+            B = np.array(books, dtype=np.float64)  # (m, k, dsub)
+            d = C.shape[1]
             for pdf in batches:
-                out = {"query_id": [], "cell": [], "lut": []}
-                for qid, emb in zip(pdf[idc], pdf["embedding"]):
-                    q = [float(v) for v in emb]
-                    d2 = sorted(
-                        (_sqd(q, c, 0, len(c)), cell)
-                        for cell, c in enumerate(centroids)
-                    )
-                    for _d, cell in d2[:n_probe_eff]:
-                        if by_residual:
-                            qq = [
-                                q[i] - float(centroids[cell][i])
-                                for i in range(len(q))
-                            ]
-                        else:
-                            qq = q
-                        lut = [
-                            [_sqd(qq, c, j * dsub, dsub) for c in books[j]]
-                            for j in range(m)
-                        ]
-                        out["query_id"].append(int(qid))
-                        out["cell"].append(int(cell))
-                        out["lut"].append(lut)
-                yield pd.DataFrame(out)
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                qids = pdf[idc].to_numpy().astype(np.int64)
+                nq = Q.shape[0]
+                # coarse distances, accumulated dim-by-dim (the _sqd
+                # left-to-right order, vectorized over (query, cell))
+                d2 = np.zeros((nq, C.shape[0]), dtype=np.float64)
+                for i in range(d):
+                    d2 += (Q[:, i : i + 1] - C[None, :, i]) ** 2
+                # n_probe nearest cells, ties to the lowest cell index
+                cell_ids = np.broadcast_to(np.arange(C.shape[0]), d2.shape)
+                probed = np.lexsort((cell_ids, d2), axis=-1)[:, :n_probe_eff]
+                cells = probed.ravel()  # (nq * n_probe,)
+                QQ = np.repeat(Q, n_probe_eff, axis=0)
+                if by_residual:
+                    QQ = QQ - C[cells]
+                # LUTs: (rows, m, k), accumulated dim-by-dim within each
+                # subspace — the _sqd order the serving path pins
+                S = QQ.reshape(len(QQ), m, dsub)
+                lut = np.zeros((len(QQ), m, B.shape[1]), dtype=np.float64)
+                for i in range(dsub):
+                    lut += (S[:, :, i : i + 1] - B[None, :, :, i]) ** 2
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, n_probe_eff),
+                        "cell": cells.astype(np.int32),
+                        "lut": [row.tolist() for row in lut],
+                    }
+                )
 
         # embedding passes through UNCAST: `search` collects the raw
         # column, and bit-equality requires both paths to widen the same

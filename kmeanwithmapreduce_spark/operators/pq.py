@@ -332,37 +332,103 @@ def _adc_topk(
     is (query_id, cell, lut).
 
     ``salt=None`` broadcasts the probes (a driver-literal or
-    serving-sized query batch). ``salt=S`` is the corpus-scale kNN-JOIN
-    shape: the raw join key (cell) has only n_cells distinct values, so
-    a shuffle join would collapse to n_cells effective partitions; the
-    codes side is salted by vec_id hash and each probe row replicated S
-    ways, making the key (cell, salt) — n_cells x S partitions, values
-    unchanged (the window ranks per query_id regardless of which salt
-    partition scored a candidate)."""
-    adc = (F.floor(_adc_expr("lut", "codes", m) * 10000.0) / 10000.0).alias(
-        "adc"
-    )
+    serving-sized query batch) and scores every candidate through the
+    plan-pinned ``_adc_expr`` chain — the s04/s05 golden shape,
+    untouched. ``salt=S`` is the corpus-scale kNN-JOIN shape
+    (ann_index.AnnIndex.search_join): the raw key (cell) has only
+    n_cells distinct values, so the codes side is salted by vec_id
+    hash and each probe row replicated S ways — n_cells x S cogroups.
+    Each (cell, salt) cogroup is scored by a VECTORIZED NumPy ADC
+    kernel (round 10; previously a join + full window over every
+    candidate row): a Q_g x N_g gather-add per subspace plus a
+    per-row lexsort top-k, so the window that follows ranks only
+    Q x n_probe x S x top_k survivors instead of every candidate.
+    Values are salt-invariant and BIT-EQUAL to the broadcast path:
+    the kernel accumulates subspaces left-to-right with float64
+    elementwise adds — the exact IEEE sequence ``_adc_expr`` pins —
+    never a NumPy reduction (pairwise summation would shift ulps
+    across the 1e-4 floor; tests pin equality vs ``search``)."""
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     if salt is None:
+        adc = (
+            F.floor(_adc_expr("lut", "codes", m) * 10000.0) / 10000.0
+        ).alias("adc")
         joined = coded.join(F.broadcast(probes), coded.cluster == probes.cell)
+        scored = joined.select("query_id", "vec_id", adc)
     else:
         if salt < 1:
             raise ValueError("_adc_topk: salt must be >= 1")
         salted = coded.withColumn(
             "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(salt)).cast("int")
         )
-        fanned = probes.withColumn(
+        # lut flattens to row-major (m*k) array<double> BEFORE the
+        # cogroup: the doubly-nested array<array<double>> segfaults the
+        # cogroup Arrow deserializer in this pyspark/pyarrow build
+        # (reproduced minimally; plain mapInPandas takes it fine). Pure
+        # reshape — no value changes.
+        fanned = probes.withColumn("lut", F.flatten("lut")).withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
-        joined = salted.join(
-            fanned,
-            (salted.cluster == fanned.cell) & (salted["_salt"] == fanned["_salt"]),
-        )
+        scored = _adc_score_cogroup(salted, fanned, m, top_k)
     return (
-        joined.select("query_id", "vec_id", adc)
-        .withColumn("rk", F.row_number().over(w).cast("int"))
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= top_k)
         .select("query_id", "vec_id", "adc", "rk")
+    )
+
+
+def _adc_score_cogroup(
+    salted: DataFrame, fanned: DataFrame, m: int, top_k: int
+) -> DataFrame:
+    """Per-(cell, salt) cogroup NumPy ADC scorer emitting each group's
+    top_k per query — exact: the global top-k per query is contained
+    in the union of per-group top-k under the same (adc, vec_id) total
+    order, and ADC values are bit-equal to the JVM ``_adc_expr`` chain
+    (float64 gather-adds in subspace order j=0..m-1, floor to the 1e-4
+    grid — see _adc_topk docstring)."""
+
+    def score(codes_pdf, probes_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(codes_pdf) == 0 or len(probes_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "adc": pd.Series([], dtype="float64"),
+                }
+            )
+        C = np.stack(codes_pdf["codes"].to_numpy())  # (N, m) codes
+        vids = codes_pdf["vec_id"].to_numpy().astype(np.int64)
+        # LUTs arrive row-major flat (m*k doubles; see _adc_topk's
+        # flatten note) — reshape back to (Q, m, k), values untouched
+        L = np.stack(probes_pdf["lut"].to_numpy()).reshape(
+            len(probes_pdf), m, -1
+        )
+        qids = probes_pdf["query_id"].to_numpy().astype(np.int64)
+        # left-to-right over subspaces: acc starts at term 0 and adds
+        # each next term in order — the _adc_expr IEEE sequence
+        acc = L[:, 0, :][:, C[:, 0]].copy()  # (Q, N)
+        for j in range(1, m):
+            acc += L[:, j, :][:, C[:, j]]
+        adc = np.floor(acc * 10000.0) / 10000.0
+        k = min(top_k, adc.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(vids, adc.shape), adc), axis=-1
+        )[:, :k]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, k),
+                "vec_id": vids[order].ravel(),
+                "adc": np.take_along_axis(adc, order, axis=1).ravel(),
+            }
+        )
+
+    return (
+        salted.groupBy("cluster", "_salt")
+        .cogroup(fanned.groupBy("cell", "_salt"))
+        .applyInPandas(score, "query_id long, vec_id bigint, adc double")
     )
 
 
