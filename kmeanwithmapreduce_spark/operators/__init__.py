@@ -58,6 +58,7 @@ from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 from .ann_index import ANN_INDEX_QUERIES
 from .versioning import (
     REBUCKET_QUERIES,
+    SKIPPING_QUERIES,
     TIME_TRAVEL_QUERIES,
     UPSERT_QUERIES,
     VERSIONING_QUERIES,
@@ -99,6 +100,7 @@ EXTRA_QUERIES = {
     **REBUCKET_QUERIES,
     **MJPEG_QUERIES,
     **ANN_INDEX_QUERIES,
+    **SKIPPING_QUERIES,
 }
 
 __all__ = [

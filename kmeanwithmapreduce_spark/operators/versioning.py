@@ -326,6 +326,68 @@ V04_SQL = (
 )
 
 
+def v05_file_skipping_scan(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> DataFrame:
+    """FILE-LEVEL DATA SKIPPING through the versioned-table layer
+    (sources/stats.py): orders committed as one snapshot epoch, range-
+    partitioned on o_orderdate into 8 files with a per-file min/max
+    sidecar written at commit, then a one-year range scan through
+    ``scan_table`` — which must (a) return exactly the rows a full-scan
+    filter returns (the oracle: count + cents-exact sum over the same
+    predicate) and (b) PRUNE: the report's files_scanned must be
+    strictly below files_total (a 1-year window over a range-
+    partitioned 6.5-year span can never need every file), emitted as
+    the literal ``pruned`` flag the oracle pins to 1."""
+    import datetime
+
+    from ..sources.stats import scan_table
+    from ..sources.table import write_snapshot
+
+    base = _entry_base(sf_dir, "v05", base_path)
+    _reset_epoch_dir(spark, base, "v05_file_skipping_scan")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    write_snapshot(
+        orders.repartitionByRange(8, "o_orderdate"),
+        base,
+        stats_columns=["o_orderdate"],
+    )
+    df, report = scan_table(
+        spark,
+        base,
+        "o_orderdate",
+        lower=datetime.datetime(1997, 1, 1),
+        upper=datetime.datetime(1997, 12, 31),
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.lit(
+            int(report["files_scanned"] < report["files_total"])
+        ).cast("bigint").alias("pruned"),
+    )
+
+
+V05_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(1 AS BIGINT) AS pruned
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <= TIMESTAMP '1997-12-31'
+"""
+
+
+SKIPPING_QUERIES = {
+    "v05_file_skipping_scan": (v05_file_skipping_scan, V05_SQL),
+}
+
+
 VERSIONING_QUERIES = {
     "c14_snapshot_diff": (c14_snapshot_diff, C14_SQL),
 }

@@ -1,0 +1,342 @@
+"""File-level data skipping: per-file min/max column statistics in a
+``_file_stats.json`` sidecar, consulted at PLAN time to drop whole
+files before the scan — the Delta/Iceberg data-skipping design,
+completing layout.py's Z-order work (Z-order tightens per-file value
+ranges; parquet row-group stats already skip WITHIN an opened file,
+but only a file-level sidecar lets the planner avoid listing a file
+in the scan at all — at 100 TB the difference between touching every
+footer of a million files and touching a JSON the driver already
+holds).
+
+Design:
+
+- ``write_file_stats`` computes min/max (+ null/row counts) per file
+  with ONE distributed aggregation over the just-written directory
+  (``input_file_name()`` group keys — no driver-side footer walking,
+  works on any Hadoop FS) and writes the sidecar atomically
+  (fsutil.write_json tmp+rename). Called on a STAGED epoch dir by the
+  table layer, the sidecar rides the commit rename in atomically with
+  the data.
+- ``pruned_files`` intersects a ``[lower, upper]`` predicate with each
+  file's ``[min, max]``; files missing from the sidecar, files with an
+  all-NULL column, and columns the sidecar doesn't carry are KEPT
+  (skipping is an optimization, never a correctness gate).
+- ``scan_table`` / ``scan_bucketed_table`` are the pruned read paths
+  for the two table formats: resolve the epoch exactly like
+  read_table / read_bucketed_table, prune per epoch-dir sidecar, read
+  only the survivors, and re-apply the predicate (pruning is
+  file-granular; the residual filter still pushes down to the
+  surviving parquet row groups).
+
+Stats are OPT-IN per write (``stats_columns=[...]``): computing them
+costs one extra pass over the epoch, the right trade for tables that
+are read selectively many times (a production writer would fold the
+collection into the write itself, as Delta does — the sidecar format
+and read path are identical either way).
+
+Value encoding in JSON: numbers stay native (ints round-trip exactly;
+floats are IEEE doubles both sides), strings stay native, date/
+timestamp serialize as ISO-8601 strings — zero-padded, so
+lexicographic comparison equals temporal comparison. ``_comparable``
+normalizes predicate bounds the same way.
+
+Reference parity: no reference analog (the reference is a single
+K-Means job, SURVEY §2 Part A); training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fsutil import hadoop, qualified, read_json, write_json
+
+STATS_FILE = "_file_stats.json"
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def eligible_columns(df: DataFrame) -> list[str]:
+    """Columns min/max skipping can serve: atomic orderable types.
+    Nested/binary/map/array columns are excluded (no useful total
+    order for range predicates)."""
+    out = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in _NUMERIC or t == "string" or t == "date" or t.startswith(
+            "timestamp"
+        ) or t.startswith("decimal"):
+            out.append(f.name)
+    return out
+
+
+def _path_of(uri: str) -> str:
+    """The path component of a file URI — ``input_file_name()`` emits
+    ``file:///p`` while Hadoop's makeQualified emits ``file:/p``; both
+    (and bare paths) normalize to ``/p`` so dir-relative sidecar keys
+    match regardless of which side produced the string."""
+    from urllib.parse import urlparse
+
+    return urlparse(uri).path or uri
+
+
+def _rel_to(dir_path: str, file_uri: str) -> str:
+    base = _path_of(dir_path).rstrip("/") + "/"
+    p = _path_of(file_uri)
+    return p[len(base):] if p.startswith(base) else p
+
+
+def _jsonable(v):
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
+
+
+def _comparable(v, col_type: str):
+    """Normalize a predicate bound or a sidecar value into the single
+    comparable domain used for pruning decisions."""
+    if v is None:
+        return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if col_type.startswith("decimal"):
+        return decimal.Decimal(str(v))
+    return v
+
+
+def collect_file_stats(
+    spark: SparkSession, dir_path: str, columns: list[str] | None = None
+) -> dict:
+    """Per-file stats for the parquet files under ``dir_path`` (any
+    depth — bucket partition subdirs included), one distributed agg:
+    {"columns": {col: type}, "files": {relpath: {"rows": n,
+    col: [min, max, n_null]}}}. File keys are dir-relative so the
+    sidecar survives a staged-dir rename."""
+    df = spark.read.parquet(dir_path)
+    cols = columns if columns is not None else eligible_columns(df)
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name in cols
+    }
+    missing = [c for c in cols if c not in types]
+    if missing:
+        raise ValueError(
+            f"collect_file_stats: column(s) {missing} not in {dir_path} "
+            f"(has: {[f.name for f in df.schema.fields]})"
+        )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"_min_{c}"),
+            F.max(c).alias(f"_max_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_null_{c}"),
+        ]
+    rows = (
+        df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+    )
+    qdir = qualified(spark, dir_path)
+    files = {}
+    for r in rows:
+        rel = _rel_to(qdir, r["_f"])
+        entry = {"rows": int(r["_rows"])}
+        for c in cols:
+            entry[c] = [
+                _jsonable(r[f"_min_{c}"]),
+                _jsonable(r[f"_max_{c}"]),
+                int(r[f"_null_{c}"] or 0),
+            ]
+        files[rel] = entry
+    return {"columns": types, "files": files}
+
+
+def write_file_stats(
+    spark: SparkSession, dir_path: str, columns: list[str] | None = None
+) -> dict:
+    """Collect and persist the sidecar into ``dir_path`` (atomic
+    tmp+rename; the leading underscore keeps parquet readers away).
+    Returns the stats written."""
+    stats = collect_file_stats(spark, dir_path, columns)
+    write_json(spark, os.path.join(dir_path, STATS_FILE), stats)
+    return stats
+
+
+def read_file_stats(spark: SparkSession, dir_path: str) -> dict | None:
+    return read_json(spark, os.path.join(dir_path, STATS_FILE))
+
+
+def pruned_files(
+    spark: SparkSession,
+    dir_path: str,
+    column: str,
+    lower=None,
+    upper=None,
+) -> tuple[list[str], int]:
+    """(surviving parquet file paths under ``dir_path``, total file
+    count). A file survives when its [min, max] intersects
+    [lower, upper] (either bound None = unbounded), when its stats are
+    missing/NULL-only, or when the sidecar itself is absent — skipping
+    never loses rows, it only avoids provably-irrelevant files."""
+    jvm, _, fs = hadoop(spark, dir_path)
+    all_files = []
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(dir_path), True)
+    qdir = qualified(spark, dir_path)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        name = p.rsplit("/", 1)[1]
+        if name.startswith(("_", ".")) or not p.endswith(".parquet"):
+            continue
+        all_files.append(p)
+    if lower is None and upper is None:
+        # unbounded: no predicate to prune with (and the trivial TRUE
+        # filter keeps NULL rows, so even all-NULL files must scan)
+        return all_files, len(all_files)
+    stats = read_file_stats(spark, dir_path)
+    if stats is None:
+        return all_files, len(all_files)
+    ctype = stats["columns"].get(column)
+    if ctype is None:
+        return all_files, len(all_files)
+    lo = _comparable(lower, ctype)
+    hi = _comparable(upper, ctype)
+    keep = []
+    for p in all_files:
+        entry = stats["files"].get(_rel_to(qdir, p))
+        if entry is None or column not in entry:
+            keep.append(p)  # unknown file/column: never skip blind
+            continue
+        fmin, fmax, _nnull = entry[column]
+        if fmin is None or fmax is None:
+            # min/max NULL => every value in this file is NULL, and a
+            # bounded range predicate never matches NULL — skip it
+            continue
+        fmin = _comparable(fmin, ctype)
+        fmax = _comparable(fmax, ctype)
+        if lo is not None and fmax < lo:
+            continue
+        if hi is not None and fmin > hi:
+            continue
+        keep.append(p)
+    return keep, len(all_files)
+
+
+def _bounded_filter(column: str, lower, upper):
+    cond = F.lit(True)
+    if lower is not None:
+        cond = cond & (F.col(column) >= F.lit(lower))
+    if upper is not None:
+        cond = cond & (F.col(column) <= F.lit(upper))
+    return cond
+
+
+def scan_table(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    lower=None,
+    upper=None,
+    as_of: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Pruned range scan of a SNAPSHOT table (sources/table.py): the
+    epoch resolves exactly like read_table, the epoch dir's sidecar
+    prunes files, survivors are read with the residual predicate
+    applied (it still pushes down into the surviving row groups).
+    Returns (df, report) with report = {"files_total", "files_scanned",
+    "must_scan_fraction"} — the plan-pin observable."""
+    from .table import read_table
+
+    full = read_table(spark, table_path, as_of=as_of)
+    done_dir = None
+    for f in full.inputFiles():
+        done_dir = f.rsplit("/", 1)[0]
+        break
+    if done_dir is None:  # empty epoch
+        return full.where(_bounded_filter(column, lower, upper)), {
+            "files_total": 0,
+            "files_scanned": 0,
+            "must_scan_fraction": 0.0,
+        }
+    # inputFiles of a snapshot epoch all share the epoch dir
+    epoch_dir = done_dir
+    keep, total = pruned_files(spark, epoch_dir, column, lower, upper)
+    report = {
+        "files_total": total,
+        "files_scanned": len(keep),
+        "must_scan_fraction": (len(keep) / total) if total else 0.0,
+    }
+    if not keep:
+        empty = spark.createDataFrame([], full.schema)
+        return empty, report
+    df = spark.read.schema(full.schema).parquet(*sorted(keep))
+    return df.where(_bounded_filter(column, lower, upper)), report
+
+
+def scan_bucketed_table(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    lower=None,
+    upper=None,
+    as_of: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Pruned range scan of a BUCKETED table: buckets resolve exactly
+    like read_bucketed_table (same era slicing and empty-bucket
+    semantics), then each surviving bucket dir is pruned against ITS
+    epoch's sidecar. Bucket resolution and file skipping compose —
+    a key-equality read would prune by bucket, a range read prunes by
+    stats, and both prune epochs by time travel."""
+    from .table import (
+        _bucketed_epochs,
+        _bucketed_gc_log,
+        _era_epochs,
+        _resolve_buckets,
+        _table_meta,
+    )
+
+    meta = _table_meta(spark, table_path)
+    done = _bucketed_epochs(spark, table_path)
+    if not done:
+        raise FileNotFoundError(f"no committed epochs at {table_path}")
+    if as_of is None:
+        as_of = done[-1]
+    floor = _bucketed_gc_log(spark, table_path)["floor"]
+    if as_of not in done or (floor is not None and as_of < floor):
+        raise ValueError(
+            f"epoch {as_of} is not readable at {table_path} "
+            f"(committed: {done}, gc floor: {floor})"
+        )
+    resolved = _resolve_buckets(
+        spark, table_path, _era_epochs(meta, [e for e in done if e <= as_of])
+    )
+    schema = ", ".join(f"`{n}` {t}" for n, t in meta["columns"])
+    keep: list[str] = []
+    total = 0
+    by_epoch: dict[int, list[str]] = {}
+    for b, (ep, bdir) in resolved.items():
+        if bdir is not None:
+            by_epoch.setdefault(ep, []).append(bdir)
+    for ep, bdirs in by_epoch.items():
+        ep_dir = os.path.join(table_path, f"epoch={ep}")
+        files, n = pruned_files(spark, ep_dir, column, lower, upper)
+        prefixes = tuple(_path_of(bd).rstrip("/") + "/" for bd in bdirs)
+        wanted = [f for f in files if _path_of(f).startswith(prefixes)]
+        # total counts only files under RESOLVED buckets of this epoch
+        all_ep, _ = pruned_files(spark, ep_dir, column, None, None)
+        total += sum(1 for f in all_ep if _path_of(f).startswith(prefixes))
+        keep.extend(wanted)
+    report = {
+        "files_total": total,
+        "files_scanned": len(keep),
+        "must_scan_fraction": (len(keep) / total) if total else 0.0,
+    }
+    if not keep:
+        empty = spark.createDataFrame([], schema)
+        return empty.where(_bounded_filter(column, lower, upper)), report
+    df = spark.read.schema(schema).parquet(*sorted(keep))
+    return df.where(_bounded_filter(column, lower, upper)), report

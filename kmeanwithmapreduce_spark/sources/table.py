@@ -333,6 +333,7 @@ def write_snapshot(
     table_path: str,
     allow_schema_change: bool = False,
     writer: str | None = None,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Append ``df`` as the next committed snapshot; returns its epoch.
     Stage-then-claim-then-rename (module docstring): concurrent writers
@@ -367,6 +368,13 @@ def write_snapshot(
             )
     token = uuid.uuid4().hex
     df.write.mode("overwrite").parquet(_staged_dir(table_path, token))
+    if stats_columns:
+        # the data-skipping sidecar (sources/stats.py) is written into
+        # the STAGED dir so it commits atomically with the epoch rename;
+        # scan_table prunes files against it, read_table ignores it
+        from .stats import write_file_stats
+
+        write_file_stats(spark, _staged_dir(table_path, token), stats_columns)
     _commit_staged(spark, table_path, epoch, token, "_SUCCESS", writer)
     return epoch
 
@@ -591,6 +599,14 @@ def _write_epoch(
         max(1, min(len(buckets), spark.sparkContext.defaultParallelism)),
         "bucket",
     ).write.partitionBy("bucket").mode("overwrite").parquet(staged)
+    if meta.get("stats_columns"):
+        # data-skipping sidecar (sources/stats.py): stats_columns is
+        # frozen in the table meta at create time so EVERY epoch —
+        # upsert, rollback, rebucket, recovery-completed — carries the
+        # same sidecar; relative file paths survive the commit rename
+        from .stats import write_file_stats
+
+        write_file_stats(spark, staged, meta["stats_columns"])
     write_json(
         spark, os.path.join(staged, _BUCKETS_FILE), {"buckets": sorted(buckets)}
     )
@@ -627,6 +643,7 @@ def create_bucketed_table(
     key: str,
     n_buckets: int = 64,
     writer: str | None = None,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Create a bucketed upsert table from an initial snapshot; returns
     epoch 0. ``key`` must be unique per row (the MERGE identity); the
@@ -685,6 +702,14 @@ def create_bucketed_table(
         "columns": _shape(df.schema),
         "history": [{"epoch": 0, "n_buckets": int(n_buckets)}],
     }
+    if stats_columns:
+        bad = [c for c in stats_columns if c not in df.columns]
+        if bad:
+            raise ValueError(
+                f"stats_columns {bad} not in the table columns "
+                f"{df.columns}"
+            )
+        meta["stats_columns"] = list(stats_columns)
     # the create label carries a create-unique token so the loser branch
     # below can recognize its OWN epoch-0 claim (host:pid alone is
     # ambiguous between two threads of one process)
@@ -895,6 +920,10 @@ def _finish_rebucket(
     content.withColumn("bucket", _bucket_expr(meta["key"], n_new)).repartition(
         max(1, min(n_new, spark.sparkContext.defaultParallelism)), "bucket"
     ).write.partitionBy("bucket").mode("overwrite").parquet(staged)
+    if meta.get("stats_columns"):
+        from .stats import write_file_stats
+
+        write_file_stats(spark, staged, meta["stats_columns"])
     write_json(
         spark,
         os.path.join(staged, _BUCKETS_FILE),

@@ -415,6 +415,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "v04_rebucket_time_travel",
         "m08_mjpeg_frame_stats",
         "s07_ann_search_join_parity",
+        "v05_file_skipping_scan",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

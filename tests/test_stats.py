@@ -1,0 +1,218 @@
+"""File-level data skipping (sources/stats.py): sidecar collection,
+pruned reads on both table formats, the safety fallbacks, and the
+must-scan-fraction plan pin."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeanwithmapreduce_spark.sources.stats import (
+    STATS_FILE,
+    collect_file_stats,
+    pruned_files,
+    scan_bucketed_table,
+    scan_table,
+    write_file_stats,
+)
+from kmeanwithmapreduce_spark.sources.table import (
+    create_bucketed_table,
+    read_bucketed_table,
+    read_table,
+    upsert_table,
+    write_snapshot,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def tpath(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _range_table(spark, tpath, n=4000, files=8):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_snapshot(
+        df.repartitionByRange(files, "v"), tpath, stats_columns=["v"]
+    )
+    return df
+
+
+def test_scan_table_prunes_and_matches_full_filter(spark, tpath):
+    _range_table(spark, tpath)
+    lo, hi = 300, 900  # ~5% of the v range
+    got, report = scan_table(spark, tpath, "v", lo, hi)
+    want = read_table(spark, tpath).where(F.col("v").between(lo, hi))
+    assert _rows(got) == _rows(want) and want.count() > 0
+    # the plan pin: a narrow range over range-partitioned files must
+    # not scan most of them
+    assert report["files_total"] >= 4
+    assert report["files_scanned"] < report["files_total"]
+    assert report["must_scan_fraction"] <= 0.5
+
+
+def test_scan_table_no_sidecar_falls_back_to_full_scan(spark, tpath):
+    df = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    write_snapshot(df.repartition(4), tpath)  # no stats_columns
+    got, report = scan_table(spark, tpath, "v", 10, 20)
+    assert _rows(got) == _rows(df.where(F.col("v").between(10, 20)))
+    assert report["files_scanned"] == report["files_total"] > 0
+
+
+def test_scan_empty_survivor_set_is_typed_empty(spark, tpath):
+    _range_table(spark, tpath, n=100, files=4)
+    got, report = scan_table(spark, tpath, "v", 10_000, 20_000)
+    assert got.count() == 0
+    assert report["files_scanned"] == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+
+def test_timestamp_pruning_and_halfopen_bounds(spark, tpath):
+    base = datetime.datetime(2020, 1, 1)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.lit(base) + F.make_interval(days=F.col("id").cast("int"))).alias(
+            "ts"
+        ),
+    )
+    write_snapshot(df.repartitionByRange(8, "ts"), tpath, stats_columns=["ts"])
+    lo = datetime.datetime(2021, 6, 1)  # ~day 517 of 1000: mid-table
+    got, report = scan_table(spark, tpath, "ts", lower=lo)
+    want = read_table(spark, tpath).where(F.col("ts") >= F.lit(lo))
+    assert _rows(got) == _rows(want)
+    assert report["files_scanned"] < report["files_total"]
+    # upper-only
+    got2, report2 = scan_table(spark, tpath, "ts", upper=lo)
+    want2 = read_table(spark, tpath).where(F.col("ts") <= F.lit(lo))
+    assert _rows(got2) == _rows(want2)
+    assert report2["files_scanned"] < report2["files_total"]
+
+
+def test_all_null_file_is_skipped_under_bounded_predicate(spark, tmp_path):
+    d = str(tmp_path / "plain")
+    a = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    b = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit(None).cast("bigint").alias("v")
+    )
+    a.coalesce(1).write.parquet(d)
+    b.coalesce(1).write.mode("append").parquet(d)
+    write_file_stats(spark, d)
+    keep, total = pruned_files(spark, d, "v", 0, 100)
+    assert total == 2 and len(keep) == 1
+    # unbounded: the NULL file must stay (no predicate drops NULLs)
+    keep2, _ = pruned_files(spark, d, "v", None, None)
+    assert len(keep2) == 2
+
+
+def test_unknown_column_and_foreign_file_are_never_skipped(spark, tmp_path):
+    d = str(tmp_path / "plain")
+    spark.range(10).select(F.col("id").alias("v")).repartition(2).write.parquet(d)
+    write_file_stats(spark, d, ["v"])
+    # a file that landed AFTER the sidecar (no stats entry): kept
+    spark.range(100, 110).select(F.col("id").alias("v")).coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    keep, total = pruned_files(spark, d, "v", 0, 5)
+    assert total == 3 and len(keep) >= 2  # the late file always survives
+    # a column the sidecar doesn't carry: everything survives
+    keep2, _ = pruned_files(spark, d, "nope", 0, 5)
+    assert len(keep2) == 3
+
+
+def test_collect_file_stats_values(spark, tmp_path):
+    d = str(tmp_path / "plain")
+    spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.format_string("%03d", F.col("id"))).alias("s"),
+    ).coalesce(1).write.parquet(d)
+    stats = collect_file_stats(spark, d)
+    assert stats["columns"] == {"k": "bigint", "s": "string"}
+    (entry,) = stats["files"].values()
+    assert entry["rows"] == 100
+    assert entry["k"] == [0, 99, 0]
+    assert entry["s"] == ["s000", "s099", 0]
+    assert os.path.exists(os.path.join(d, STATS_FILE)) is False  # collect only
+
+
+def test_bucketed_scan_prunes_unrewritten_epochs(spark, tmp_path):
+    """The fact-table pattern: each upsert epoch carries a narrow
+    time range, so a recent-range scan prunes the old epochs' bucket
+    files wholesale (hash bucketing kills KEY locality, but epoch
+    sidecars keep TIME locality)."""
+    tpath = str(tmp_path / "btbl")
+    jan = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 31 + 1).cast("int").alias("day"),
+        F.lit("jan").alias("mo"),
+    )
+    create_bucketed_table(
+        jan, tpath, key="k", n_buckets=8, stats_columns=["day", "mo"]
+    )
+    mar = spark.range(1000, 1010).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 28 + 100).cast("int").alias("day"),
+        F.lit("mar").alias("mo"),
+    )
+    upsert_table(mar, tpath)
+    got, report = scan_bucketed_table(spark, tpath, "day", 100, 200)
+    want = read_bucketed_table(spark, tpath).where(
+        F.col("day").between(100, 200)
+    )
+    assert _rows(got) == _rows(want) and want.count() == 10
+    assert report["files_scanned"] < report["files_total"]
+    # string-column pruning through the same sidecar
+    got2, report2 = scan_bucketed_table(spark, tpath, "mo", "mar", "mar")
+    assert _rows(got2) == _rows(
+        read_bucketed_table(spark, tpath).where(F.col("mo") == "mar")
+    )
+    assert report2["files_scanned"] < report2["files_total"]
+
+
+def test_bucketed_scan_time_travel_and_rebucket(spark, tmp_path):
+    from kmeanwithmapreduce_spark.sources.table import rebucket_table
+
+    tpath = str(tmp_path / "btbl")
+    v0 = spark.range(200).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    create_bucketed_table(v0, tpath, key="k", n_buckets=4, stats_columns=["v"])
+    upsert_table(
+        spark.range(500, 520).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        tpath,
+    )
+    rebucket_table(spark, tpath, 16)  # full epoch; sidecar must follow
+    for as_of in (0, 1, 2):
+        got, report = scan_bucketed_table(
+            spark, tpath, "v", 100, 600, as_of=as_of
+        )
+        want = read_bucketed_table(spark, tpath, as_of=as_of).where(
+            F.col("v").between(100, 600)
+        )
+        assert _rows(got) == _rows(want)
+        assert report["files_scanned"] <= report["files_total"]
+    # post-rebucket epoch is full: pruning still bites on the range col
+    _, rep2 = scan_bucketed_table(spark, tpath, "v", 0, 10, as_of=2)
+    assert rep2["files_scanned"] < rep2["files_total"]
+
+
+def test_zordered_dir_prunes_with_sidecar(spark, tmp_path):
+    from kmeanwithmapreduce_spark.sources.layout import write_zordered
+
+    d = str(tmp_path / "z")
+    df = spark.range(5000).select(
+        (F.col("id") % 71).alias("x"), (F.col("id") % 97).alias("y")
+    )
+    write_zordered(df, d, ["x", "y"], max_records_per_file=500)
+    write_file_stats(spark, d, ["x", "y"])
+    keep, total = pruned_files(spark, d, "x", 0, 5)
+    assert total >= 8 and len(keep) < total
+    got = spark.read.parquet(*keep).where(F.col("x").between(0, 5))
+    assert _rows(got) == _rows(df.where(F.col("x").between(0, 5)))
