@@ -23,7 +23,34 @@ Contract: quantizers are FROZEN at build time (the FAISS contract —
 adds never retrain). Therefore add_batch(new) == re-encoding the union
 under the same saved parameters, which tests pin exactly; drift from a
 fresh retrain on the grown corpus is a quality question for the
-caller's re-index policy, not a correctness one.
+caller's re-index policy — and round 10 gives that policy an
+operator: ``quantization_error``/``drift_ratio`` measure it (vs the
+``train_error`` frozen in the meta at build), and ``rebuild``
+re-trains into a fresh path with the same geometry.
+
+Lifecycle (round 10 — the add_batch tail):
+
+- ``delete_ids`` appends a TOMBSTONE epoch (vec_id, asof) under
+  ``tombstones/``; reads anti-join them (a tombstone masks codes
+  epochs whose ORIGIN is <= its asof, so re-adding a deleted id
+  resurrects it — the add lands in a later epoch the tombstone does
+  not reach).
+- ``compact_codes`` folds all committed codes epochs + tombstones into
+  ONE new epoch (the thousand-small-files answer; compact_parquet's
+  analog for this layout, which plain-dir compaction cannot serve
+  because epoch dirs are commit units). Crash-safe via a
+  ``_compaction.json`` marker (put-if-absent; stage -> marker ->
+  rename -> record origin -> cleanup -> drop marker); every mutation
+  path completes a dead compactor's pending work first, and the read
+  path is correct in every window (marker + committed new epoch =>
+  old epochs excluded even before cleanup finishes). The compacted
+  epoch records its ORIGIN (the newest epoch it absorbed) in
+  ``_codes_meta.json`` so a tombstone committed while the compactor
+  was staging still masks the surviving copies of its rows.
+- Mutation paths (add/delete/compact) assume one MAINTAINER process
+  at a time — the FAISS index-maintenance model; a racing second
+  compactor fails loudly on the marker put-if-absent. Serving reads
+  are safe concurrent with all of it.
 
 Search goes through pq.search_encoded — the SAME code path the golden-
 pinned s04/s05 entries execute — so loaded-index search equals freshly-
@@ -45,6 +72,9 @@ from .pq import _K_CODES, _M_SUB, pq_encode, search_encoded, train_pq_codebooks
 
 _META = "_ann_meta.json"
 _CODES_SCHEMA = "vec_id bigint, cluster int, codes array<int>"
+_TOMB_SCHEMA = "vec_id bigint, asof int"
+_COMPACTION_MARKER = "_compaction.json"
+_CODES_META = "_codes_meta.json"
 
 
 class AnnIndex:
@@ -62,6 +92,8 @@ class AnnIndex:
         self.by_residual = meta["by_residual"]
         self.centroids = meta["centroids"]
         self.codebooks = meta["codebooks"]
+        # absent on pre-round-10 indexes (drift_ratio explains)
+        self.meta_train_error = meta.get("train_error")
 
     # -- persistence -------------------------------------------------
 
@@ -75,17 +107,79 @@ class AnnIndex:
     def _codes_path(self) -> str:
         return os.path.join(self.index_path, "codes")
 
-    def codes(self) -> DataFrame:
-        """The encoded corpus: every committed epoch's rows."""
+    def _tombstones_path(self) -> str:
+        return os.path.join(self.index_path, "tombstones")
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.index_path, _COMPACTION_MARKER)
+
+    def _codes_meta(self) -> dict:
+        return read_json(
+            self.spark, os.path.join(self.index_path, _CODES_META)
+        ) or {"origins": {}}
+
+    def _visible_epochs(self) -> list[int]:
+        """Committed codes epochs a READ may union. A pending
+        compaction whose NEW epoch committed makes every older epoch
+        invisible immediately — cleanup may still be deleting them."""
         done = _committed_epochs(self.spark, self._codes_path())
+        marker = read_json(self.spark, self._marker_path())
+        if marker is not None and marker["base_epoch"] in done:
+            done = [e for e in done if e >= marker["base_epoch"]]
+        return done
+
+    def _origin(self, epoch: int) -> int:
+        """The newest PRE-compaction epoch whose rows ``epoch`` may
+        carry: itself for append epochs, the newest absorbed epoch for
+        compacted ones (from _codes_meta, or the live marker during
+        the post-rename window). Tombstones mask epochs by origin."""
+        marker = read_json(self.spark, self._marker_path())
+        if marker is not None and marker["base_epoch"] == epoch:
+            return int(marker["origin"])
+        return int(self._codes_meta()["origins"].get(str(epoch), epoch))
+
+    def tombstones(self) -> DataFrame:
+        done = _committed_epochs(self.spark, self._tombstones_path())
         if not done:
-            return self.spark.createDataFrame([], _CODES_SCHEMA)
-        return self.spark.read.schema(_CODES_SCHEMA).parquet(
+            return self.spark.createDataFrame([], _TOMB_SCHEMA)
+        return self.spark.read.schema(_TOMB_SCHEMA).parquet(
             *[
-                os.path.join(self._codes_path(), f"epoch={ep}")
+                os.path.join(self._tombstones_path(), f"epoch={ep}")
                 for ep in done
             ]
         )
+
+    def codes(self) -> DataFrame:
+        """The encoded corpus: every visible epoch's rows, minus
+        tombstoned ids. With no tombstones this is the single
+        multi-path scan the search plans were pinned on; with
+        tombstones each epoch carries its origin as a literal and an
+        anti-join drops (vec_id, origin <= asof) matches."""
+        done = self._visible_epochs()
+        if not done:
+            return self.spark.createDataFrame([], _CODES_SCHEMA)
+        paths = [
+            os.path.join(self._codes_path(), f"epoch={ep}") for ep in done
+        ]
+        tombs = _committed_epochs(self.spark, self._tombstones_path())
+        if not tombs:
+            return self.spark.read.schema(_CODES_SCHEMA).parquet(*paths)
+        parts = []
+        for ep, p in zip(done, paths):
+            parts.append(
+                self.spark.read.schema(_CODES_SCHEMA)
+                .parquet(p)
+                .withColumn("_origin", F.lit(self._origin(ep)))
+            )
+        all_codes = parts[0]
+        for part in parts[1:]:
+            all_codes = all_codes.unionByName(part)
+        t = self.tombstones()
+        return all_codes.join(
+            t.hint("broadcast"),
+            (all_codes.vec_id == t.vec_id) & (all_codes["_origin"] <= t.asof),
+            "left_anti",
+        ).select("vec_id", "cluster", "codes")
 
     # -- encode / add ------------------------------------------------
 
@@ -114,7 +208,10 @@ class AnnIndex:
         checked — a duplicate silently occupying two top_k slots would
         displace genuine neighbors in every later search); quantizers
         are NOT retrained (the FAISS add contract — re-index
-        deliberately, not implicitly)."""
+        deliberately, not implicitly). A previously DELETED vec_id may
+        be re-added: the new row lands in an epoch beyond every
+        existing tombstone's reach (the origin rule)."""
+        self._complete_compaction()
         vectors = vectors.persist()  # 3 passes: validate, overlap, encode
         try:
             row = vectors.agg(
@@ -147,6 +244,186 @@ class AnnIndex:
             return epoch
         finally:
             vectors.unpersist()
+
+    # -- delete / compact / rebuild (round 10) -------------------------
+
+    def delete_ids(self, ids: DataFrame) -> int:
+        """Remove ``ids`` (a frame with a vec_id column) from the index
+        by appending a tombstone epoch; returns its epoch id. The
+        tombstone records asof = the newest committed codes epoch, so
+        it masks exactly the rows that exist NOW (origin <= asof) and
+        never a later re-add. ids absent from the index are a loud
+        error (a silent no-op delete hides caller bugs — FAISS
+        remove_ids returns the count for the same reason)."""
+        self._complete_compaction()
+        done = _committed_epochs(self.spark, self._codes_path())
+        if not done:
+            raise ValueError(f"delete_ids: no codes at {self.index_path}")
+        targets = ids.select("vec_id").distinct()
+        n_null = targets.where(F.col("vec_id").isNull()).count()
+        if n_null:
+            raise ValueError("delete_ids: NULL vec_id identifies no row")
+        n = targets.count()
+        missing = targets.join(
+            self.codes().select("vec_id"), "vec_id", "left_anti"
+        ).count()
+        if missing:
+            raise ValueError(
+                f"delete_ids: {missing} of {n} vec_id(s) not in the index "
+                f"at {self.index_path} (already deleted, or never added)"
+            )
+        tombs = _committed_epochs(self.spark, self._tombstones_path())
+        ep = (tombs[-1] + 1) if tombs else 0
+        targets.withColumn(
+            "asof", F.lit(int(done[-1])).cast("int")
+        ).write.mode("overwrite").parquet(
+            os.path.join(self._tombstones_path(), f"epoch={ep}")
+        )
+        return ep
+
+    def compact_codes(self) -> int:
+        """Fold every committed codes epoch and tombstone into ONE new
+        epoch holding the current view, then remove what it absorbed —
+        the answer to a thousand add_batch/delete_ids calls leaving a
+        thousand small epochs. Returns the new epoch id (or the current
+        one when there is nothing to fold). Values are pinned: codes()
+        and every search are bit-identical before and after.
+
+        Crash-safe: stage -> marker (put-if-absent; a racing compactor
+        fails loudly) -> rename -> record origin -> cleanup -> drop
+        marker. Every later mutation completes a dead compactor's
+        pending marker first, and reads are correct in every window
+        (see _visible_epochs / _origin)."""
+        import uuid
+
+        from ..sources.fsutil import hadoop
+        from ..sources.table import _put_if_absent_json
+
+        self._complete_compaction()
+        done = _committed_epochs(self.spark, self._codes_path())
+        if not done:
+            raise ValueError(f"compact_codes: no codes at {self.index_path}")
+        tombs = _committed_epochs(self.spark, self._tombstones_path())
+        if len(done) == 1 and not tombs:
+            return done[-1]
+        token = uuid.uuid4().hex
+        staged = os.path.join(self._codes_path(), "_staged", token)
+        self.codes().write.mode("overwrite").parquet(staged)
+        marker = {
+            "base_epoch": done[-1] + 1,
+            "origin": done[-1],
+            "staged": token,
+            "absorbed_codes": done,
+            "absorbed_tombstones": tombs,
+        }
+        if not _put_if_absent_json(self.spark, self._marker_path(), marker):
+            jvm, _, fs = hadoop(self.spark, staged)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+            raise ValueError(
+                f"compact_codes: another compaction is pending at "
+                f"{self.index_path}; complete it first (any mutation "
+                "entry does) and re-run"
+            )
+        self._complete_compaction()
+        return marker["base_epoch"]
+
+    def _complete_compaction(self) -> None:
+        """Finish a pending compaction deterministically (idempotent;
+        every crash window resolves): rename the staged fold in if the
+        marker's epoch is not committed, record the epoch's origin,
+        delete the absorbed codes/tombstone epochs, drop the marker. A
+        marker whose staged dir vanished without committing is torn —
+        dropped, the compaction simply never happened."""
+        from ..sources.fsutil import hadoop, write_json
+
+        marker = read_json(self.spark, self._marker_path())
+        if marker is None:
+            return
+        jvm, _, fs = hadoop(self.spark, self.index_path)
+
+        def _rm(path: str) -> None:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+
+        ep = marker["base_epoch"]
+        done = _committed_epochs(self.spark, self._codes_path())
+        ep_dir = os.path.join(self._codes_path(), f"epoch={ep}")
+        if ep not in done:
+            staged = os.path.join(
+                self._codes_path(), "_staged", marker["staged"]
+            )
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(staged)):
+                _rm(self._marker_path())  # torn: never committed
+                return
+            _rm(ep_dir)  # a dead compactor's partial rename target
+            if not fs.rename(
+                jvm.org.apache.hadoop.fs.Path(staged),
+                jvm.org.apache.hadoop.fs.Path(ep_dir),
+            ):
+                raise IOError(
+                    f"compact_codes: rename of staged fold {staged} failed"
+                )
+        meta = self._codes_meta()
+        origins = {
+            k: v
+            for k, v in meta["origins"].items()
+            if int(k) not in set(marker["absorbed_codes"])
+        }
+        origins[str(ep)] = int(marker["origin"])
+        write_json(
+            self.spark,
+            os.path.join(self.index_path, _CODES_META),
+            {"origins": origins},
+        )
+        for old in marker["absorbed_codes"]:
+            _rm(os.path.join(self._codes_path(), f"epoch={old}"))
+        for old in marker["absorbed_tombstones"]:
+            _rm(os.path.join(self._tombstones_path(), f"epoch={old}"))
+        _rm(os.path.join(self._codes_path(), "_staged", marker["staged"]))
+        _rm(self._marker_path())
+
+    def rebuild(self, vectors: DataFrame, new_index_path: str) -> "AnnIndex":
+        """Re-train quantizers on ``vectors`` (the caller's current
+        corpus — the index stores codes, not raw vectors) with THIS
+        index's geometry, into a fresh path: the re-index policy
+        operator the frozen-quantizer contract defers to. Swap paths in
+        the caller when the new index is verified; the old index stays
+        serving until then (the FAISS re-train discipline)."""
+        return build_ann_index(
+            vectors,
+            new_index_path,
+            n_cells=self.n_cells,
+            m=self.m,
+            k_codes=self.k_codes,
+            by_residual=self.by_residual,
+        )
+
+    def quantization_error(
+        self, vectors: DataFrame, sample: int = 2048
+    ) -> float:
+        """Mean squared PQ reconstruction error of a content-hash-
+        ordered sample of ``vectors`` under the SAVED quantizers — the
+        drift signal for the re-index policy. Deterministic: same
+        sample recipe as codebook training, NumPy first-min argmins."""
+        return _pq_sample_error(
+            vectors,
+            self.centroids,
+            self.codebooks,
+            by_residual=self.by_residual,
+            sample=sample,
+        )
+
+    def drift_ratio(self, vectors: DataFrame, sample: int = 2048) -> float:
+        """quantization_error(vectors) / the train_error frozen in the
+        meta at build time. ~1.0 = the corpus still looks like the
+        training distribution; grows as adds drift away — rebuild when
+        it crosses the caller's threshold."""
+        train = self.meta_train_error
+        if train is None:
+            raise ValueError(
+                f"index at {self.index_path} predates train_error "
+                "recording; rebuild once to enable drift_ratio"
+            )
+        return self.quantization_error(vectors, sample=sample) / train
 
     # -- search ------------------------------------------------------
 
@@ -335,6 +612,40 @@ ANN_INDEX_QUERIES = {
 }
 
 
+def _pq_sample_error(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    *,
+    by_residual: bool,
+    sample: int,
+) -> float:
+    """Mean squared PQ reconstruction error over the content-hash-
+    ordered sample (the train_pq_codebooks recipe, so build-time and
+    drift-time samples are drawn identically). A QUALITY metric, not a
+    golden-pinned value — plain NumPy reductions are fine here."""
+    import numpy as np
+
+    rows = (
+        vectors.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("quantization_error: empty vector sample")
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    if by_residual:
+        X = X - C[a]
+    B = np.array(books, dtype=np.float64)  # (m, k, dsub)
+    m, _k, dsub = B.shape
+    S = X.reshape(len(X), m, dsub)
+    d2 = ((S[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
+    return float(d2.min(axis=2).sum(axis=1).mean())
+
+
 def build_ann_index(
     vectors: DataFrame,
     index_path: str,
@@ -392,6 +703,15 @@ def build_ann_index(
         "by_residual": by_residual,
         "centroids": [[float(v) for v in c] for c in centroids],
         "codebooks": books,
+        # the drift_ratio denominator: reconstruction error on the
+        # build corpus's own sample, frozen with the quantizers
+        "train_error": _pq_sample_error(
+            vectors,
+            [[float(v) for v in c] for c in centroids],
+            books,
+            by_residual=by_residual,
+            sample=sample,
+        ),
     }
     idx = AnnIndex(spark, index_path, meta)
     idx._encode(vectors).write.mode("overwrite").parquet(

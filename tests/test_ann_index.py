@@ -193,3 +193,216 @@ def test_search_join_on_loaded_index_and_after_add(spark, sf_dir, tmp_path):
     idx.add_batch(b)
     loaded = AnnIndex.load(spark, p)
     assert _rows(loaded.search_join(queries)) == _rows(idx.search(queries))
+
+
+# --------------------------------------------------------------------------
+# Round 10: lifecycle tail — tombstone deletes, codes compaction with
+# crash recovery, rebuild + drift.
+
+
+def _build(spark, sf_dir, tmp_path, name="idx", **kw):
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    queries = e.where(F.col("vec_id") < 5)
+    kw.setdefault("n_cells", 8)
+    return (
+        build_ann_index(corpus, str(tmp_path / name), **kw),
+        corpus,
+        queries,
+    )
+
+
+def test_delete_ids_masks_rows_and_search(spark, sf_dir, tmp_path):
+    idx, corpus, queries = _build(spark, sf_dir, tmp_path)
+    before = {r[0] for r in idx.codes().select("vec_id").collect()}
+    victims = corpus.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    vic = {r[0] for r in victims.collect()}
+    idx.delete_ids(victims)
+    after = {r[0] for r in idx.codes().select("vec_id").collect()}
+    assert after == before - vic and vic
+    res = idx.search(queries, n_probe=2, top_k=10)
+    assert not ({r["vec_id"] for r in res.collect()} & vic)
+    # search_join follows the same codes() view
+    assert _rows(idx.search_join(queries, n_probe=2, top_k=10)) == _rows(res)
+
+
+def test_delete_ids_rejects_unknown_and_null(spark, sf_dir, tmp_path):
+    idx, corpus, _ = _build(spark, sf_dir, tmp_path)
+    ghost = spark.range(1).select(F.lit(10_000_000).alias("vec_id"))
+    with pytest.raises(ValueError, match="not in the index"):
+        idx.delete_ids(ghost)
+    nul = spark.range(1).select(F.lit(None).cast("bigint").alias("vec_id"))
+    with pytest.raises(ValueError, match="NULL"):
+        idx.delete_ids(nul)
+    # double delete of the same id is also loud
+    one = corpus.select("vec_id").limit(1)
+    idx.delete_ids(one)
+    with pytest.raises(ValueError, match="not in the index"):
+        idx.delete_ids(one)
+
+
+def test_readd_after_delete_resurrects(spark, sf_dir, tmp_path):
+    idx, corpus, _ = _build(spark, sf_dir, tmp_path)
+    row = corpus.where(F.col("vec_id") == 10)
+    idx.delete_ids(row.select("vec_id"))
+    assert idx.codes().where(F.col("vec_id") == 10).count() == 0
+    idx.add_batch(row)  # dup check must allow the re-add
+    got = idx.codes().where(F.col("vec_id") == 10)
+    assert got.count() == 1
+    # and the resurrected encoding equals the original one (same
+    # frozen quantizers)
+    fresh = build_ann_index(
+        corpus, str(tmp_path / "twin"), n_cells=8
+    ).codes().where(F.col("vec_id") == 10)
+    assert _rows(got) == _rows(fresh)
+
+
+def test_compact_codes_is_invisible_to_reads(spark, sf_dir, tmp_path):
+    idx, corpus, queries = _build(spark, sf_dir, tmp_path)
+    a = corpus.where(F.col("vec_id") % 3 == 0)
+    rest = corpus.where(F.col("vec_id") % 3 != 0)
+    p2 = str(tmp_path / "grown")
+    idx2 = build_ann_index(rest, p2, n_cells=8)
+    idx2.add_batch(a.where(F.col("vec_id") % 2 == 0))
+    idx2.add_batch(a.where(F.col("vec_id") % 2 == 1))
+    idx2.delete_ids(corpus.where(F.col("vec_id") % 11 == 0).select("vec_id"))
+    before_codes = _rows(idx2.codes())
+    before_search = _rows(idx2.search(queries, n_probe=2, top_k=10))
+    new_epoch = idx2.compact_codes()
+    from kmeanwithmapreduce_spark.streaming.ingest import _committed_epochs
+
+    assert _committed_epochs(spark, os.path.join(p2, "codes")) == [new_epoch]
+    assert _committed_epochs(spark, os.path.join(p2, "tombstones")) == []
+    assert _rows(idx2.codes()) == before_codes
+    assert _rows(idx2.search(queries, n_probe=2, top_k=10)) == before_search
+    # idempotent no-op when already folded
+    assert idx2.compact_codes() == new_epoch
+
+
+def test_tombstone_committed_during_staging_still_applies(
+    spark, sf_dir, tmp_path
+):
+    """The origin rule: a tombstone recorded with asof == the newest
+    PRE-compaction epoch must keep masking the surviving copies of its
+    rows inside the compacted epoch (origin(N) <= asof)."""
+    import json
+
+    idx, corpus, _ = _build(spark, sf_dir, tmp_path)
+    idx.add_batch(
+        _emb(spark, sf_dir).where(F.col("vec_id") < 5)
+    )  # epoch 1: now 0..4 live in the index too
+    pre_head = 1
+    new_epoch = idx.compact_codes()
+    assert new_epoch == 2
+    # simulate the racing delete that landed while the compactor was
+    # staging: its asof is the old head epoch
+    tdir = os.path.join(idx._tombstones_path(), "epoch=0")
+    spark.range(1).select(
+        F.lit(3).cast("bigint").alias("vec_id"),
+        F.lit(pre_head).cast("int").alias("asof"),
+    ).write.mode("overwrite").parquet(tdir)
+    assert idx.codes().where(F.col("vec_id") == 3).count() == 0
+
+
+def test_compaction_crash_windows_recover(spark, sf_dir, tmp_path):
+    from kmeanwithmapreduce_spark.operators.ann_index import (
+        _COMPACTION_MARKER,
+    )
+    from kmeanwithmapreduce_spark.sources.fsutil import read_json
+    from kmeanwithmapreduce_spark.streaming.ingest import _committed_epochs
+
+    idx, corpus, queries = _build(spark, sf_dir, tmp_path)
+    idx.add_batch(_emb(spark, sf_dir).where(F.col("vec_id") < 5))
+    want = _rows(idx.codes())
+
+    # window A: staged + marker written, rename never happened
+    import uuid
+
+    token = uuid.uuid4().hex
+    staged = os.path.join(idx._codes_path(), "_staged", token)
+    idx.codes().write.parquet(staged)
+    from kmeanwithmapreduce_spark.sources.fsutil import write_json
+
+    write_json(
+        spark,
+        idx._marker_path(),
+        {
+            "base_epoch": 2,
+            "origin": 1,
+            "staged": token,
+            "absorbed_codes": [0, 1],
+            "absorbed_tombstones": [],
+        },
+    )
+    # a racing second compactor must fail loudly while one is pending
+    # ... but any mutation entry completes the dead compactor first:
+    idx.add_batch(
+        spark.range(900_000, 900_001).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(0.5)] * 64).alias("embedding"),
+        )
+    )
+    assert read_json(spark, idx._marker_path()) is None
+    assert _committed_epochs(spark, idx._codes_path()) == [2, 3]
+    got = _rows(idx.codes().where(F.col("vec_id") < 900_000))
+    assert got == want
+
+    # window B: torn marker (staged never survived) is dropped
+    write_json(
+        spark,
+        idx._marker_path(),
+        {
+            "base_epoch": 9,
+            "origin": 3,
+            "staged": "gone",
+            "absorbed_codes": [2, 3],
+            "absorbed_tombstones": [],
+        },
+    )
+    idx._complete_compaction()
+    assert read_json(spark, idx._marker_path()) is None
+    assert _rows(idx.codes().where(F.col("vec_id") < 900_000)) == want
+
+
+def test_concurrent_compactor_loses_loudly(spark, sf_dir, tmp_path):
+    from kmeanwithmapreduce_spark.sources.fsutil import write_json
+
+    idx, corpus, _ = _build(spark, sf_dir, tmp_path)
+    idx.add_batch(_emb(spark, sf_dir).where(F.col("vec_id") < 5))
+
+    # a live compactor holds the marker (staged dir exists, epoch not
+    # yet committed): monkey-free reenactment — patch put-if-absent to
+    # simulate losing the race
+    import kmeanwithmapreduce_spark.sources.table as T
+
+    real = T._put_if_absent_json
+    try:
+        T._put_if_absent_json = lambda *a, **k: False
+        with pytest.raises(ValueError, match="another compaction"):
+            idx.compact_codes()
+    finally:
+        T._put_if_absent_json = real
+
+
+def test_rebuild_and_drift_ratio(spark, sf_dir, tmp_path):
+    idx, corpus, _ = _build(spark, sf_dir, tmp_path)
+    assert idx.meta_train_error and idx.meta_train_error > 0
+    # on the build corpus itself the drift ratio is ~1 by construction
+    assert abs(idx.drift_ratio(corpus) - 1.0) < 1e-9
+    # a shifted distribution (scaled + offset embeddings) drifts
+    shifted = corpus.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(3.0) + F.lit(2.0)
+        ).alias("embedding"),
+    )
+    assert idx.drift_ratio(shifted) > 1.5
+    # rebuild on the shifted corpus restores the error level
+    nu = idx.rebuild(shifted, str(tmp_path / "re"))
+    assert nu.n_cells == idx.n_cells and nu.m == idx.m
+    assert nu.drift_ratio(shifted) < idx.drift_ratio(shifted)
+    # rebuild == plain build on the same corpus (bit-for-bit)
+    twin = build_ann_index(shifted, str(tmp_path / "tw"), n_cells=8)
+    assert nu.centroids == twin.centroids
+    assert nu.codebooks == twin.codebooks
+    assert _rows(nu.codes()) == _rows(twin.codes())
