@@ -167,6 +167,13 @@ def main() -> int:
         # m08 (MJPEG decode) is NOT a bench entry: per-item Python codec
         # kernel cost by construction, the m04/m07 exclusion rule.
         "v04_rebucket_time_travel",
+        # round-10 addition (BASELINE §O target): file-skipping scan —
+        # snapshot commit with the per-file stats sidecar + pruned range
+        # read; guards the sidecar collection agg AND the pruned-read
+        # plan as one number. m09 (progressive JPEG parity) is NOT a
+        # bench entry: per-item Python codec kernel cost by
+        # construction, the m04/m07/m08 exclusion rule.
+        "v05_file_skipping_scan",
         # m04_png_roundtrip is NOT a bench entry: its cost is the
         # per-item Python PNG encode+decode kernel by construction (the
         # g01/t08/s04 exact-cost exclusion rule); the codec itself is

@@ -9,6 +9,7 @@ from .multimodal import (
     AVI_QUERIES,
     JPEG_QUERIES,
     MJPEG_QUERIES,
+    PROG_JPEG_QUERIES,
     MULTIMODAL_QUERIES,
     PNG_QUERIES,
     WAV_QUERIES,
@@ -101,6 +102,7 @@ EXTRA_QUERIES = {
     **MJPEG_QUERIES,
     **ANN_INDEX_QUERIES,
     **SKIPPING_QUERIES,
+    **PROG_JPEG_QUERIES,
 }
 
 __all__ = [

@@ -196,7 +196,13 @@ def _imgs():
 def test_decoder_matches_independent_naive_decoder_gray():
     """Main decoder vs the from-first-principles one: equal to within
     +-1 LSB (float IDCT summation-order ulps can flip a .5 rounding —
-    the cross-decoder tolerance libjpeg documents), >=99% exact."""
+    the cross-decoder tolerance libjpeg documents), >=97% exact —
+    round 10: the engine decoder's IDCT is the 13-bit INTEGER islow
+    (machine-independent); vs the naive exact-float IDCT the per-plane
+    rounding drift stays within +-1 LSB (libjpeg documents the same
+    for its integer/float pairs). In COLOR images a +-1 plane drift
+    can propagate through the YCbCr->RGB 1.772/1.402 factors to +-2
+    in a channel — the color checks bound that."""
     for img in _imgs():
         for q in (35, 75, 92):
             data = encode_jpeg(img, quality=q)
@@ -204,8 +210,8 @@ def test_decoder_matches_independent_naive_decoder_gray():
             nw, nh, naive = _naive_decode(data)
             assert (w, h) == (nw, nh) == (img.shape[1], img.shape[0])
             diff = np.abs(got.astype(int) - naive.astype(int))
-            assert diff.max() <= 1, diff.max()
-            assert (diff == 0).mean() >= 0.99
+            assert diff.max() <= 1, diff.max()  # single plane: +-1
+            assert (diff == 0).mean() >= 0.97
 
 
 def test_decoder_matches_naive_color_and_subsampling():
@@ -217,8 +223,9 @@ def test_decoder_matches_naive_color_and_subsampling():
         nw, nh, naive = _naive_decode(data)
         assert (w, h, nc) == (26, 19, 3)
         diff = np.abs(got.astype(int) - naive.astype(int))
-        assert diff.max() <= 1
-        assert (diff == 0).mean() >= 0.99
+        # +-1 plane drift through the YCbCr->RGB matrix can reach +-2
+        assert diff.max() <= 2
+        assert (diff == 0).mean() >= 0.95
 
 
 def test_decoder_matches_naive_with_restart_markers():
@@ -257,10 +264,12 @@ def test_unsupported_variants_rejected():
     good = encode_jpeg(img, 75)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
-    # progressive (SOF2)
+    # a baseline stream REMARKED as SOF2 (round 10: progressive is a
+    # supported mode now) is corrupt — its scan header claims an
+    # interleaved Ss=0..Se=63 band, illegal in a progressive frame
     b1 = bytearray(good)
     b1[b1.find(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="corrupt JPEG"):
         decode_jpeg(bytes(b1))
     # arithmetic coding (SOF9 -> 0xC9)
     b2 = bytearray(good)
@@ -278,27 +287,36 @@ def test_unsupported_variants_rejected():
         decode_jpeg(good[:-12])
 
 
-def test_decode_batch_routes_jpeg_real_and_progressive_fake(spark):
-    """m07 plumbing: JPEG payloads decode for real inside the Arrow
-    kernel; a progressive JPEG falls back to the labeled fake path
-    without failing the job."""
+def test_decode_batch_routes_jpeg_real_including_progressive(spark):
+    """m07 plumbing: baseline AND (round 10) progressive JPEG payloads
+    decode for real inside the Arrow kernel; a corrupt stream still
+    falls back to the labeled fake path without failing the job."""
     import kmeanwithmapreduce_spark.operators.multimodal as mm
+    from kmeanwithmapreduce_spark.functions.jpeg import encode_jpeg_progressive
 
     rng = np.random.default_rng(8)
     img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     good = encode_jpeg(img, 75)
-    prog = bytearray(good)
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
-    rows = [(1, bytearray(good)), (2, bytearray(bytes(prog)))]
+    prog = encode_jpeg_progressive(img, 75)
+    corrupt = bytearray(good)
+    corrupt[corrupt.find(b"\xff\xc0") + 1] = 0xC2  # fake SOF2: corrupt
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(prog)),
+        (3, bytearray(bytes(corrupt))),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in mm.decode_batch(df).collect()}
     pix = decode_jpeg(good)[3]
     want_mean = float(pix.sum(dtype=np.int64)) / pix.size / 255.0
     assert (got[1].width, got[1].height, got[1].channels) == (16, 16, 1)
     assert got[1].mean_intensity == pytest.approx(want_mean, abs=0)
-    # the progressive payload took the deterministic fake path
-    n = len(bytes(prog))
-    assert got[2].width == 16 + n % 64 and got[2].channels == 3
+    # progressive decodes for REAL and equals the baseline decode
+    assert (got[2].width, got[2].height, got[2].channels) == (16, 16, 1)
+    assert got[2].mean_intensity == got[1].mean_intensity
+    # the corrupt payload took the deterministic fake path
+    n = len(bytes(corrupt))
+    assert got[3].width == 16 + n % 64 and got[3].channels == 3
 
 
 def test_malformed_tables_raise_valueerror_not_keyerror(spark):
@@ -378,7 +396,7 @@ def test_mjpeg_avi_frames_match_naive_decoder():
             nw, nh, naive = _naive_decode(chunk)
             assert (nw, nh) == (16, 8)
             diff = np.abs(got[i].astype(int) - naive.astype(int))
-            assert diff.max() <= 1 and (diff == 0).mean() >= 0.99
+            assert diff.max() <= 2 and (diff == 0).mean() >= 0.90
 
 
 def test_mjpeg_avi_fidelity_and_refusals():
@@ -409,3 +427,76 @@ def test_mjpeg_avi_fidelity_and_refusals():
     bad[second:second + 4] = b"H264"
     with pytest.raises(ValueError, match="biCompression"):
         decode_avi_rgb(bytes(bad))
+
+
+# --------------------------------------------------------------------------
+# Round 10: progressive (SOF2) decoding. The pin: progressive and
+# baseline encodes quantize IDENTICAL coefficients, so their decodes
+# must be bit-identical — an airtight cross-entropy-path check.
+
+
+def _prog_pair(img, q, sub="444", rst=0):
+    from kmeanwithmapreduce_spark.functions.jpeg import encode_jpeg_progressive
+
+    base = decode_jpeg(encode_jpeg(img, q, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, q, subsampling=sub, restart_interval=rst)
+    )
+    return base, prog
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((16, 16), "444"),
+        ((24, 17), "444"),
+        ((33, 29, 3), "420"),
+        ((64, 48, 3), "444"),
+        ((8, 8, 3), "420"),
+    ],
+)
+def test_progressive_decode_equals_baseline(shape, sub):
+    rng = np.random.default_rng(42)
+    for q in (30, 75, 95):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base, prog = _prog_pair(img, q, sub)
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_long_eob_runs_and_gradients():
+    # flat image: every AC band is one long EOB run (EOBn with n > 0)
+    flat = np.full((48, 48), 130, dtype=np.uint8)
+    base, prog = _prog_pair(flat, 75)
+    assert np.array_equal(base[3], prog[3])
+    # smooth gradient: sparse ACs exercise ZRL + refinement corrections
+    grid = np.add.outer(np.arange(40) * 3, np.arange(56) * 2) % 256
+    base, prog = _prog_pair(grid.astype(np.uint8), 50)
+    assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_with_restart_intervals():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for rst in (1, 3, 5):
+        base, prog = _prog_pair(img, 60, "444", rst)
+        assert np.array_equal(base[3], prog[3])
+    base, prog = _prog_pair(img, 60, "420", 2)
+    assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_corrupt_streams_raise_valueerror():
+    from kmeanwithmapreduce_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    good = encode_jpeg_progressive(img, 75)
+    # truncated mid-scan
+    with pytest.raises(ValueError, match="corrupt|truncated"):
+        decode_jpeg(good[: len(good) // 2])
+    # SOS before SOF2: drop everything between APP0 and the first SOS
+    b = bytearray(good)
+    sof = b.find(b"\xff\xc2")
+    sos = b.find(b"\xff\xda")
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        decode_jpeg(bytes(b[:sof]) + bytes(b[sos:]))
