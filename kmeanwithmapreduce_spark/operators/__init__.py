@@ -56,7 +56,7 @@ from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .profiling import PROFILE_QUERIES
 from .subword import SUBWORD_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
-from .ann_index import ANN_INDEX_QUERIES
+from .ann_index import ANN_FILTER_QUERIES, ANN_INDEX_QUERIES
 from .versioning import (
     REBUCKET_QUERIES,
     SKIPPING_QUERIES,
@@ -103,6 +103,7 @@ EXTRA_QUERIES = {
     **ANN_INDEX_QUERIES,
     **SKIPPING_QUERIES,
     **PROG_JPEG_QUERIES,
+    **ANN_FILTER_QUERIES,
 }
 
 __all__ = [

@@ -427,23 +427,39 @@ class AnnIndex:
 
     # -- search ------------------------------------------------------
 
+    def _searchable_codes(self, keep: DataFrame | None) -> DataFrame:
+        """The codes frame a search scans: everything, or — FILTERED
+        search (round 10; the retrieval-with-an-allow-list shape:
+        per-tenant corpora, license filters, eval holdouts) — only the
+        vec_ids in ``keep``, applied as a pre-scoring semi-join so the
+        top_k is exact over the allowed set (post-filtering results
+        would silently return < k and leak ranking slots to excluded
+        vectors)."""
+        codes = self.codes()
+        if keep is None:
+            return codes
+        return codes.join(keep.select("vec_id").distinct(), "vec_id", "semi")
+
     def search(
         self,
         queries: DataFrame,
         *,
         n_probe: int = 2,
         top_k: int = 10,
+        keep: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k ADC neighbors per query row (query_id|vec_id,
         embedding). Same code path as the golden-pinned s04/s05 search
-        (pq.search_encoded) over the persisted codes."""
+        (pq.search_encoded) over the persisted codes. ``keep`` (a frame
+        with a vec_id column) restricts the searched corpus — see
+        _searchable_codes."""
         idc = "query_id" if "query_id" in queries.columns else "vec_id"
         qvecs = [
             (int(r[0]), [float(v) for v in r[1]])
             for r in queries.select(idc, "embedding").orderBy(idc).collect()
         ]
         return search_encoded(
-            self.codes(),
+            self._searchable_codes(keep),
             self.centroids,
             self.codebooks,
             qvecs,
@@ -459,6 +475,7 @@ class AnnIndex:
         n_probe: int = 2,
         top_k: int = 10,
         salt: int | None = None,
+        keep: DataFrame | None = None,
     ) -> DataFrame:
         """DISTRIBUTED batch search — the table-scale kNN-JOIN path
         (dedup-vs-index, retrieval eval over a whole embeddings table):
@@ -546,7 +563,47 @@ class AnnIndex:
         )
         if salt is None:
             salt = max(1, self.spark.sparkContext.defaultParallelism)
-        return _adc_topk(self.codes(), probes, m, top_k, salt=int(salt))
+        return _adc_topk(
+            self._searchable_codes(keep), probes, m, top_k, salt=int(salt)
+        )
+
+
+def _s07_base(
+    spark: SparkSession, sf_dir: str, base_path: str | None, tag: str
+) -> str:
+    """Per-process scratch path for the parity entries' throwaway
+    index, rebuilt each call; a non-empty dir that does not look like
+    an ANN-index layout is refused rather than cleared."""
+    from ..sources.fsutil import hadoop
+
+    import hashlib
+    import tempfile
+
+    base = base_path or os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_{}_{}_{}".format(
+            tag, hashlib.md5(sf_dir.encode()).hexdigest()[:8], os.getpid()
+        ),
+    )
+    jvm, jbase, fs = hadoop(spark, base)
+    if fs.exists(jbase):
+        allowed = (
+            "_ann_meta.json", "codes", "tombstones", "_claims", "_staged",
+            "_codes_meta.json", "_compaction.json",
+        )
+        foreign = [
+            st.getPath().getName()
+            for st in fs.listStatus(jbase)
+            if not st.getPath().getName().startswith(allowed)
+        ]
+        if foreign:
+            raise ValueError(
+                f"{tag} parity entry: base_path {base!r} holds non-index "
+                f"content (unexpected: {foreign[:5]}); refusing to clear "
+                "it. Pass an empty or dedicated directory."
+            )
+        fs.delete(jbase, True)
+    return base
 
 
 def s07_ann_search_join_parity(
@@ -563,33 +620,9 @@ def s07_ann_search_join_parity(
     The index materializes under ``base_path`` (default: a per-process
     tmp dir), rebuilt each call; a non-empty dir that does not look
     like an ANN-index layout is refused rather than cleared."""
-    from ..sources.fsutil import hadoop
     from ..sources.readers import load_table
 
-    import hashlib
-    import tempfile
-
-    base = base_path or os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_s07_{}_{}".format(
-            hashlib.md5(sf_dir.encode()).hexdigest()[:8], os.getpid()
-        ),
-    )
-    jvm, jbase, fs = hadoop(spark, base)
-    if fs.exists(jbase):
-        allowed = ("_ann_meta.json", "codes", "_claims", "_staged")
-        foreign = [
-            st.getPath().getName()
-            for st in fs.listStatus(jbase)
-            if not st.getPath().getName().startswith(allowed)
-        ]
-        if foreign:
-            raise ValueError(
-                f"s07_ann_search_join_parity: base_path {base!r} holds "
-                f"non-index content (unexpected: {foreign[:5]}); refusing "
-                "to clear it. Pass an empty or dedicated directory."
-            )
-        fs.delete(jbase, True)
+    base = _s07_base(spark, sf_dir, base_path, tag="s07")
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     idx = build_ann_index(e.where(F.col("vec_id") >= 5), base, n_cells=8)
     queries = e.where(F.col("vec_id") < 5)
@@ -607,8 +640,68 @@ S07_SQL = """
 SELECT CAST(1 AS BIGINT) AS searches_equal, CAST(50 AS BIGINT) AS n_results
 """
 
+
+def s08_ann_filtered_search_parity(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> DataFrame:
+    """Registry entry gating FILTERED ANN search (the allow-list /
+    per-tenant / license-filter retrieval shape): build a fresh
+    persisted index over the sf's embeddings corpus, restrict the
+    searchable set to the ODD vec_ids via ``keep``, run the serving
+    ``search`` AND the distributed ``search_join`` under the same
+    filter, and emit one row — (searches_equal, n_results, all_kept):
+    both paths bit-equal, 5 x top_k(10) rows at every sf, and every
+    returned neighbor inside the allow-list (the pre-scoring semi-join
+    guarantee; post-filtering would leak excluded vectors' ranking
+    slots). Literal oracle; same s07 base-path discipline."""
+    from ..sources.readers import load_table
+
+    base = _s07_base(spark, sf_dir, base_path, tag="s08")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ann_index(e.where(F.col("vec_id") >= 5), base, n_cells=8)
+    queries = e.where(F.col("vec_id") < 5)
+    keep = e.where((F.col("vec_id") >= 5) & (F.col("vec_id") % 2 == 1)).select(
+        "vec_id"
+    )
+    serving = sorted(
+        map(tuple, idx.search(queries, n_probe=2, top_k=10, keep=keep).collect())
+    )
+    joined = sorted(
+        map(
+            tuple,
+            idx.search_join(queries, n_probe=2, top_k=10, keep=keep).collect(),
+        )
+    )
+    all_kept = all(r[1] % 2 == 1 for r in joined)
+    return spark.createDataFrame(
+        [
+            (
+                int(serving == joined and len(serving) > 0),
+                len(joined),
+                int(all_kept),
+            )
+        ],
+        "searches_equal bigint, n_results bigint, all_kept bigint",
+    )
+
+
+S08_SQL = """
+SELECT CAST(1 AS BIGINT) AS searches_equal,
+       CAST(50 AS BIGINT) AS n_results,
+       CAST(1 AS BIGINT) AS all_kept
+"""
+
 ANN_INDEX_QUERIES = {
     "s07_ann_search_join_parity": (s07_ann_search_join_parity, S07_SQL),
+}
+
+# registered LAST (operators/__init__) so s07/v05/m09 keep their
+# registry positions — the order-pin tail appends, never reorders
+ANN_FILTER_QUERIES = {
+    "s08_ann_filtered_search_parity": (
+        s08_ann_filtered_search_parity,
+        S08_SQL,
+    ),
 }
 
 

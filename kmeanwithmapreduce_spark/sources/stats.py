@@ -171,18 +171,36 @@ def read_file_stats(spark: SparkSession, dir_path: str) -> dict | None:
     return read_json(spark, os.path.join(dir_path, STATS_FILE))
 
 
+def _norm_predicates(
+    column: str | None, lower, upper, predicates: dict | None
+) -> dict:
+    """One predicate dict {col: (lo, hi)} from the single-column sugar
+    and/or the multi-column ``predicates`` form, unbounded pairs
+    dropped (they cannot prune and their trivial TRUE residual keeps
+    NULL rows)."""
+    preds = {c: (lo, hi) for c, (lo, hi) in (predicates or {}).items()}
+    if column is not None:
+        preds[column] = (lower, upper)
+    return {
+        c: (lo, hi) for c, (lo, hi) in preds.items()
+        if lo is not None or hi is not None
+    }
+
+
 def pruned_files(
     spark: SparkSession,
     dir_path: str,
-    column: str,
+    column: str | None = None,
     lower=None,
     upper=None,
+    predicates: dict | None = None,
 ) -> tuple[list[str], int]:
     """(surviving parquet file paths under ``dir_path``, total file
-    count). A file survives when its [min, max] intersects
-    [lower, upper] (either bound None = unbounded), when its stats are
-    missing/NULL-only, or when the sidecar itself is absent — skipping
-    never loses rows, it only avoids provably-irrelevant files."""
+    count). A file survives when EVERY bounded predicate's [lo, hi]
+    intersects its [min, max] (the multi-column AND — the Z-order box
+    shape); files with missing stats for a column, unknown files, or
+    an absent sidecar are KEPT — skipping never loses rows, it only
+    avoids provably-irrelevant files."""
     jvm, _, fs = hadoop(spark, dir_path)
     all_files = []
     it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(dir_path), True)
@@ -193,55 +211,65 @@ def pruned_files(
         if name.startswith(("_", ".")) or not p.endswith(".parquet"):
             continue
         all_files.append(p)
-    if lower is None and upper is None:
-        # unbounded: no predicate to prune with (and the trivial TRUE
-        # filter keeps NULL rows, so even all-NULL files must scan)
+    preds = _norm_predicates(column, lower, upper, predicates)
+    if not preds:
         return all_files, len(all_files)
     stats = read_file_stats(spark, dir_path)
     if stats is None:
         return all_files, len(all_files)
-    ctype = stats["columns"].get(column)
-    if ctype is None:
-        return all_files, len(all_files)
-    lo = _comparable(lower, ctype)
-    hi = _comparable(upper, ctype)
     keep = []
     for p in all_files:
         entry = stats["files"].get(_rel_to(qdir, p))
-        if entry is None or column not in entry:
-            keep.append(p)  # unknown file/column: never skip blind
+        if entry is None:
+            keep.append(p)  # unknown file: never skip blind
             continue
-        fmin, fmax, _nnull = entry[column]
-        if fmin is None or fmax is None:
-            # min/max NULL => every value in this file is NULL, and a
-            # bounded range predicate never matches NULL — skip it
-            continue
-        fmin = _comparable(fmin, ctype)
-        fmax = _comparable(fmax, ctype)
-        if lo is not None and fmax < lo:
-            continue
-        if hi is not None and fmin > hi:
-            continue
-        keep.append(p)
+        survives = True
+        for col, (lo_raw, hi_raw) in preds.items():
+            ctype = stats["columns"].get(col)
+            if ctype is None or col not in entry:
+                continue  # no stats for this column: cannot prune on it
+            fmin, fmax, _nnull = entry[col]
+            if fmin is None or fmax is None:
+                # min/max NULL => every value NULL; a bounded range
+                # predicate never matches NULL — prune
+                survives = False
+                break
+            fmin = _comparable(fmin, ctype)
+            fmax = _comparable(fmax, ctype)
+            lo = _comparable(lo_raw, ctype)
+            hi = _comparable(hi_raw, ctype)
+            if (lo is not None and fmax < lo) or (
+                hi is not None and fmin > hi
+            ):
+                survives = False
+                break
+        if survives:
+            keep.append(p)
     return keep, len(all_files)
 
 
-def _bounded_filter(column: str, lower, upper):
+def _bounded_filter(
+    column: str | None, lower, upper, predicates: dict | None = None
+):
     cond = F.lit(True)
-    if lower is not None:
-        cond = cond & (F.col(column) >= F.lit(lower))
-    if upper is not None:
-        cond = cond & (F.col(column) <= F.lit(upper))
+    for col, (lo, hi) in _norm_predicates(
+        column, lower, upper, predicates
+    ).items():
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
     return cond
 
 
 def scan_table(
     spark: SparkSession,
     table_path: str,
-    column: str,
+    column: str | None = None,
     lower=None,
     upper=None,
     as_of: int | None = None,
+    predicates: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Pruned range scan of a SNAPSHOT table (sources/table.py): the
     epoch resolves exactly like read_table, the epoch dir's sidecar
@@ -257,14 +285,18 @@ def scan_table(
         done_dir = f.rsplit("/", 1)[0]
         break
     if done_dir is None:  # empty epoch
-        return full.where(_bounded_filter(column, lower, upper)), {
+        return full.where(
+            _bounded_filter(column, lower, upper, predicates)
+        ), {
             "files_total": 0,
             "files_scanned": 0,
             "must_scan_fraction": 0.0,
         }
     # inputFiles of a snapshot epoch all share the epoch dir
     epoch_dir = done_dir
-    keep, total = pruned_files(spark, epoch_dir, column, lower, upper)
+    keep, total = pruned_files(
+        spark, epoch_dir, column, lower, upper, predicates
+    )
     report = {
         "files_total": total,
         "files_scanned": len(keep),
@@ -274,16 +306,17 @@ def scan_table(
         empty = spark.createDataFrame([], full.schema)
         return empty, report
     df = spark.read.schema(full.schema).parquet(*sorted(keep))
-    return df.where(_bounded_filter(column, lower, upper)), report
+    return df.where(_bounded_filter(column, lower, upper, predicates)), report
 
 
 def scan_bucketed_table(
     spark: SparkSession,
     table_path: str,
-    column: str,
+    column: str | None = None,
     lower=None,
     upper=None,
     as_of: int | None = None,
+    predicates: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Pruned range scan of a BUCKETED table: buckets resolve exactly
     like read_bucketed_table (same era slicing and empty-bucket
@@ -323,11 +356,13 @@ def scan_bucketed_table(
             by_epoch.setdefault(ep, []).append(bdir)
     for ep, bdirs in by_epoch.items():
         ep_dir = os.path.join(table_path, f"epoch={ep}")
-        files, n = pruned_files(spark, ep_dir, column, lower, upper)
+        files, n = pruned_files(
+            spark, ep_dir, column, lower, upper, predicates
+        )
         prefixes = tuple(_path_of(bd).rstrip("/") + "/" for bd in bdirs)
         wanted = [f for f in files if _path_of(f).startswith(prefixes)]
         # total counts only files under RESOLVED buckets of this epoch
-        all_ep, _ = pruned_files(spark, ep_dir, column, None, None)
+        all_ep, _ = pruned_files(spark, ep_dir)
         total += sum(1 for f in all_ep if _path_of(f).startswith(prefixes))
         keep.extend(wanted)
     report = {
@@ -337,6 +372,8 @@ def scan_bucketed_table(
     }
     if not keep:
         empty = spark.createDataFrame([], schema)
-        return empty.where(_bounded_filter(column, lower, upper)), report
+        return empty.where(
+            _bounded_filter(column, lower, upper, predicates)
+        ), report
     df = spark.read.schema(schema).parquet(*sorted(keep))
-    return df.where(_bounded_filter(column, lower, upper)), report
+    return df.where(_bounded_filter(column, lower, upper, predicates)), report

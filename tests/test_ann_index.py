@@ -406,3 +406,60 @@ def test_rebuild_and_drift_ratio(spark, sf_dir, tmp_path):
     assert nu.centroids == twin.centroids
     assert nu.codebooks == twin.codebooks
     assert _rows(nu.codes()) == _rows(twin.codes())
+
+
+# --------------------------------------------------------------------------
+# Round 10 (second block): FILTERED search — the allow-list retrieval
+# shape (per-tenant corpora, license filters, eval holdouts).
+
+
+def test_filtered_search_exact_and_parity(spark, sf_dir, tmp_path):
+    idx, corpus, queries = _build(spark, sf_dir, tmp_path)
+    keep = corpus.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    want = _rows(idx.search(queries, n_probe=2, top_k=10, keep=keep))
+    assert len(want) == 50
+    # every neighbor inside the allow-list (pre-scoring semi-join:
+    # excluded vectors can never occupy ranking slots)
+    assert all(r[1] % 2 == 1 for r in want)
+    # distributed path bit-equal under the same filter, salt-invariant
+    got = _rows(idx.search_join(queries, n_probe=2, top_k=10, keep=keep))
+    assert got == want
+    assert _rows(
+        idx.search_join(queries, n_probe=2, top_k=10, keep=keep, salt=3)
+    ) == want
+    # keep=everything == no filter at all
+    assert _rows(
+        idx.search(queries, n_probe=2, top_k=10, keep=corpus.select("vec_id"))
+    ) == _rows(idx.search(queries, n_probe=2, top_k=10))
+    # independent expectation: scoring a PRE-FILTERED codes frame
+    # through the shared tail must give the same rows
+    from kmeanwithmapreduce_spark.operators.pq import search_encoded
+
+    qvecs = [
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in queries.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    manual = _rows(
+        search_encoded(
+            idx.codes().where(F.col("vec_id") % 2 == 1),
+            idx.centroids,
+            idx.codebooks,
+            qvecs,
+            n_probe=2,
+            top_k=10,
+            by_residual=False,
+        )
+    )
+    assert manual == want
+
+
+def test_filtered_search_composes_with_deletes(spark, sf_dir, tmp_path):
+    idx, corpus, queries = _build(spark, sf_dir, tmp_path)
+    keep = corpus.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    victims = keep.limit(20)
+    idx.delete_ids(victims)
+    vic = {r[0] for r in victims.collect()}
+    res = idx.search(queries, n_probe=2, top_k=10, keep=keep)
+    ids = {r["vec_id"] for r in res.collect()}
+    assert not (ids & vic)  # deletes win inside the allow-list
+    assert all(v % 2 == 1 for v in ids)

@@ -417,6 +417,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "s07_ann_search_join_parity",
         "v05_file_skipping_scan",
         "m09_progressive_jpeg_parity",
+        "s08_ann_filtered_search_parity",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -216,3 +216,57 @@ def test_zordered_dir_prunes_with_sidecar(spark, tmp_path):
     assert total >= 8 and len(keep) < total
     got = spark.read.parquet(*keep).where(F.col("x").between(0, 5))
     assert _rows(got) == _rows(df.where(F.col("x").between(0, 5)))
+
+
+# --------------------------------------------------------------------------
+# Round 10 (second block): multi-column predicates — the Z-order box
+# shape at the file-skipping level.
+
+
+def test_multi_column_scan_matches_and_prunes_tighter(spark, tmp_path):
+    from kmeanwithmapreduce_spark.sources.layout import write_zordered
+
+    tpath = str(tmp_path / "ztbl")
+    df = spark.range(20_000).select(
+        (F.col("id") % 211).alias("x"),
+        ((F.col("id") * 7) % 197).alias("y"),
+        F.col("id").alias("k"),
+    )
+    from kmeanwithmapreduce_spark.sources.layout import zorder_key
+
+    z = zorder_key(df, ["x", "y"]).repartitionByRange(16, "_zkey").drop("_zkey")
+    write_snapshot(z, tpath, stats_columns=["x", "y"])
+    box = {"x": (0, 20), "y": (0, 20)}
+    got, rep_box = scan_table(spark, tpath, predicates=box)
+    want = read_table(spark, tpath).where(
+        F.col("x").between(0, 20) & F.col("y").between(0, 20)
+    )
+    assert _rows(got) == _rows(want) and want.count() > 0
+    # the 2-D box must prune at least as tight as either 1-D slice
+    _, rep_x = scan_table(spark, tpath, "x", 0, 20)
+    _, rep_y = scan_table(spark, tpath, "y", 0, 20)
+    assert rep_box["files_scanned"] <= min(
+        rep_x["files_scanned"], rep_y["files_scanned"]
+    )
+    assert rep_box["files_scanned"] < rep_box["files_total"]
+    # single-column sugar and predicates compose (AND)
+    got2, _ = scan_table(spark, tpath, "x", 0, 20, predicates={"y": (0, 20)})
+    assert _rows(got2) == _rows(want)
+
+
+def test_multi_column_bucketed_scan(spark, tmp_path):
+    tpath = str(tmp_path / "btbl")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).cast("int").alias("a"),
+        (F.col("id") % 7).cast("int").alias("b"),
+    )
+    create_bucketed_table(df, tpath, key="k", n_buckets=4, stats_columns=["a", "b"])
+    got, rep = scan_bucketed_table(
+        spark, tpath, predicates={"a": (10, 20), "b": (2, 4)}
+    )
+    want = read_bucketed_table(spark, tpath).where(
+        F.col("a").between(10, 20) & F.col("b").between(2, 4)
+    )
+    assert _rows(got) == _rows(want) and want.count() > 0
+    assert rep["files_scanned"] <= rep["files_total"]
