@@ -739,11 +739,23 @@ def _pq_sample_error(
     return float(d2.min(axis=2).sum(axis=1).mean())
 
 
+def auto_n_cells(n_vectors: int) -> int:
+    """The FAISS sizing rule of thumb: ~sqrt(n) coarse cells, so the
+    per-query candidate set (n_probe/n_cells of the corpus) stays
+    ~n_probe*sqrt(n) instead of growing linearly — the knob that keeps
+    search_join's per-query cost flat as the corpus scales (SCALE.md
+    measured the fixed-8-cells wall at sf10). Clamped to [8, 65536];
+    deterministic — a pure function of the count."""
+    import math
+
+    return max(8, min(65536, int(round(math.sqrt(max(1, n_vectors))))))
+
+
 def build_ann_index(
     vectors: DataFrame,
     index_path: str,
     *,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     m: int = _M_SUB,
     k_codes: int = _K_CODES,
     by_residual: bool = False,
@@ -752,7 +764,10 @@ def build_ann_index(
     """Train coarse + PQ quantizers on ``vectors`` (vec_id, embedding),
     encode them as codes epoch 0, and persist everything under
     ``index_path``. The meta write is the commit (last, atomic): a
-    crashed build leaves no loadable index and is cleanly re-runnable."""
+    crashed build leaves no loadable index and is cleanly re-runnable.
+    ``n_cells="auto"`` sizes the coarse quantizer ~sqrt(corpus) (see
+    auto_n_cells) — the scale default; the resolved count persists in
+    the meta like any explicit one."""
     from ..kmeans import core
 
     spark = vectors.sparkSession
@@ -761,6 +776,9 @@ def build_ann_index(
     feats = vectors.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("features")
     )
+    if n_cells == "auto":
+        n_cells = auto_n_cells(feats.count())
+    n_cells = int(n_cells)
     d = len(feats.select("features").first()[0])
     if d % m:
         raise ValueError(f"d={d} not divisible by m={m}")

@@ -463,3 +463,24 @@ def test_filtered_search_composes_with_deletes(spark, sf_dir, tmp_path):
     ids = {r["vec_id"] for r in res.collect()}
     assert not (ids & vic)  # deletes win inside the allow-list
     assert all(v % 2 == 1 for v in ids)
+
+
+def test_auto_n_cells_sizing(spark, sf_dir, tmp_path):
+    from kmeanwithmapreduce_spark.operators.ann_index import auto_n_cells
+
+    assert auto_n_cells(0) == 8 and auto_n_cells(64) == 8
+    assert auto_n_cells(20_000) == 141
+    assert auto_n_cells(200_000) == 447
+    assert auto_n_cells(10**12) == 65536  # clamp
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    idx = build_ann_index(corpus, str(tmp_path / "auto"), n_cells="auto")
+    # 495 corpus vectors -> sqrt = 22 cells, persisted like an explicit
+    # count; search still returns exact 5 x top_k rows
+    assert idx.n_cells == auto_n_cells(corpus.count())
+    loaded = AnnIndex.load(spark, str(tmp_path / "auto"))
+    assert loaded.n_cells == idx.n_cells
+    queries = e.where(F.col("vec_id") < 5)
+    res = _rows(idx.search(queries, n_probe=2, top_k=10))
+    assert len(res) == 50
+    assert _rows(idx.search_join(queries, n_probe=2, top_k=10)) == res
