@@ -50,7 +50,11 @@ Lifecycle (round 10 — the add_batch tail):
 - Mutation paths (add/delete/compact) assume one MAINTAINER process
   at a time — the FAISS index-maintenance model; a racing second
   compactor fails loudly on the marker put-if-absent. Serving reads
-  are safe concurrent with all of it.
+  PLANNED after any mutation commits see a consistent view; a read
+  planned BEFORE a compaction's cleanup may still hold absorbed epoch
+  paths in its plan and fail loudly with FileNotFound once they are
+  deleted (the Delta-vacuum caveat — an availability break under
+  concurrent compaction, never wrong results).
 
 Search goes through pq.search_encoded — the SAME code path the golden-
 pinned s04/s05 entries execute — so loaded-index search equals freshly-
@@ -118,25 +122,40 @@ class AnnIndex:
             self.spark, os.path.join(self.index_path, _CODES_META)
         ) or {"origins": {}}
 
-    def _visible_epochs(self) -> list[int]:
+    def _visible_epochs(self, marker: dict | None = None) -> list[int]:
         """Committed codes epochs a READ may union. A pending
         compaction whose NEW epoch committed makes every older epoch
-        invisible immediately — cleanup may still be deleting them."""
+        invisible immediately — cleanup may still be deleting them.
+        ``marker`` lets callers that already read _compaction.json pass
+        it in instead of re-reading (pass the module sentinel-free way:
+        only pass it when you actually read it this call)."""
         done = _committed_epochs(self.spark, self._codes_path())
-        marker = read_json(self.spark, self._marker_path())
+        if marker is None:
+            marker = read_json(self.spark, self._marker_path())
         if marker is not None and marker["base_epoch"] in done:
             done = [e for e in done if e >= marker["base_epoch"]]
         return done
 
-    def _origin(self, epoch: int) -> int:
+    def _origin(
+        self,
+        epoch: int,
+        marker: dict | None = None,
+        meta: dict | None = None,
+    ) -> int:
         """The newest PRE-compaction epoch whose rows ``epoch`` may
         carry: itself for append epochs, the newest absorbed epoch for
         compacted ones (from _codes_meta, or the live marker during
-        the post-rename window). Tombstones mask epochs by origin."""
-        marker = read_json(self.spark, self._marker_path())
+        the post-rename window). Tombstones mask epochs by origin.
+        ``marker``/``meta`` let codes() read the two small JSON files
+        ONCE per call instead of once per visible epoch (round-10
+        ADVICE: O(n_epochs) filesystem round-trips per search)."""
+        if marker is None:
+            marker = read_json(self.spark, self._marker_path())
         if marker is not None and marker["base_epoch"] == epoch:
             return int(marker["origin"])
-        return int(self._codes_meta()["origins"].get(str(epoch), epoch))
+        if meta is None:
+            meta = self._codes_meta()
+        return int(meta["origins"].get(str(epoch), epoch))
 
     def tombstones(self) -> DataFrame:
         done = _committed_epochs(self.spark, self._tombstones_path())
@@ -155,7 +174,8 @@ class AnnIndex:
         multi-path scan the search plans were pinned on; with
         tombstones each epoch carries its origin as a literal and an
         anti-join drops (vec_id, origin <= asof) matches."""
-        done = self._visible_epochs()
+        marker = read_json(self.spark, self._marker_path())
+        done = self._visible_epochs(marker=marker)
         if not done:
             return self.spark.createDataFrame([], _CODES_SCHEMA)
         paths = [
@@ -164,12 +184,13 @@ class AnnIndex:
         tombs = _committed_epochs(self.spark, self._tombstones_path())
         if not tombs:
             return self.spark.read.schema(_CODES_SCHEMA).parquet(*paths)
+        meta = self._codes_meta()
         parts = []
         for ep, p in zip(done, paths):
             parts.append(
                 self.spark.read.schema(_CODES_SCHEMA)
                 .parquet(p)
-                .withColumn("_origin", F.lit(self._origin(ep)))
+                .withColumn("_origin", F.lit(self._origin(ep, marker, meta)))
             )
         all_codes = parts[0]
         for part in parts[1:]:
@@ -190,8 +211,13 @@ class AnnIndex:
         zero shuffle."""
         from ..kmeans import core
 
+        # vec_id pinned to bigint: a caller's int/short frame would
+        # persist INT32 parquet that _CODES_SCHEMA's `vec_id bigint`
+        # read refuses, bricking every later codes()/search (round-10
+        # ADVICE — same pin in delete_ids for _TOMB_SCHEMA)
         feats = vectors.select(
-            "vec_id", F.col("embedding").cast("array<float>").alias("features")
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("embedding").cast("array<float>").alias("features"),
         )
         assigned = core.assign(feats, self.centroids)
         return pq_encode(
@@ -259,7 +285,9 @@ class AnnIndex:
         done = _committed_epochs(self.spark, self._codes_path())
         if not done:
             raise ValueError(f"delete_ids: no codes at {self.index_path}")
-        targets = ids.select("vec_id").distinct()
+        targets = ids.select(
+            F.col("vec_id").cast("bigint").alias("vec_id")
+        ).distinct()
         n_null = targets.where(F.col("vec_id").isNull()).count()
         if n_null:
             raise ValueError("delete_ids: NULL vec_id identifies no row")
@@ -338,6 +366,7 @@ class AnnIndex:
 
         marker = read_json(self.spark, self._marker_path())
         if marker is None:
+            self.gc_staged()
             return
         jvm, _, fs = hadoop(self.spark, self.index_path)
 
@@ -380,6 +409,41 @@ class AnnIndex:
             _rm(os.path.join(self._tombstones_path(), f"epoch={old}"))
         _rm(os.path.join(self._codes_path(), "_staged", marker["staged"]))
         _rm(self._marker_path())
+        self.gc_staged()
+
+    def gc_staged(self, ttl_hours: float = 24.0) -> list[str]:
+        """Sweep ORPHAN ``codes/_staged/<token>`` dirs: a compactor
+        that died between staging its fold and winning the marker
+        put-if-absent leaves a complete-or-partial snapshot of the full
+        codes set that nothing references — repeated crashes would leak
+        one dead snapshot each (round-10 ADVICE; table._gc_staged's
+        analog for the index layout). Two guards keep live work safe:
+        the dir named by a live marker is recovery material and never
+        touched, and anything younger than ``ttl_hours`` is presumed a
+        compactor mid-staging (impossible from a mutation path under
+        the single-maintainer contract, but the TTL keeps the sweep
+        safe even when that contract is bent). Runs automatically at
+        the end of every _complete_compaction; callable directly with a
+        shorter TTL for explicit maintenance. Returns deleted paths."""
+        from ..sources.fsutil import hadoop
+
+        staged_root = os.path.join(self._codes_path(), "_staged")
+        jvm, jroot, fs = hadoop(self.spark, staged_root)
+        if not fs.exists(jroot):
+            return []
+        marker = read_json(self.spark, self._marker_path())
+        live = marker["staged"] if marker is not None else None
+        now = jvm.java.lang.System.currentTimeMillis()
+        deleted: list[str] = []
+        for st in fs.listStatus(jroot):
+            token = st.getPath().getName()
+            if token == live:
+                continue
+            if now - st.getModificationTime() < ttl_hours * 3_600_000:
+                continue
+            fs.delete(st.getPath(), True)
+            deleted.append(os.path.join(staged_root, token))
+        return deleted
 
     def rebuild(self, vectors: DataFrame, new_index_path: str) -> "AnnIndex":
         """Re-train quantizers on ``vectors`` (the caller's current
@@ -447,17 +511,38 @@ class AnnIndex:
         n_probe: int = 2,
         top_k: int = 10,
         keep: DataFrame | None = None,
+        max_queries: int = 8192,
     ) -> DataFrame:
         """Top-k ADC neighbors per query row (query_id|vec_id,
         embedding). Same code path as the golden-pinned s04/s05 search
         (pq.search_encoded) over the persisted codes. ``keep`` (a frame
         with a vec_id column) restricts the searched corpus — see
-        _searchable_codes."""
+        _searchable_codes.
+
+        SERVING path: the query batch is collected to the driver, so
+        ``max_queries`` (default 8192) guards the cliff — a table-sized
+        frame raises toward ``search_join`` (the distributed kNN-join
+        twin, bit-equal results) instead of OOMing the driver. The
+        probe is a limit(n+1) collect: the guard itself never pulls
+        more than max_queries+1 rows."""
         idc = "query_id" if "query_id" in queries.columns else "vec_id"
-        qvecs = [
-            (int(r[0]), [float(v) for v in r[1]])
-            for r in queries.select(idc, "embedding").orderBy(idc).collect()
-        ]
+        rows = (
+            queries.select(idc, "embedding").limit(max_queries + 1).collect()
+        )
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"AnnIndex.search: query batch exceeds max_queries="
+                f"{max_queries} — the serving path collects queries to "
+                "the driver. Use search_join (distributed, bit-equal "
+                "results) for table-sized batches, or raise max_queries "
+                "deliberately."
+            )
+        # driver-side key sort == the previous orderBy(idc) collect
+        # (the probe's limit forbids a pre-collect orderBy)
+        qvecs = sorted(
+            ((int(r[0]), [float(v) for v in r[1]]) for r in rows),
+            key=lambda t: t[0],
+        )
         return search_encoded(
             self._searchable_codes(keep),
             self.centroids,

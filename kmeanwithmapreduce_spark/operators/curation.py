@@ -447,6 +447,8 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_dp: int = 6,
+    max_vocab: int = 1_000_000,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Per-document mean token log-probability under an add-one-smoothed
     unigram LM fit on ``reference`` (CCNet scores Common Crawl against a
@@ -466,8 +468,20 @@ def unigram_logprob(
     Scale: the unigram table is vocabulary-sized → broadcast; scoring is
     explode → broadcast left join → one groupBy(doc). ln() is the only
     non-rational arithmetic in the plan; the rounding absorbs the
-    sub-ulp libm differences between engines.
+    sub-ulp libm differences between engines. ``max_vocab`` guards the
+    vocabulary collect (round-10 ADVICE: a caller passing the whole
+    corpus as ``reference`` would OOM the driver, not error): the
+    collect is a top-N by count (TakeOrdered — the driver never holds
+    more than max_vocab+1 rows), and an overflowing vocabulary either
+    raises (``on_overflow="error"``, default — loud) or truncates to
+    the top ``max_vocab`` tokens by count (``"truncate"`` — the CCNet
+    move; N and V then describe the truncated vocabulary, every
+    dropped token scores as OOV).
     """
+    if on_overflow not in ("error", "truncate"):
+        raise ValueError(
+            f"on_overflow must be 'error' or 'truncate', got {on_overflow!r}"
+        )
     ref_toks = reference.select(
         F.explode(F.split(F.col(text_col), " ")).alias("t")
     )
@@ -479,8 +493,22 @@ def unigram_logprob(
     # explode+groupBy twice).
     vocab_rows = [
         (r["t"], int(r["c"]))
-        for r in ref_toks.groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect()
+        for r in ref_toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(max_vocab + 1)
+        .collect()
     ]
+    if len(vocab_rows) > max_vocab:
+        if on_overflow == "error":
+            raise ValueError(
+                f"unigram_logprob: reference vocabulary exceeds max_vocab="
+                f"{max_vocab} — the unigram table must stay broadcast-"
+                "sized. Pass a smaller reference corpus, raise max_vocab "
+                "deliberately, or set on_overflow='truncate' to keep the "
+                f"top {max_vocab} tokens by count."
+            )
+        vocab_rows = vocab_rows[:max_vocab]
     if not vocab_rows:
         raise ValueError("unigram_logprob: reference corpus is empty")
     n_total = sum(c for _t, c in vocab_rows)

@@ -100,9 +100,33 @@ def _jsonable(v):
 
 def _comparable(v, col_type: str):
     """Normalize a predicate bound or a sidecar value into the single
-    comparable domain used for pruning decisions."""
+    comparable domain used for pruning decisions — BY THE SIDECAR
+    COLUMN'S TYPE, not the bound's Python type (round-10 ADVICE): a
+    ``date`` column's sidecar max ``'1997-01-05'`` compares
+    lexicographically LESS THAN a datetime bound's
+    ``'1997-01-05T00:00:00'``, so mixed-shape ISO strings would prune a
+    file whose boundary-date rows DO match the residual Spark filter
+    (where the date coerces to a midnight timestamp). Date columns
+    therefore truncate datetime bounds to their date (conservative for
+    a lower bound — Spark's ``date >= ts`` with a time-of-day admits
+    one day fewer — and exact for an upper bound); timestamp columns
+    expand date bounds to midnight, matching Spark's coercion."""
     if v is None:
         return None
+    if col_type == "date":
+        if isinstance(v, datetime.datetime):  # datetime IS-A date: first
+            return v.date().isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, str):
+            return v[:10]  # ISO datetime string -> its date part
+        return v
+    if col_type.startswith("timestamp"):
+        if isinstance(v, datetime.datetime):
+            return v.isoformat()
+        if isinstance(v, datetime.date):
+            return datetime.datetime(v.year, v.month, v.day).isoformat()
+        return v
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if col_type.startswith("decimal"):

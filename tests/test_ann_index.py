@@ -484,3 +484,82 @@ def test_auto_n_cells_sizing(spark, sf_dir, tmp_path):
     res = _rows(idx.search(queries, n_probe=2, top_k=10))
     assert len(res) == 50
     assert _rows(idx.search_join(queries, n_probe=2, top_k=10)) == res
+
+
+def test_int_vec_id_frames_are_pinned_to_bigint(spark, sf_dir, tmp_path):
+    """An int-typed vec_id frame (adds OR deletes) must not persist
+    INT32 parquet that the declared bigint schemas refuse on every
+    later read — round-10 ADVICE regression."""
+    e = _emb(spark, sf_dir)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(e.where(F.col("vec_id") >= 5), p, n_cells=8)
+    extra = (
+        e.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").cast("int").alias("vec_id"), "embedding")
+    )
+    idx.add_batch(extra)
+    # codes() must stay readable and carry the added ids
+    got = {r["vec_id"] for r in idx.codes().select("vec_id").collect()}
+    assert {0, 1, 2, 3, 4} <= got
+    # an int-typed delete frame must also read back under _TOMB_SCHEMA
+    idx.delete_ids(
+        spark.createDataFrame([(0,), (1,)], "vec_id int")
+    )
+    left = {r["vec_id"] for r in idx.codes().select("vec_id").collect()}
+    assert 0 not in left and 1 not in left and 2 in left
+
+
+def test_gc_staged_sweeps_orphans_and_spares_live_marker(
+    spark, sf_dir, tmp_path
+):
+    """A compactor dead before the marker put-if-absent leaks its
+    staged snapshot; gc_staged removes it past the TTL but never the
+    live marker's staged dir — round-10 ADVICE regression."""
+    import json
+
+    e = _emb(spark, sf_dir)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(e.where(F.col("vec_id") >= 5), p, n_cells=8)
+    orphan = os.path.join(p, "codes", "_staged", "deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x")
+    # young orphan survives the default TTL
+    assert idx.gc_staged() == []
+    assert os.path.isdir(orphan)
+    # a live marker's staged dir is recovery material even at ttl=0
+    live = os.path.join(p, "codes", "_staged", "livetoken")
+    os.makedirs(live)
+    with open(os.path.join(p, "_compaction.json"), "w") as fh:
+        json.dump(
+            {
+                "base_epoch": 99,
+                "origin": 0,
+                "staged": "livetoken",
+                "absorbed_codes": [],
+                "absorbed_tombstones": [],
+            },
+            fh,
+        )
+    deleted = idx.gc_staged(ttl_hours=0.0)
+    assert deleted == [orphan]
+    assert os.path.isdir(live) and not os.path.exists(orphan)
+    os.remove(os.path.join(p, "_compaction.json"))
+    import shutil
+
+    shutil.rmtree(live)
+
+
+def test_search_guards_table_sized_query_batches(spark, sf_dir, tmp_path):
+    """The serving path collects queries to the driver; a batch over
+    max_queries must raise toward search_join, and the guarded path
+    must return the exact same rows as before the guard existed."""
+    e = _emb(spark, sf_dir)
+    p = str(tmp_path / "idx")
+    idx = build_ann_index(e.where(F.col("vec_id") >= 5), p, n_cells=8)
+    queries = e.where(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="search_join"):
+        idx.search(queries, max_queries=3)
+    ok = _rows(idx.search(queries, n_probe=2, top_k=10, max_queries=5))
+    dflt = _rows(idx.search(queries, n_probe=2, top_k=10))
+    assert ok == dflt and len(ok) == 50

@@ -650,3 +650,31 @@ def test_c13_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_unigram_logprob_max_vocab_guard(spark):
+    """Round-10 ADVICE: a corpus-sized reference must error toward a
+    smaller vocabulary, not OOM the driver; truncate mode keeps the
+    top-N tokens by count and scores the rest as OOV."""
+    import pytest
+
+    ref = _docs(spark, [(10, "a a a b b c")])  # counts a=3, b=2, c=1
+    docs = _docs(spark, [(1, "a c")])
+    with pytest.raises(ValueError, match="max_vocab"):
+        unigram_logprob(docs, ref, max_vocab=2)
+    # truncate keeps {a, b}: N=5, V=2, denom=8; c scores as OOV
+    out = {
+        r.doc_id: r
+        for r in unigram_logprob(
+            docs, ref, max_vocab=2, on_overflow="truncate"
+        ).collect()
+    }
+    want = (math.log(4 / 8) + math.log(1 / 8)) / 2
+    assert abs(out[1].mean_logprob - round(want, 6)) < 1e-12
+    # under the cap, results are identical to the uncapped model
+    full = {r.doc_id: r for r in unigram_logprob(docs, ref).collect()}
+    capped = {
+        r.doc_id: r
+        for r in unigram_logprob(docs, ref, max_vocab=100).collect()
+    }
+    assert capped[1].mean_logprob == full[1].mean_logprob

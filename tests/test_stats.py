@@ -270,3 +270,37 @@ def test_multi_column_bucketed_scan(spark, tmp_path):
     )
     assert _rows(got) == _rows(want) and want.count() > 0
     assert rep["files_scanned"] <= rep["files_total"]
+
+
+def test_datetime_bounds_over_date_column_never_lose_rows(spark, tpath):
+    """Round-10 ADVICE (medium): a datetime predicate bound over a
+    DATE column used to compare as a longer ISO string than the
+    sidecar's date max ('1997-01-05' < '1997-01-05T00:00:00'), pruning
+    a file whose boundary-date rows DO match the residual Spark filter
+    — silent row loss. Bounds must normalize by the sidecar column
+    type."""
+    df = spark.createDataFrame(
+        [(i, datetime.date(1997, 1, 1 + i)) for i in range(8)],
+        "k int, d date",
+    )
+    write_snapshot(df.repartitionByRange(4, "d"), tpath, stats_columns=["d"])
+    # upper bound exactly at a file's max date, as a midnight datetime
+    hi = datetime.datetime(1997, 1, 5, 0, 0, 0)
+    got, report = scan_table(spark, tpath, "d", None, hi)
+    want = read_table(spark, tpath).where(F.col("d") <= F.lit(hi))
+    assert _rows(got) == _rows(want) and want.count() == 5
+    # and the skipping still prunes the out-of-range files
+    assert report["files_scanned"] < report["files_total"]
+    # a time-of-day lower bound stays conservative (never loses rows)
+    lo = datetime.datetime(1997, 1, 3, 10, 30, 0)
+    got2, _ = scan_table(spark, tpath, "d", lo, None)
+    want2 = read_table(spark, tpath).where(F.col("d") >= F.lit(lo))
+    assert _rows(got2) == _rows(want2)
+    # date bounds over a date column keep pruning exactly
+    got3, r3 = scan_table(
+        spark, tpath, "d", datetime.date(1997, 1, 7), None
+    )
+    want3 = read_table(spark, tpath).where(
+        F.col("d") >= F.lit(datetime.date(1997, 1, 7))
+    )
+    assert _rows(got3) == _rows(want3) and r3["files_scanned"] <= 2
