@@ -79,6 +79,8 @@ _CODES_SCHEMA = "vec_id bigint, cluster int, codes array<int>"
 _TOMB_SCHEMA = "vec_id bigint, asof int"
 _COMPACTION_MARKER = "_compaction.json"
 _CODES_META = "_codes_meta.json"
+_INGEST_CLAIM = "_ingest_claim.json"
+_INGEST_LEDGER = "_ingest_log"
 
 
 class AnnIndex:
@@ -116,6 +118,40 @@ class AnnIndex:
 
     def _marker_path(self) -> str:
         return os.path.join(self.index_path, _COMPACTION_MARKER)
+
+    def _ingest_claim_path(self) -> str:
+        return os.path.join(self.index_path, _INGEST_CLAIM)
+
+    def _check_no_pending_ingest(self) -> None:
+        """Single-maintainer enforcement against the STREAMING ingest
+        (streaming/ingest.py::streaming_ann_ingest): a live ingest
+        claim names a codes epoch the stream is mid-commit on — a
+        manual mutation choosing max+1 would collide with it (an
+        add_batch would overwrite the claimed slot; a compaction would
+        commit a fold INTO it, and the restarted stream would then skip
+        its encode as already-committed — silent data loss). A claim
+        whose stream epoch already committed its ledger entry is merely
+        CONSUMED (the stream died between ledger commit and claim
+        drop) and is swept here; a genuinely pending one refuses."""
+        claim = read_json(self.spark, self._ingest_claim_path())
+        if claim is None:
+            return
+        ledger = _committed_epochs(
+            self.spark, os.path.join(self.index_path, _INGEST_LEDGER)
+        )
+        if claim["stream_epoch"] in ledger:
+            from ..sources.fsutil import hadoop
+
+            jvm, jp, fs = hadoop(self.spark, self._ingest_claim_path())
+            fs.delete(jp, False)  # consumed claim: safe to sweep
+            return
+        raise ValueError(
+            f"pending streaming ingest (stream epoch "
+            f"{claim['stream_epoch']} -> codes epoch "
+            f"{claim['codes_epoch']}) at {self.index_path}; restart the "
+            "ingest stream to complete it before mutating the index "
+            "manually."
+        )
 
     def _codes_meta(self) -> dict:
         return read_json(
@@ -237,31 +273,11 @@ class AnnIndex:
         deliberately, not implicitly). A previously DELETED vec_id may
         be re-added: the new row lands in an epoch beyond every
         existing tombstone's reach (the origin rule)."""
+        self._check_no_pending_ingest()
         self._complete_compaction()
         vectors = vectors.persist()  # 3 passes: validate, overlap, encode
         try:
-            row = vectors.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct("vec_id").alias("n_ids"),
-                F.sum(F.col("vec_id").isNull().cast("int")).alias("n_null"),
-            ).first()
-            if row.n and row.n_null:
-                raise ValueError(
-                    f"add_batch: {row.n_null} row(s) with NULL vec_id"
-                )
-            if row.n and row.n_ids != row.n:
-                raise ValueError(
-                    f"add_batch: duplicate vec_ids within the batch "
-                    f"({row.n} rows, {row.n_ids} distinct)"
-                )
-            dup = vectors.select("vec_id").join(
-                self.codes().select("vec_id"), "vec_id", "semi"
-            ).count()
-            if dup:
-                raise ValueError(
-                    f"add_batch: {dup} vec_id(s) already in the index at "
-                    f"{self.index_path}"
-                )
+            self._validate_new_batch(vectors)
             done = _committed_epochs(self.spark, self._codes_path())
             epoch = (done[-1] + 1) if done else 0
             self._encode(vectors).write.mode("overwrite").parquet(
@@ -270,6 +286,33 @@ class AnnIndex:
             return epoch
         finally:
             vectors.unpersist()
+
+    def _validate_new_batch(self, vectors: DataFrame, op: str = "add_batch") -> None:
+        """The add contract checks shared by add_batch and the
+        streaming ingest: non-NULL vec_ids, unique within the batch,
+        and new to the index (a duplicate silently occupying two top_k
+        slots would displace genuine neighbors in every later search).
+        ``vectors`` should be persisted by the caller (2 passes)."""
+        row = vectors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("vec_id").alias("n_ids"),
+            F.sum(F.col("vec_id").isNull().cast("int")).alias("n_null"),
+        ).first()
+        if row.n and row.n_null:
+            raise ValueError(f"{op}: {row.n_null} row(s) with NULL vec_id")
+        if row.n and row.n_ids != row.n:
+            raise ValueError(
+                f"{op}: duplicate vec_ids within the batch "
+                f"({row.n} rows, {row.n_ids} distinct)"
+            )
+        dup = vectors.select(
+            F.col("vec_id").cast("bigint").alias("vec_id")
+        ).join(self.codes().select("vec_id"), "vec_id", "semi").count()
+        if dup:
+            raise ValueError(
+                f"{op}: {dup} vec_id(s) already in the index at "
+                f"{self.index_path}"
+            )
 
     # -- delete / compact / rebuild (round 10) -------------------------
 
@@ -281,6 +324,7 @@ class AnnIndex:
         never a later re-add. ids absent from the index are a loud
         error (a silent no-op delete hides caller bugs — FAISS
         remove_ids returns the count for the same reason)."""
+        self._check_no_pending_ingest()
         self._complete_compaction()
         done = _committed_epochs(self.spark, self._codes_path())
         if not done:
@@ -327,6 +371,7 @@ class AnnIndex:
         from ..sources.fsutil import hadoop
         from ..sources.table import _put_if_absent_json
 
+        self._check_no_pending_ingest()
         self._complete_compaction()
         done = _committed_epochs(self.spark, self._codes_path())
         if not done:

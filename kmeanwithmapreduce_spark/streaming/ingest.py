@@ -487,3 +487,194 @@ def read_accumulated_bloom(spark, filter_path: str) -> DataFrame:
     except Exception:
         return spark.createDataFrame([], _BLOOM_SCHEMA)
     return epochs.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+# --------------------------------------------------------------------------
+# streaming ANN ingest — foreachBatch micro-batches of (vec_id,
+# embedding) appended to a persisted AnnIndex (operators/ann_index.py)
+# as codes epochs, under the FROZEN quantizers (the FAISS add
+# contract; encoding is a pure function of the saved parameters, which
+# is what makes replays recompute bit-identical codes).
+#
+# Epoch identity: add_batch numbers codes epochs max-committed+1, so
+# the stream epoch id cannot name the codes dir directly (a compaction
+# between batches renumbers the tail — the collision the marts'
+# name-by-stream-epoch recipe cannot survive here). Instead each
+# stream epoch commits through a CLAIM + LEDGER pair, the table
+# layer's stage->claim->commit discipline applied to the index:
+#
+#   1. ledger `_ingest_log/epoch=<stream>/` committed  => replay, no-op
+#   2. `_ingest_claim.json` put-if-absent maps stream epoch -> the
+#      codes epoch chosen NOW (max committed + 1)
+#   3. encode + write codes/epoch=<claimed> (parquet _SUCCESS commit)
+#   4. write the one-row ledger epoch — ITS _SUCCESS is the stream
+#      epoch's commit
+#   5. drop the claim
+#
+# Every crash window replays deterministically: before (2) nothing
+# happened; between (2) and (3) the replay adopts the claim and
+# redoes the overwrite; between (3) and (4) the replay adopts the
+# claim, sees the codes epoch committed, and only writes the ledger
+# (re-validating would spuriously trip the duplicate-id check against
+# the batch's own committed rows); between (4) and (5) the replay
+# no-ops on the ledger and sweeps the consumed claim. Manual mutations
+# (add_batch/delete_ids/compact_codes) refuse while a claim is
+# PENDING (AnnIndex._check_no_pending_ingest) — a compaction folding
+# into the claimed slot would make the restarted stream skip its
+# encode as already-committed, silent data loss.
+#
+# Identity guard: `_ingest_ident.json` stamps the checkpoint location
+# (the marts/corpus_stream discipline) — a FRESH checkpoint replays
+# stream epoch ids from 0, which the ledger would silently swallow as
+# committed replays; the guard refuses loudly instead.
+
+_ANN_IDENT_FILE = "_ingest_ident.json"
+_ANN_LEDGER_SCHEMA = "stream_epoch bigint, codes_epoch bigint, n_rows bigint"
+
+
+def _ann_ledger_path(index_path: str) -> str:
+    from ..operators.ann_index import _INGEST_LEDGER
+
+    return os.path.join(index_path, _INGEST_LEDGER)
+
+
+def _check_or_stamp_ann_ident(spark, index_path: str, checkpoint_path: str) -> None:
+    from ..sources.fsutil import qualified, read_json, write_json
+
+    ident = {"checkpoint": qualified(spark, checkpoint_path)}
+    marker = os.path.join(index_path, _ANN_IDENT_FILE)
+    existing = read_json(spark, marker)
+    if existing is not None:
+        if existing.get("checkpoint") != ident["checkpoint"]:
+            raise ValueError(
+                f"streaming_ann_ingest: index at {index_path!r} was "
+                f"ingested under checkpoint={existing.get('checkpoint')!r}, "
+                f"this ingest uses {ident['checkpoint']!r}. A new "
+                "checkpoint replays stream epoch ids from 0 and the "
+                "ledger would silently swallow its batches as committed "
+                "replays; resume the original checkpoint or rebuild the "
+                "index."
+            )
+        return
+    if _committed_epochs(spark, _ann_ledger_path(index_path)):
+        raise ValueError(
+            f"streaming_ann_ingest: index at {index_path!r} has committed "
+            "ingest epochs but no _ingest_ident.json marker — it was fed "
+            "by an unknown query; refusing to mix epoch id spaces."
+        )
+    write_json(spark, marker, ident)
+
+
+def ann_ingest_batch(batch_df: DataFrame, epoch_id: int, index_path: str):
+    """Apply ONE micro-batch of (vec_id, embedding) rows to the index —
+    the foreachBatch body, module-level so the crash-window and replay
+    tests can drive it directly. Returns the codes epoch the batch
+    committed to, or None for a replayed/empty batch."""
+    from ..operators.ann_index import AnnIndex
+    from ..sources.fsutil import hadoop, read_json
+    from ..sources.table import _put_if_absent_json
+
+    spark = batch_df.sparkSession
+    ledger_path = _ann_ledger_path(index_path)
+    idx = AnnIndex.load(spark, index_path)
+    claim_path = idx._ingest_claim_path()
+
+    def _drop_claim() -> None:
+        jvm, jp, fs = hadoop(spark, claim_path)
+        fs.delete(jp, False)
+
+    done_ledger = _committed_epochs(spark, ledger_path)
+    claim = read_json(spark, claim_path)
+    if epoch_id in done_ledger:
+        # replayed, already committed; a claim left by a crash between
+        # the ledger commit and the claim drop is consumed now
+        if claim is not None and claim["stream_epoch"] == epoch_id:
+            _drop_claim()
+        return None
+    if claim is not None and claim["stream_epoch"] != epoch_id:
+        if claim["stream_epoch"] in done_ledger:
+            _drop_claim()  # consumed (crash after its ledger commit)
+            claim = None
+        else:
+            raise RuntimeError(
+                f"streaming_ann_ingest epoch {epoch_id}: found a pending "
+                f"claim for stream epoch {claim['stream_epoch']} with no "
+                "committed ledger entry — epoch ids should replay in "
+                "order; refusing to guess."
+            )
+    idx._complete_compaction()  # finish a dead compactor's work first
+    batch = batch_df.select("vec_id", "embedding").persist()
+    try:
+        n = batch.count()
+        if n == 0:
+            return None  # empty micro-batch: nothing to claim or commit
+        if claim is None:
+            done = _committed_epochs(spark, idx._codes_path())
+            payload = {
+                "stream_epoch": int(epoch_id),
+                "codes_epoch": int(done[-1] + 1) if done else 0,
+            }
+            if not _put_if_absent_json(spark, claim_path, payload):
+                raise RuntimeError(
+                    f"streaming_ann_ingest epoch {epoch_id}: lost the "
+                    "claim race — a second maintainer is mutating "
+                    f"{index_path}; the single-maintainer contract is "
+                    "violated."
+                )
+            claim = payload
+        codes_epoch = int(claim["codes_epoch"])
+        if codes_epoch not in _committed_epochs(spark, idx._codes_path()):
+            idx._validate_new_batch(batch, op="streaming_ann_ingest")
+            idx._encode(batch).write.mode("overwrite").parquet(
+                os.path.join(idx._codes_path(), f"epoch={codes_epoch}")
+            )
+        # the one-row ledger epoch is the stream epoch's commit marker
+        spark.createDataFrame(
+            [(int(epoch_id), codes_epoch, int(n))], _ANN_LEDGER_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ledger_path, f"epoch={epoch_id}")
+        )
+        _drop_claim()
+        return codes_epoch
+    finally:
+        batch.unpersist()
+
+
+def streaming_ann_ingest(
+    stream_vectors: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+):
+    """Continuously append a stream of (vec_id, embedding) rows to the
+    persisted ANN index at ``index_path`` (built beforehand with
+    build_ann_index — quantizers are frozen; re-index deliberately via
+    AnnIndex.rebuild). Exactly-once per the claim+ledger protocol
+    above; the accumulated index is pinned equal — codes AND search
+    results, bit-for-bit — to a one-shot build+add over the same rows
+    in tests/test_ann_stream.py. Returns the StreamingQuery."""
+    spark = stream_vectors.sparkSession
+    _check_or_stamp_ann_ident(spark, index_path, checkpoint_path)
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        ann_ingest_batch(batch_df, epoch_id, index_path)
+
+    return (
+        stream_vectors.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ann_ingest_log(spark, index_path: str) -> DataFrame:
+    """The committed ledger: one row per applied stream epoch
+    (stream_epoch, codes_epoch, n_rows) — empty before any ingest."""
+    done = _committed_epochs(spark, _ann_ledger_path(index_path))
+    if not done:
+        return spark.createDataFrame([], _ANN_LEDGER_SCHEMA)
+    return spark.read.schema(_ANN_LEDGER_SCHEMA).parquet(
+        *[
+            os.path.join(_ann_ledger_path(index_path), f"epoch={ep}")
+            for ep in done
+        ]
+    )
