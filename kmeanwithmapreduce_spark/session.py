@@ -116,6 +116,12 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS); read as long + convert
         # (see sources.readers.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as INT64 micros, not legacy INT96: INT96
+        # carries NO footer min/max statistics, which blinds both the
+        # data-skipping sidecar harvest (sources/stats.py) and parquet
+        # row-group pruning on every timestamp predicate — and it is
+        # what Delta/Iceberg write
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # --- python<->jvm: Arrow for pandas UDFs / toPandas -------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -28,11 +28,24 @@ Design:
   file-granular; the residual filter still pushes down to the
   surviving parquet row groups).
 
-Stats are OPT-IN per write (``stats_columns=[...]``): computing them
-costs one extra pass over the epoch, the right trade for tables that
-are read selectively many times (a production writer would fold the
-collection into the write itself, as Delta does — the sidecar format
-and read path are identical either way).
+Stats are OPT-IN per write (``stats_columns=[...]``). Since round 11
+they are FOLDED INTO THE WRITE: ``write_file_stats`` harvests the
+min/max/null-count the parquet writer already computed into every
+file's FOOTER (``harvest_file_stats`` — O(files) metadata reads,
+distributed over executors above a small file count, ZERO extra
+passes over the data), the moral equivalent of Delta collecting stats
+inside the write task. Columns the footers cannot serve (no stats
+written, unsupported physical encoding, non-local filesystem) fall
+back per-column to the original one-pass distributed aggregation
+(``collect_file_stats``) — the sidecar format and the read path are
+identical either way, and a column is NEVER silently dropped from the
+requested set.
+
+Footer-harvest safety: parquet min/max statistics are either exact or
+valid WIDER bounds (parquet-mr truncates long values conservatively
+and omits stats entirely above the size cap or when NaN poisons the
+ordering), and absent stats make the column fall back to the scan —
+so harvested pruning can only keep extra files, never lose rows.
 
 Value encoding in JSON: numbers stay native (ints round-trip exactly;
 floats are IEEE doubles both sides), strings stay native, date/
@@ -143,18 +156,7 @@ def collect_file_stats(
     col: [min, max, n_null]}}}. File keys are dir-relative so the
     sidecar survives a staged-dir rename."""
     df = spark.read.parquet(dir_path)
-    cols = columns if columns is not None else eligible_columns(df)
-    types = {
-        f.name: f.dataType.simpleString()
-        for f in df.schema.fields
-        if f.name in cols
-    }
-    missing = [c for c in cols if c not in types]
-    if missing:
-        raise ValueError(
-            f"collect_file_stats: column(s) {missing} not in {dir_path} "
-            f"(has: {[f.name for f in df.schema.fields]})"
-        )
+    cols, types = _resolve_stat_types(df, dir_path, columns)
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         aggs += [
@@ -180,13 +182,180 @@ def collect_file_stats(
     return {"columns": types, "files": files}
 
 
-def write_file_stats(
+def _resolve_stat_types(
+    df: DataFrame, dir_path: str, columns: list[str] | None
+) -> tuple[list[str], dict]:
+    cols = columns if columns is not None else eligible_columns(df)
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name in cols
+    }
+    missing = [c for c in cols if c not in types]
+    if missing:
+        raise ValueError(
+            f"file stats: column(s) {missing} not in {dir_path} "
+            f"(has: {[f.name for f in df.schema.fields]})"
+        )
+    return cols, types
+
+
+def _list_parquet(spark: SparkSession, dir_path: str) -> list[str]:
+    """Qualified URIs of the parquet data files under ``dir_path``
+    (any depth), hidden/underscore names excluded."""
+    jvm, _, fs = hadoop(spark, dir_path)
+    out = []
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(dir_path), True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        name = p.rsplit("/", 1)[1]
+        if name.startswith(("_", ".")) or not p.endswith(".parquet"):
+            continue
+        out.append(p)
+    return out
+
+
+def _from_footer(v, col_type: str, tz_name: str):
+    """A footer statistics value mapped into the sidecar's value
+    domain (the domain collect_file_stats produces via ``collect``),
+    or None when the encoding can't be trusted — the caller then falls
+    back to the scan for that column. tz-aware timestamps normalize to
+    the session timezone and drop tzinfo (Spark's collect returns
+    session-local naive datetimes)."""
+    if v is None or isinstance(v, bytes):
+        return None
+    if isinstance(v, float) and v != v:  # NaN ordering differs from Spark's
+        return None
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        from zoneinfo import ZoneInfo
+
+        return v.astimezone(ZoneInfo(tz_name)).replace(tzinfo=None)
+    return v
+
+
+def _footer_stats_one(
+    path: str, cols: list[str], types: dict, tz_name: str
+) -> dict:
+    """One file's sidecar entry from its parquet FOOTER only: columns
+    the footer can't serve exactly are OMITTED from the entry (the
+    caller scans just those), never guessed."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx: dict[str, int] = {}
+    if md.num_row_groups:
+        rg0 = md.row_group(0)
+        idx = {
+            rg0.column(i).path_in_schema: i for i in range(rg0.num_columns)
+        }
+    entry = {"rows": int(md.num_rows)}
+    for c in cols:
+        i = idx.get(c)
+        if i is None and md.num_rows:
+            continue  # column not flat in this file: scan fallback
+        mn = mx = None
+        nulls = 0
+        ok = True
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            if rg.num_rows == 0:
+                continue
+            st = rg.column(i).statistics
+            if st is None or st.null_count is None:
+                ok = False
+                break
+            nulls += int(st.null_count)
+            if not st.has_min_max:
+                if st.null_count == rg.num_rows:
+                    continue  # all-null row group: no min/max to add
+                ok = False
+                break
+            vmn = _from_footer(st.min, types[c], tz_name)
+            vmx = _from_footer(st.max, types[c], tz_name)
+            if vmn is None or vmx is None:
+                ok = False
+                break
+            mn = vmn if mn is None or vmn < mn else mn
+            mx = vmx if mx is None or vmx > mx else mx
+        if ok:
+            entry[c] = [_jsonable(mn), _jsonable(mx), int(nulls)]
+    return entry
+
+
+def harvest_file_stats(
     spark: SparkSession, dir_path: str, columns: list[str] | None = None
+) -> dict | None:
+    """Per-file stats harvested from the parquet FOOTERS the write
+    already produced — no pass over the data, O(files) metadata reads,
+    run as a Spark job over the file list when it is large. Returns
+    None when the directory is not on a locally-readable filesystem
+    (the caller falls back to the distributed scan); individual
+    columns a footer can't serve are omitted from that file's entry."""
+    df = spark.read.parquet(dir_path)
+    cols, types = _resolve_stat_types(df, dir_path, columns)
+    uris = _list_parquet(spark, dir_path)
+    paths = []
+    for u in uris:
+        if "://" in u and not u.startswith("file:"):
+            return None  # non-local FS: footers need an FS client here
+        paths.append(_path_of(u))
+    tz_name = spark.conf.get("spark.sql.session.timeZone")
+    if len(paths) > 32:
+        # a million-file epoch reads footers on the executors; only the
+        # tiny per-file entries come back to the driver
+        rows = (
+            spark.sparkContext.parallelize(paths, max(2, len(paths) // 32))
+            .map(lambda p: (p, _footer_stats_one(p, cols, types, tz_name)))
+            .collect()
+        )
+    else:
+        rows = [
+            (p, _footer_stats_one(p, cols, types, tz_name)) for p in paths
+        ]
+    qdir = qualified(spark, dir_path)
+    return {
+        "columns": types,
+        "files": {_rel_to(qdir, p): entry for p, entry in rows},
+    }
+
+
+def write_file_stats(
+    spark: SparkSession,
+    dir_path: str,
+    columns: list[str] | None = None,
+    method: str = "auto",
 ) -> dict:
     """Collect and persist the sidecar into ``dir_path`` (atomic
     tmp+rename; the leading underscore keeps parquet readers away).
-    Returns the stats written."""
-    stats = collect_file_stats(spark, dir_path, columns)
+    ``method="auto"`` harvests the parquet footers (no data pass) and
+    scans ONLY the columns the footers couldn't serve; ``"scan"``
+    forces the original one-pass aggregation. Returns the stats
+    written."""
+    if method not in ("auto", "scan", "footer"):
+        raise ValueError(f"write_file_stats: unknown method {method!r}")
+    stats = None
+    if method != "scan":
+        stats = harvest_file_stats(spark, dir_path, columns)
+    if stats is None:
+        stats = collect_file_stats(spark, dir_path, columns)
+    else:
+        short = sorted(
+            c
+            for c in stats["columns"]
+            if any(c not in e for e in stats["files"].values())
+        )
+        if short and method == "footer":
+            raise ValueError(
+                f"write_file_stats(method='footer'): footers cannot "
+                f"serve column(s) {short} under {dir_path}"
+            )
+        if short:
+            scanned = collect_file_stats(spark, dir_path, short)
+            for rel, e in scanned["files"].items():
+                tgt = stats["files"].setdefault(rel, {"rows": e["rows"]})
+                for c in short:
+                    if c in e:
+                        tgt[c] = e[c]
     write_json(spark, os.path.join(dir_path, STATS_FILE), stats)
     return stats
 
@@ -225,16 +394,8 @@ def pruned_files(
     shape); files with missing stats for a column, unknown files, or
     an absent sidecar are KEPT — skipping never loses rows, it only
     avoids provably-irrelevant files."""
-    jvm, _, fs = hadoop(spark, dir_path)
-    all_files = []
-    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(dir_path), True)
+    all_files = _list_parquet(spark, dir_path)
     qdir = qualified(spark, dir_path)
-    while it.hasNext():
-        p = it.next().getPath().toString()
-        name = p.rsplit("/", 1)[1]
-        if name.startswith(("_", ".")) or not p.endswith(".parquet"):
-            continue
-        all_files.append(p)
     preds = _norm_predicates(column, lower, upper, predicates)
     if not preds:
         return all_files, len(all_files)

@@ -73,21 +73,29 @@ def _write(df: DataFrame, out: str, name: str) -> None:
     print(f"wrote {name}")
 
 
-def gen(spark: SparkSession, out: str, scale: float) -> None:
+def gen(
+    spark: SparkSession, out: str, scale: float,
+    tables: set[str] | None = None,
+) -> None:
     n = {k: int(v * scale) for k, v in BASE.items()}
     oid = F.col("id")
+
+    def _want(name: str) -> bool:
+        return tables is None or name in tables
 
     region = spark.createDataFrame(
         list(enumerate(REGIONS)), "r_regionkey int, r_name string"
     )
-    _write(region, out, "region")
+    if _want("region"):
+        _write(region, out, "region")
 
     nation = spark.range(25).select(
         F.col("id").cast("int").alias("n_nationkey"),
         F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
         F.pmod(F.col("id"), F.lit(5)).cast("int").alias("n_regionkey"),
     )
-    _write(nation, out, "nation")
+    if _want("nation"):
+        _write(nation, out, "nation")
 
     customer = spark.range(n["customer"]).select(
         F.col("id").alias("c_custkey"),
@@ -100,7 +108,8 @@ def gen(spark: SparkSession, out: str, scale: float) -> None:
         F.round(_u("cbal", oid) * 11000.0 - 1000.0, 2).alias("c_acctbal"),
         _pick("cseg", SEGMENTS, oid).alias("c_mktsegment"),
     )
-    _write(customer, out, "customer")
+    if _want("customer"):
+        _write(customer, out, "customer")
 
     supplier = spark.range(n["supplier"]).select(
         F.col("id").alias("s_suppkey"),
@@ -112,7 +121,8 @@ def gen(spark: SparkSession, out: str, scale: float) -> None:
         ),
         F.round(_u("sbal", oid) * 9000.0 + 1000.0, 2).alias("s_acctbal"),
     )
-    _write(supplier, out, "supplier")
+    if _want("supplier"):
+        _write(supplier, out, "supplier")
 
     part = spark.range(n["part"]).select(
         F.col("id").alias("p_partkey"),
@@ -129,7 +139,8 @@ def gen(spark: SparkSession, out: str, scale: float) -> None:
         ),
         F.round(F.lit(900.0) + _u("pprice", oid) * 100.0, 2).alias("p_retailprice"),
     )
-    _write(part, out, "part")
+    if _want("part"):
+        _write(part, out, "part")
 
     orders = spark.range(n["orders"]).select(
         F.col("id").alias("o_orderkey"),
@@ -146,7 +157,8 @@ def gen(spark: SparkSession, out: str, scale: float) -> None:
         ).alias("o_orderdate"),
         _pick("oprio", PRIORITIES, oid).alias("o_orderpriority"),
     )
-    _write(orders, out, "orders")
+    if _want("orders"):
+        _write(orders, out, "orders")
 
     # lineitem: explode each order into 1..7 lines (uniform, avg 4 —
     # matches sf0.1's 4.08 fan-out); line columns keyed on (order, line)
@@ -192,7 +204,8 @@ def gen(spark: SparkSession, out: str, scale: float) -> None:
             )
         ).alias("l_shipdate"),
     )
-    _write(lineitem, out, "lineitem")
+    if _want("lineitem"):
+        _write(lineitem, out, "lineitem")
 
     eid = F.col("id")
     events = spark.range(n["events"]).select(
@@ -215,7 +228,8 @@ def gen(spark: SparkSession, out: str, scale: float) -> None:
             F.lit("}"),
         ).alias("props"),
     )
-    _write(events, out, "events")
+    if _want("events"):
+        _write(events, out, "events")
 
     # documents: word sequence is a pure function of (doc id, position),
     # so a near-dup can regenerate its base doc's sequence and perturb
@@ -275,7 +289,8 @@ def gen(spark: SparkSession, out: str, scale: float) -> None:
             F.pmod(F.xxhash64(F.lit("dsrc"), did), F.lit(20)).cast("string"),
         ).alias("source"),
     ).withColumn("n_chars", F.length("text").cast("bigint"))
-    _write(documents, out, "documents")
+    if _want("documents"):
+        _write(documents, out, "documents")
 
     # embeddings: 10 well-separated hash-derived centers + per-point
     # noise, 64-d float — same cluster structure/value scale as sf0.1
@@ -303,7 +318,8 @@ def gen(spark: SparkSession, out: str, scale: float) -> None:
         ),
         label.cast("int").alias("label"),
     )
-    _write(embeddings, out, "embeddings")
+    if _want("embeddings"):
+        _write(embeddings, out, "embeddings")
 
 
 def main() -> int:
@@ -317,13 +333,20 @@ def main() -> int:
     ap.add_argument(
         "--scale", type=float, default=10.0, help="multiple of sf0.1 (10 => sf1)"
     )
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma list of tables to generate (default: all) — big-scale "
+        "rehearsals that need only documents/embeddings skip the 600M-row "
+        "lineitem build",
+    )
     args = ap.parse_args()
 
     from kmeanwithmapreduce_spark.session import get_spark
 
     spark = get_spark("gen_sf")
     spark.sparkContext.setLogLevel("ERROR")
-    gen(spark, args.out, args.scale)
+    tables = set(args.tables.split(",")) if args.tables else None
+    gen(spark, args.out, args.scale, tables=tables)
     return 0
 
 

@@ -142,6 +142,73 @@ def test_collect_file_stats_values(spark, tmp_path):
     assert os.path.exists(os.path.join(d, STATS_FILE)) is False  # collect only
 
 
+def test_footer_harvest_matches_scan_across_types(spark, tmp_path):
+    """write_file_stats' footer harvest (the fold-into-write path: no
+    second pass over the data) must produce the EXACT sidecar the
+    distributed scan produces — numeric, string-with-nulls, date,
+    timestamp, and an all-null column, across multiple files."""
+    from kmeanwithmapreduce_spark.sources.stats import (
+        harvest_file_stats,
+    )
+
+    d = str(tmp_path / "hdir")
+    spark.range(5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("x"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.concat(F.lit("s"), F.col("id")))
+        .alias("s"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"), (F.col("id") % 900).cast("int")
+        ).alias("dt"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(secs=F.col("id"))
+        ).alias("ts"),
+        F.lit(None).cast("double").alias("allnull"),
+    ).repartitionByRange(6, "k").write.parquet(d)
+    h = harvest_file_stats(spark, d)
+    c = collect_file_stats(spark, d)
+    assert h == c
+    assert len(c["files"]) == 6
+    # and the write path picks the harvest without changing the sidecar
+    w = write_file_stats(spark, d)
+    assert w == c
+
+
+def test_footer_harvest_falls_back_for_statless_files(spark, tmp_path):
+    """A file whose footer carries no statistics (foreign writer with
+    write_statistics off) must not blind the sidecar: auto mode scans
+    exactly the short columns, footer mode refuses loudly, and the
+    final sidecar equals the pure-scan sidecar."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kmeanwithmapreduce_spark.sources.stats import harvest_file_stats
+
+    d = str(tmp_path / "mixed")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(d)
+    pq.write_table(
+        pa.table({"k": [1000, 1001], "v": [7, 8]}),
+        os.path.join(d, "part-foreign.parquet"),
+        write_statistics=False,
+    )
+    h = harvest_file_stats(spark, d)
+    foreign = h["files"]["part-foreign.parquet"]
+    assert "k" not in foreign and "v" not in foreign  # omitted, not guessed
+    assert foreign["rows"] == 2
+    with pytest.raises(ValueError, match="footer"):
+        write_file_stats(spark, d, method="footer")
+    assert write_file_stats(spark, d) == collect_file_stats(spark, d)
+    # the merged sidecar still prunes correctly and never loses rows
+    keep, total = pruned_files(spark, d, "k", 1000, None)
+    assert total == 2 and [f.rsplit("/", 1)[1] for f in keep] == [
+        "part-foreign.parquet"
+    ]
+
+
 def test_bucketed_scan_prunes_unrewritten_epochs(spark, tmp_path):
     """The fact-table pattern: each upsert epoch carries a narrow
     time range, so a recent-range scan prunes the old epochs' bucket
