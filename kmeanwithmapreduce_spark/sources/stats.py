@@ -367,17 +367,60 @@ def read_file_stats(spark: SparkSession, dir_path: str) -> dict | None:
 def _norm_predicates(
     column: str | None, lower, upper, predicates: dict | None
 ) -> dict:
-    """One predicate dict {col: (lo, hi)} from the single-column sugar
-    and/or the multi-column ``predicates`` form, unbounded pairs
-    dropped (they cannot prune and their trivial TRUE residual keeps
-    NULL rows)."""
-    preds = {c: (lo, hi) for c, (lo, hi) in (predicates or {}).items()}
+    """One predicate dict {col: spec} from the single-column sugar
+    and/or the multi-column ``predicates`` form. Accepted per-column
+    spec shapes:
+
+    - ``(lo, hi)`` — inclusive range, either side None for unbounded;
+    - ``{"lower": lo, "upper": hi, "in": [...], "not_in": [...]}`` —
+      any subset of keys, ANDed together. ``in`` is the IN-list fast
+      path (prunes every file whose [min, max] contains none of the
+      values); ``not_in`` prunes files that are provably CONSTANT at
+      an excluded value (min == max ∈ list) — the only thing min/max
+      stats can prove for a negation.
+
+    Specs normalize to the dict form; empty specs (nothing bounded —
+    their trivial TRUE residual keeps NULL rows) drop out. A None
+    inside ``in`` drops out (``x IN (..., NULL)`` never matches on
+    NULL); a None inside ``not_in`` makes the predicate vacuously
+    false (three-valued logic: ``x NOT IN (..., NULL)`` is never
+    TRUE), encoded as ``{"never": True}`` — every file prunes and the
+    residual filter returns no rows, consistently."""
+    raw = dict(predicates or {})
     if column is not None:
-        preds[column] = (lower, upper)
-    return {
-        c: (lo, hi) for c, (lo, hi) in preds.items()
-        if lo is not None or hi is not None
-    }
+        raw[column] = (lower, upper)
+    out = {}
+    for c, spec in raw.items():
+        if isinstance(spec, dict):
+            unknown = set(spec) - {"lower", "upper", "in", "not_in"}
+            if unknown:
+                raise ValueError(
+                    f"predicate for {c!r}: unknown key(s) {sorted(unknown)}"
+                )
+            norm = {}
+            if spec.get("lower") is not None:
+                norm["lower"] = spec["lower"]
+            if spec.get("upper") is not None:
+                norm["upper"] = spec["upper"]
+            if spec.get("in") is not None:
+                vals = list(spec["in"])
+                norm["in"] = [v for v in vals if v is not None]
+            if spec.get("not_in") is not None:
+                vals = list(spec["not_in"])
+                if any(v is None for v in vals):
+                    norm = {"never": True}
+                elif vals:
+                    norm["not_in"] = vals
+        else:
+            lo, hi = spec
+            norm = {}
+            if lo is not None:
+                norm["lower"] = lo
+            if hi is not None:
+                norm["upper"] = hi
+        if norm:
+            out[c] = norm
+    return out
 
 
 def pruned_files(
@@ -409,25 +452,41 @@ def pruned_files(
             keep.append(p)  # unknown file: never skip blind
             continue
         survives = True
-        for col, (lo_raw, hi_raw) in preds.items():
+        for col, spec in preds.items():
+            if spec.get("never"):
+                survives = False  # vacuously-false predicate (NOT IN
+                break  # with a NULL): nothing can match anywhere
             ctype = stats["columns"].get(col)
             if ctype is None or col not in entry:
                 continue  # no stats for this column: cannot prune on it
             fmin, fmax, _nnull = entry[col]
             if fmin is None or fmax is None:
-                # min/max NULL => every value NULL; a bounded range
-                # predicate never matches NULL — prune
+                # min/max NULL => every value NULL; no bounded / IN /
+                # NOT-IN predicate ever matches NULL — prune
                 survives = False
                 break
             fmin = _comparable(fmin, ctype)
             fmax = _comparable(fmax, ctype)
-            lo = _comparable(lo_raw, ctype)
-            hi = _comparable(hi_raw, ctype)
+            lo = _comparable(spec.get("lower"), ctype)
+            hi = _comparable(spec.get("upper"), ctype)
             if (lo is not None and fmax < lo) or (
                 hi is not None and fmin > hi
             ):
                 survives = False
                 break
+            if "in" in spec:
+                vals = [_comparable(v, ctype) for v in spec["in"]]
+                # a file survives only if SOME listed value could be
+                # present, i.e. falls inside [min, max]
+                if not any(fmin <= v <= fmax for v in vals):
+                    survives = False
+                    break
+            if "not_in" in spec and fmin == fmax:
+                # constant file: min/max can PROVE exclusion
+                vals = [_comparable(v, ctype) for v in spec["not_in"]]
+                if fmin in vals:
+                    survives = False
+                    break
         if survives:
             keep.append(p)
     return keep, len(all_files)
@@ -436,14 +495,24 @@ def pruned_files(
 def _bounded_filter(
     column: str | None, lower, upper, predicates: dict | None = None
 ):
+    """The residual Spark filter matching the pruning predicate exactly
+    — reapplied to the surviving files (pruning is file-granular; this
+    still pushes down into the surviving row groups)."""
     cond = F.lit(True)
-    for col, (lo, hi) in _norm_predicates(
+    for col, spec in _norm_predicates(
         column, lower, upper, predicates
     ).items():
-        if lo is not None:
-            cond = cond & (F.col(col) >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(col) <= F.lit(hi))
+        if spec.get("never"):
+            cond = cond & F.lit(False)
+            continue
+        if "lower" in spec:
+            cond = cond & (F.col(col) >= F.lit(spec["lower"]))
+        if "upper" in spec:
+            cond = cond & (F.col(col) <= F.lit(spec["upper"]))
+        if "in" in spec:
+            cond = cond & F.col(col).isin(spec["in"])
+        if "not_in" in spec:
+            cond = cond & ~F.col(col).isin(spec["not_in"])
     return cond
 
 

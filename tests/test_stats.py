@@ -142,6 +142,75 @@ def test_collect_file_stats_values(spark, tmp_path):
     assert os.path.exists(os.path.join(d, STATS_FILE)) is False  # collect only
 
 
+def test_in_list_pruning_matches_and_prunes(spark, tpath):
+    """IN-list fast path: a 2-value IN over range-partitioned files
+    must touch at most 2 files and return exactly the full-scan rows."""
+    _range_table(spark, tpath)  # v = 3*k over 8 range files
+    vals = [30, 11100]  # first and last file's territory
+    got, report = scan_table(spark, tpath, predicates={"v": {"in": vals}})
+    want = read_table(spark, tpath).where(F.col("v").isin(vals))
+    assert _rows(got) == _rows(want) and want.count() == 2
+    assert report["files_scanned"] <= 2 < report["files_total"]
+    # values in no file's range prune everything
+    got2, report2 = scan_table(
+        spark, tpath, predicates={"v": {"in": [31, 11101]}}
+    )
+    assert got2.count() == 0
+    # 31 and 11101 sit INSIDE two files' [min, max] (stats are ranges,
+    # not membership) — those files are scanned, the residual filters
+    assert report2["files_scanned"] <= 2
+    # empty IN list (after NULL drop) matches nothing anywhere
+    got3, report3 = scan_table(spark, tpath, predicates={"v": {"in": []}})
+    assert got3.count() == 0 and report3["files_scanned"] == 0
+
+
+def test_in_list_composes_with_range(spark, tpath):
+    _range_table(spark, tpath)
+    got, report = scan_table(
+        spark, tpath,
+        predicates={"v": {"lower": 0, "upper": 600, "in": [30, 11100]}},
+    )
+    want = read_table(spark, tpath).where(
+        F.col("v").between(0, 600) & F.col("v").isin([30, 11100])
+    )
+    assert _rows(got) == _rows(want) and want.count() == 1
+    assert report["files_scanned"] <= 1
+
+
+def test_not_in_prunes_constant_files_only(spark, tmp_path):
+    """NOT IN can prove exclusion only for a file that is CONSTANT at
+    an excluded value; mixed files are kept and filtered by the
+    residual."""
+    tpath = str(tmp_path / "nin")
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("tag")
+    )
+    # range-partition by tag: 3 files, each constant in tag
+    write_snapshot(
+        df.repartitionByRange(3, "tag"), tpath, stats_columns=["tag"]
+    )
+    got, report = scan_table(
+        spark, tpath, predicates={"tag": {"not_in": [1]}}
+    )
+    want = read_table(spark, tpath).where(~F.col("tag").isin([1]))
+    assert _rows(got) == _rows(want) and want.count() == 200
+    # hash-repartition by tag may co-locate tags; prune exactly the
+    # files that are constant-1 (here: at least one fewer than total)
+    assert report["files_scanned"] < report["files_total"]
+    # NOT IN with a NULL is vacuously false — full prune, zero rows,
+    # exactly what the residual filter would compute
+    got2, report2 = scan_table(
+        spark, tpath, predicates={"tag": {"not_in": [1, None]}}
+    )
+    assert got2.count() == 0 and report2["files_scanned"] == 0
+
+
+def test_predicate_spec_validation(spark, tpath):
+    _range_table(spark, tpath)
+    with pytest.raises(ValueError, match="unknown key"):
+        scan_table(spark, tpath, predicates={"v": {"between": (1, 2)}})
+
+
 def test_footer_harvest_matches_scan_across_types(spark, tmp_path):
     """write_file_stats' footer harvest (the fold-into-write path: no
     second pass over the data) must produce the EXACT sidecar the
