@@ -174,6 +174,14 @@ def main() -> int:
         # bench entry: per-item Python codec kernel cost by
         # construction, the m04/m07/m08 exclusion rule.
         "v05_file_skipping_scan",
+        # round-11 addition (BASELINE §P target): ANN retrieval-family
+        # guard — fresh IVF-PQ index build over the sf's embeddings +
+        # the serving search AND the distributed search_join at the
+        # fixed 8-cell geometry, with the bit-equality pin inside the
+        # entry. Bounded: 5 queries x top_k 10 at every sf. This is
+        # the one family (s01-s08) that previously had no
+        # BENCH-vs-BASELINE presence.
+        "s07_ann_search_join_parity",
         # m04_png_roundtrip is NOT a bench entry: its cost is the
         # per-item Python PNG encode+decode kernel by construction (the
         # g01/t08/s04 exact-cost exclusion rule); the codec itself is

@@ -241,6 +241,22 @@ class BPETokenizer:
             p: r for r, p in enumerate(self.merges)
         }
 
+    def spec(self) -> tuple:
+        """Plain-data closure form for the tokenizer-generic operators
+        (functions/unigram.py rebuild_tokenizer dispatches on it)."""
+        return ("bpe", self.merges, self.mode)
+
+    def count_col(
+        self, df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
+    ) -> DataFrame:
+        return bpe_count_col(df, self, text_col, out_col)
+
+    def tokens_col(
+        self, df: DataFrame, text_col: str = "text",
+        out_col: str = "bpe_tokens",
+    ) -> DataFrame:
+        return bpe_tokens_col(df, self, text_col, out_col)
+
     def encode_word(self, word: str) -> list[str]:
         syms = _word_symbols(word, self.mode)
         ranks = self.ranks

@@ -54,7 +54,7 @@ from .relational import RFM_QUERIES
 from .search import SEARCH_QUERIES
 from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .profiling import PROFILE_QUERIES
-from .subword import SUBWORD_QUERIES
+from .subword import SUBWORD_QUERIES, UNIGRAM_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 from .ann_index import ANN_FILTER_QUERIES, ANN_INDEX_QUERIES
 from .versioning import (
@@ -104,6 +104,7 @@ EXTRA_QUERIES = {
     **SKIPPING_QUERIES,
     **PROG_JPEG_QUERIES,
     **ANN_FILTER_QUERIES,
+    **UNIGRAM_QUERIES,
 }
 
 __all__ = [

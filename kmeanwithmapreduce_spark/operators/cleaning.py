@@ -395,14 +395,15 @@ def chunk_documents(
     input splits at any corpus size. Chunk count per doc is
     floor((T-1)/stride)+1, bounded by document length.
 
-    ``tokenizer=BPETokenizer``: windows are counted in SUBWORD tokens
-    (what a training pipeline actually budgets) via an Arrow-batched
-    mapInPandas — still zero shuffle. ``chunk_text`` is the window
-    detokenized at end-of-word boundaries; a window cut mid-word keeps
-    the partial word (documented in ``BPETokenizer.detokenize``).
-    Documents encoding to zero tokens (empty text) yield no chunks on
-    this path (the whitespace path counts the empty string as one
-    token — split(" ") semantics).
+    ``tokenizer=BPETokenizer | UnigramTokenizer``: windows are counted
+    in SUBWORD tokens (what a training pipeline actually budgets) via
+    an Arrow-batched mapInPandas — still zero shuffle. ``chunk_text``
+    is the window detokenized at word boundaries; a window cut
+    mid-word keeps the partial word (documented in each tokenizer's
+    ``detokenize``). Documents encoding to zero tokens (empty text)
+    yield no chunks on this path (the whitespace path counts the empty
+    string as one token — split(" ") semantics). Any tokenizer
+    exposing the spec()/encode/detokenize protocol plugs in.
     """
     if stride <= 0 or seq_len <= 0:
         raise ValueError("seq_len and stride must be positive")
@@ -446,13 +447,15 @@ def _chunk_documents_bpe(
 ) -> DataFrame:
     """Subword-token chunking: encode each doc once, slice token
     windows, detokenize each window. mapInPandas (narrow, zero shuffle);
-    the merge table rides the closure; cross-batch word cache."""
+    the tokenizer spec (merge table / piece table) rides the closure;
+    cross-batch word cache."""
     import pandas as pd
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    from ..functions.bpe import BoundedCache, BPETokenizer
+    from ..functions.bpe import BoundedCache
+    from ..functions.unigram import rebuild_tokenizer
 
-    merges, tmode = tokenizer.merges, tokenizer.mode
+    spec = tokenizer.spec()
     in_fields = {f.name: f for f in docs.schema.fields}
     schema = StructType(
         [in_fields[c] for c in id_cols]
@@ -465,7 +468,7 @@ def _chunk_documents_bpe(
     cols = list(id_cols) + [text_col]
 
     def gen(batches):
-        tok = BPETokenizer(merges, tmode)
+        tok = rebuild_tokenizer(spec)
         cache: dict = BoundedCache()
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in id_cols}
@@ -641,13 +644,12 @@ def token_budget_sample(
     if budget < 0:
         raise ValueError("budget must be >= 0")
     if tokenizer is not None:
-        # subword budget: the count column comes from the Arrow-batched
-        # BPE path; everything downstream (bucket decomposition, prefix
-        # sum, pruning) is count-source-agnostic and identical
-        from ..functions.bpe import bpe_count_col
-
-        t = bpe_count_col(
-            docs.select(id_col, text_col), tokenizer, text_col, "n_tokens"
+        # subword budget: the count column comes from the tokenizer's
+        # Arrow-batched path (BPE or unigram — the duck-typed
+        # count_col protocol); everything downstream (bucket
+        # decomposition, prefix sum, pruning) is count-source-agnostic
+        t = tokenizer.count_col(
+            docs.select(id_col, text_col), text_col, "n_tokens"
         ).select(
             id_col,
             F.md5(F.col(id_col).cast("string")).alias("h"),

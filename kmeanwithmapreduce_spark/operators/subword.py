@@ -98,3 +98,86 @@ FROM (
 SUBWORD_QUERIES = {
     "t13_bpe_subword_stats": (t13_bpe_subword_stats, T13_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# t14 — unigram-LM (SentencePiece-style) subword tokenization
+
+
+def t14_unigram_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram-LM tokenizer (functions/unigram.py: distributed
+    seed extraction + distributed EM with exact fixed-point
+    aggregation + probability-ranked pruning) on the documents table,
+    Viterbi-tokenize every document, and report per-language doc
+    counts plus whitespace-vs-unigram token totals — t13's compression
+    summary for the second subword family. Trained per corpus content
+    (partitioning-invariant), so the oracle is a golden-row VALUES
+    table keyed on total document characters, double-run under a
+    hostile vanilla session before freezing (the t13/k01 protocol)."""
+    from ..functions.unigram import train_unigram
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = train_unigram(
+        d, vocab_size=120, seed_size=2000, max_piece_len=6
+    )
+    counted = tok.count_col(
+        d.select("doc_id", "lang", "text"), "text", "n_uni"
+    )
+    return (
+        counted.withColumn(
+            "n_ws", F.size(F.split(F.col("text"), " ")).cast("bigint")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+            F.sum("n_uni").cast("bigint").alias("uni_tokens"),
+        )
+    )
+
+
+# Golden rows per corpus (branch key: total document characters — the
+# t13 discipline). Regenerate with scripts/gen_t14_golden.py (engine +
+# vanilla hostile session at 3 sfs; must agree pair-wise) after any
+# change to the seed/EM/prune spec, the Viterbi tie-break, or the t14
+# training knobs.
+T14_SQL = """
+WITH nchars AS (SELECT sum(n_chars) AS c FROM documents)
+SELECT CAST(lang AS VARCHAR) AS lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(uni_tokens AS BIGINT) AS uni_tokens
+FROM (
+  SELECT * FROM (VALUES
+    ('de', 71, 4070, 4846),
+    ('en', 193, 10343, 12422),
+    ('es', 80, 4516, 5463),
+    ('fr', 82, 4926, 5925),
+    ('zh', 74, 4084, 4893)
+  ) v(lang, n_docs, ws_tokens, uni_tokens)
+  WHERE (SELECT c FROM nchars) = 153156
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('de', 70, 3549, 4286),
+    ('en', 218, 11757, 14101),
+    ('es', 73, 3958, 4751),
+    ('fr', 64, 3758, 4516),
+    ('zh', 75, 4143, 4998)
+  ) v(lang, n_docs, ws_tokens, uni_tokens)
+  WHERE (SELECT c FROM nchars) = 149174
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('de', 702, 38406, 46201),
+    ('en', 2059, 112006, 134648),
+    ('es', 744, 41044, 49152),
+    ('fr', 742, 40521, 48702),
+    ('zh', 753, 38727, 46603)
+  ) v(lang, n_docs, ws_tokens, uni_tokens)
+  WHERE (SELECT c FROM nchars) = 1485576
+)
+"""
+
+
+UNIGRAM_QUERIES = {
+    "t14_unigram_subword_stats": (t14_unigram_subword_stats, T14_SQL),
+}

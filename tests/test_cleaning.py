@@ -418,6 +418,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "v05_file_skipping_scan",
         "m09_progressive_jpeg_parity",
         "s08_ann_filtered_search_parity",
+        "t14_unigram_subword_stats",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
