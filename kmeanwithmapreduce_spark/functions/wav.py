@@ -5,13 +5,21 @@ WAV needs no codec library — it is a RIFF container (chunked, little-
 endian) around raw PCM samples. This module implements:
 
 - ``decode_wav(data) -> (sample_rate, n_channels, samples)`` for
-  16-bit integer PCM (format tag 1), any channel count/sample rate.
-  Compressed formats (mu-law, ADPCM, MP3-in-WAV) and other bit depths
-  raise a clear ValueError — those stay on the labeled-fake path in
-  operators/multimodal.py, as does video.
-- ``encode_wav(samples, sample_rate)`` — the matching encoder (used by
-  the m05 registry entry and tests to synthesize valid WAVs so the
-  decode is value-verified against the DuckDB oracle).
+  16-bit integer PCM (format tag 1), any channel count/sample rate,
+  AND (round 11) IMA/DVI ADPCM (format tag 0x11) — the 4-bit
+  block-coded compression from the IMA Digital Audio Pack spec (the
+  algorithm Microsoft documents for WAVE_FORMAT_IMA_ADPCM): per-block
+  per-channel predictor/step-index header, nibble stream through the
+  89-entry step table, pure integer arithmetic so decode is exactly
+  reproducible. Remaining compressed formats (MS ADPCM tag 0x02,
+  mu-law, float, 24-bit) raise a clear ValueError — those stay on the
+  labeled-fake path in operators/multimodal.py, as does video.
+- ``encode_wav(samples, sample_rate)`` — the matching PCM encoder
+  (used by the m05 registry entry and tests to synthesize valid WAVs
+  so the decode is value-verified against the DuckDB oracle), and
+  ``encode_wav_ima`` — the matching IMA ADPCM encoder (standard
+  quantize-against-step rule, a ``fact`` chunk carrying the exact
+  frame count so partial final blocks round-trip).
 
 Scale: like PNG decode, per-item work inside the Arrow ``mapInPandas``
 kernel; the sample reshape is one numpy frombuffer — no per-sample
@@ -46,6 +54,147 @@ def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
     return RIFF_MAGIC + struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM tables (IMA Digital Audio Pack, 1992; reproduced in
+# Microsoft's WAVE_FORMAT_IMA_ADPCM documentation — public spec)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step: (new predictor, new index).
+    Shared by decode and encode (the encoder must track the decoder's
+    state exactly or the streams drift)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+    index += _IMA_INDEX[nibble & 7]
+    index = 0 if index < 0 else (88 if index > 88 else index)
+    return pred, index
+
+
+def _ima_decode_blocks(
+    pcm: bytes, channels: int, block_align: int
+) -> np.ndarray:
+    """Decode an IMA ADPCM data chunk to int16 (n_frames, channels).
+    Block layout (the canonical WAV one): per channel a 4-byte header
+    (int16 predictor == first output sample, step index, reserved),
+    then 4-byte data words round-robin across channels, 8 nibbles per
+    word, low nibble first."""
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for b0 in range(0, len(pcm) - (len(pcm) % block_align), block_align):
+        block = pcm[b0 : b0 + block_align]
+        preds, idxs = [], []
+        for ch in range(channels):
+            (p,) = struct.unpack_from("<h", block, 4 * ch)
+            i = block[4 * ch + 2]
+            if i > 88:
+                raise ValueError(f"corrupt IMA ADPCM: step index {i}")
+            preds.append(p)
+            idxs.append(i)
+            out[ch].append(p)  # header predictor IS the first sample
+        pos = 4 * channels
+        while pos + 4 * channels <= len(block):
+            for ch in range(channels):
+                word = block[pos + 4 * ch : pos + 4 * ch + 4]
+                p, i = preds[ch], idxs[ch]
+                o = out[ch]
+                for byte in word:
+                    p, i = _ima_step(byte & 0x0F, p, i)
+                    o.append(p)
+                    p, i = _ima_step(byte >> 4, p, i)
+                    o.append(p)
+                preds[ch], idxs[ch] = p, i
+            pos += 4 * channels
+    n = min(len(o) for o in out) if out else 0
+    arr = np.empty((n, channels), dtype=np.int16)
+    for ch in range(channels):
+        arr[:, ch] = out[ch][:n]
+    return arr
+
+
+def encode_wav_ima(
+    samples, sample_rate: int = 16_000, block_align_per_ch: int = 256
+) -> bytes:
+    """Encode an int16 array (n,) mono or (n, channels) as IMA ADPCM
+    WAV (format tag 0x11). Standard quantizer: sign + three
+    successive-approximation bits against the current step, state
+    updated through the exact decoder rule. The final partial block is
+    zero-padded and a ``fact`` chunk records the true frame count, so
+    ``decode_wav`` returns exactly ``n`` frames."""
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    if n == 0:
+        raise ValueError("encode_wav_ima: need at least one frame")
+    block_align = block_align_per_ch * channels
+    frames_per_block = (block_align - 4 * channels) * 2 // channels + 1
+    blocks = bytearray()
+    for f0 in range(0, n, frames_per_block):
+        chunk = arr[f0 : f0 + frames_per_block]
+        if len(chunk) < frames_per_block:  # zero-pad the tail block
+            pad = np.zeros((frames_per_block - len(chunk), channels), "<i2")
+            chunk = np.concatenate([chunk, pad])
+        preds = [int(chunk[0, ch]) for ch in range(channels)]
+        idxs = [0] * channels
+        for ch in range(channels):
+            blocks += struct.pack("<hBB", preds[ch], idxs[ch], 0)
+        for w0 in range(1, frames_per_block, 8):
+            for ch in range(channels):
+                word = 0
+                p, i = preds[ch], idxs[ch]
+                for k in range(8):
+                    fidx = w0 + k
+                    s = int(chunk[fidx, ch]) if fidx < frames_per_block else 0
+                    step = _IMA_STEPS[i]
+                    diff = s - p
+                    nib = 0
+                    if diff < 0:
+                        nib = 8
+                        diff = -diff
+                    if diff >= step:
+                        nib |= 4
+                        diff -= step
+                    if diff >= step >> 1:
+                        nib |= 2
+                        diff -= step >> 1
+                    if diff >= step >> 2:
+                        nib |= 1
+                    p, i = _ima_step(nib, p, i)
+                    word |= nib << (4 * k)
+                preds[ch], idxs[ch] = p, i
+                blocks += struct.pack("<I", word)
+    byte_rate = (sample_rate * block_align + frames_per_block - 1) // max(
+        frames_per_block, 1
+    )
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, sample_rate, byte_rate, block_align,
+        4, 2, frames_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a PCM WAV to (sample_rate, n_channels, int16 array
     (n_frames, n_channels)). 16-bit integer PCM only — compressed
@@ -56,6 +205,7 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     pos = 12
     fmt = None
     pcm = None
+    fact_frames = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (length,) = struct.unpack_from("<I", data, pos + 4)
@@ -65,13 +215,22 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif tag == b"data":
             pcm = body
+        elif tag == b"fact" and length >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
     if fmt is None or pcm is None:
         raise ValueError("corrupt WAV: missing fmt/data chunk")
-    audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    audio_format, channels, sample_rate, _rate, align, bits = fmt
+    if audio_format == 0x11 and bits == 4:
+        if align < 4 * channels + 4:
+            raise ValueError(f"corrupt IMA ADPCM: block align {align}")
+        samples = _ima_decode_blocks(pcm, channels, align)
+        if fact_frames is not None:  # exact length incl. padded tail
+            samples = samples[:fact_frames]
+        return sample_rate, channels, samples
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"unsupported WAV (format={audio_format}, bits={bits}): this "
-            "stdlib decoder handles 16-bit integer PCM only"
+            "stdlib decoder handles 16-bit integer PCM and IMA ADPCM only"
         )
     n_frames = len(pcm) // (channels * 2)
     samples = np.frombuffer(
