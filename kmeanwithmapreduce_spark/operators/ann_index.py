@@ -619,9 +619,18 @@ class AnnIndex:
         ``salt`` distributes the join: the raw key (cell) has only
         n_cells distinct values, so the codes side is salted by vec_id
         hash and each probe row replicated ``salt`` ways — n_cells x
-        salt join partitions (default: the session's parallelism).
-        Values are salt-invariant; pass ``salt=None`` semantics via
-        ``search`` instead when the query batch is serving-sized.
+        salt join partitions. Default: ``ceil(4 * parallelism /
+        n_cells)`` clamped to [1, parallelism] — enough groups to
+        oversubscribe every slot 4x (skew headroom) and no more.
+        Salt is a pure COST multiplier on the fan-out (each replica
+        carries the LUT) and on the pre-rank survivor set
+        (Q x n_probe x salt x top_k): the round-11 sf100 rehearsal
+        (2M queries, auto 1414 cells) filled the box's disk at the old
+        ``salt = parallelism`` default — with cells >= slots the cell
+        key alone already spreads the work and salt must collapse
+        toward 1. Values are salt-invariant (pinned); pass ``salt=``
+        to override, or use ``search`` when the query batch is
+        serving-sized.
 
         Scale: probe rows are queries x n_probe with an m x k_codes LUT
         each (~2 KB at the default geometry) — linear in the query
@@ -692,7 +701,9 @@ class AnnIndex:
             _probes, "query_id long, cell int, lut array<array<double>>"
         )
         if salt is None:
-            salt = max(1, self.spark.sparkContext.defaultParallelism)
+            salt = _auto_salt(
+                self.spark.sparkContext.defaultParallelism, len(centroids)
+            )
         return _adc_topk(
             self._searchable_codes(keep), probes, m, top_k, salt=int(salt)
         )
@@ -867,6 +878,22 @@ def _pq_sample_error(
     S = X.reshape(len(X), m, dsub)
     d2 = ((S[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
     return float(d2.min(axis=2).sum(axis=1).mean())
+
+
+def _auto_salt(parallelism: int, n_cells: int) -> int:
+    """search_join's default salt: ceil(4 * parallelism / n_cells)
+    clamped to [1, parallelism]. The join's group key is (cell, salt);
+    parallelism needs n_cells * salt >= slots (with ~4x headroom for
+    skewed cells), while every extra salt unit multiplies BOTH the
+    LUT-carrying probe fan-out and the pre-rank survivor set
+    (Q x n_probe x salt x top_k). The old ``salt = parallelism``
+    default scaled cost with the box instead of the key space: at the
+    sf100 rehearsal's 2M queries x 1414 auto cells it fanned ~77 GB
+    and spilled the disk, for groups no scheduler needed."""
+    if n_cells < 1:
+        raise ValueError("n_cells must be >= 1")
+    par = max(1, int(parallelism))
+    return max(1, min(par, -(-4 * par // n_cells)))
 
 
 def auto_n_cells(n_vectors: int) -> int:

@@ -168,6 +168,24 @@ def test_search_join_equals_search_bit_for_bit(
     assert _rows(idx.search_join(queries, n_probe=2, top_k=10, salt=7)) == want
 
 
+def test_auto_salt_scales_with_cells_not_box():
+    """The default salt must collapse toward 1 once cells >= slots —
+    salt multiplies the LUT fan-out and the pre-rank survivor volume
+    (the round-11 sf100 disk-spill incident) — while keeping ~4x slot
+    oversubscription for skew at small cell counts."""
+    from kmeanwithmapreduce_spark.operators.ann_index import _auto_salt
+
+    assert _auto_salt(32, 8) == 16
+    assert _auto_salt(32, 64) == 2
+    assert _auto_salt(32, 1414) == 1
+    assert _auto_salt(32, 1) == 32  # never exceeds parallelism
+    assert _auto_salt(1, 5) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _auto_salt(32, 0)
+
+
 def test_search_join_plan_is_distributed(spark, sf_dir, tmp_path):
     """The query side must flow through the plan (Arrow mapInPandas ->
     join), not a driver collect: the probe kernel appears in the plan,
