@@ -58,6 +58,7 @@ from .subword import SUBWORD_QUERIES, UNIGRAM_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 from .ann_index import ANN_FILTER_QUERIES, ANN_INDEX_QUERIES
 from .versioning import (
+    IN_SKIPPING_QUERIES,
     REBUCKET_QUERIES,
     SKIPPING_QUERIES,
     TIME_TRAVEL_QUERIES,
@@ -105,6 +106,7 @@ EXTRA_QUERIES = {
     **PROG_JPEG_QUERIES,
     **ANN_FILTER_QUERIES,
     **UNIGRAM_QUERIES,
+    **IN_SKIPPING_QUERIES,
 }
 
 __all__ = [

@@ -383,8 +383,109 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 """
 
 
+def v06_in_list_skipping_scan(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> DataFrame:
+    """IN-LIST + NOT-IN FILE SKIPPING through the versioned-table layer
+    (round 11, sources/stats.py predicate specs): orders committed as
+    one snapshot epoch range-partitioned on o_orderpriority into 5
+    files — one per priority, so every file is CONSTANT in the stats
+    column — then two pruned scans:
+
+    - ``{"in": ['1-URGENT', '5-LOW']}`` must scan exactly the two
+      matching files (the IN fast path),
+    - ``{"not_in": ['3-MEDIUM']}`` must skip exactly the one constant
+      excluded file (the only negation min/max stats can prove),
+
+    both returning exactly the rows the full-scan filters return (the
+    oracle: per-branch count + cents-exact sum) and both PRUNING
+    (emitted as literal flags the oracle pins to 1)."""
+    from ..sources.stats import scan_table
+    from ..sources.table import write_snapshot
+
+    base = _entry_base(sf_dir, "v06", base_path)
+    _reset_epoch_dir(spark, base, "v06_in_list_skipping_scan")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    # one file per priority, DETERMINISTICALLY: hash-repartition on
+    # the priority with a modulus under which the five priority
+    # hashes are COLLISION-FREE (computed from the engine's own hash
+    # — fixed murmur3, so the layout is stable across runs/machines).
+    # repartitionByRange's sampled boundaries can merge two values
+    # into one partition, and AQE collapses unions of repartition(1)
+    # slices — both break the exact files_scanned pin below.
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    hashes = [
+        r.h
+        for r in spark.createDataFrame([(p,) for p in prios], "p string")
+        .select(F.hash("p").alias("h"))
+        .collect()
+    ]
+    k = next(
+        k for k in range(5, 512) if len({h % k for h in hashes}) == len(prios)
+    )
+    write_snapshot(
+        orders.repartition(k, "o_orderpriority"),
+        base,
+        stats_columns=["o_orderpriority"],
+    )
+    cents = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("long")
+    ).alias("sum_cents")
+
+    df_in, rep_in = scan_table(
+        spark, base,
+        predicates={"o_orderpriority": {"in": ["1-URGENT", "5-LOW"]}},
+    )
+    df_nin, rep_nin = scan_table(
+        spark, base,
+        predicates={"o_orderpriority": {"not_in": ["3-MEDIUM"]}},
+    )
+
+    def _agg(df, branch, rep, expect_scanned):
+        return df.agg(
+            F.lit(branch).alias("branch"),
+            F.count(F.lit(1)).alias("n_orders"),
+            cents,
+            F.lit(
+                int(
+                    rep["files_scanned"] == expect_scanned
+                    and rep["files_scanned"] < rep["files_total"]
+                )
+            ).cast("bigint").alias("pruned"),
+        )
+
+    return _agg(df_in, "in_two", rep_in, 2).unionByName(
+        _agg(df_nin, "not_in_one", rep_nin, 4)
+    )
+
+
+V06_SQL = """
+SELECT 'in_two' AS branch,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(1 AS BIGINT) AS pruned
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+UNION ALL
+SELECT 'not_in_one' AS branch,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(1 AS BIGINT) AS pruned
+FROM orders
+WHERE o_orderpriority NOT IN ('3-MEDIUM')
+"""
+
+
 SKIPPING_QUERIES = {
     "v05_file_skipping_scan": (v05_file_skipping_scan, V05_SQL),
+}
+
+IN_SKIPPING_QUERIES = {
+    "v06_in_list_skipping_scan": (v06_in_list_skipping_scan, V06_SQL),
 }
 
 

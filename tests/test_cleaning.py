@@ -419,6 +419,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "m09_progressive_jpeg_parity",
         "s08_ann_filtered_search_parity",
         "t14_unigram_subword_stats",
+        "v06_in_list_skipping_scan",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
