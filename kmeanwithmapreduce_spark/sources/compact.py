@@ -60,6 +60,7 @@ def compact_parquet(
     in_path: str,
     out_path: str,
     target_file_bytes: int = _DEFAULT_TARGET,
+    stats_columns: list[str] | str | None = "inherit",
 ) -> CompactionStats:
     """Rewrite ``in_path`` (parquet) into ``out_path`` with
     ceil(total_bytes / target_file_bytes) files of near-equal size.
@@ -69,14 +70,28 @@ def compact_parquet(
     them — a 2 GB file next to 2000 tiny ones would stay a 2 GB output
     task. The single Exchange buys even file sizes, which is what the
     next thousand scans of this dataset amortize against.
+
+    ``stats_columns="inherit"`` (default): if the input carries a
+    data-skipping sidecar (sources/stats.py), the output gets one for
+    the SAME columns — compaction must not silently downgrade a table
+    from pruned scans back to full scans (round-11 gap). Harvested
+    from the freshly-written footers, so the inheritance costs no data
+    pass. Pass a list to set columns explicitly, or None to skip.
     """
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
+    from .stats import read_file_stats, write_file_stats
+
     before = _parquet_files(spark, in_path)
     bytes_before = sum(s for _, s in before)
     n_out = max(1, -(-bytes_before // target_file_bytes))
     df = spark.read.parquet(in_path)
     df.repartition(int(n_out)).write.mode("error").parquet(out_path)
+    if stats_columns == "inherit":
+        src = read_file_stats(spark, in_path)
+        stats_columns = sorted(src["columns"]) if src else None
+    if stats_columns:
+        write_file_stats(spark, out_path, list(stats_columns))
     after = _parquet_files(spark, out_path)
     n_rows = spark.read.parquet(out_path).count()
     return CompactionStats(

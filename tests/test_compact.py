@@ -75,3 +75,39 @@ def test_compact_refuses_overwrite_and_bad_target(spark, tmp_path):
         compact_parquet(spark, src, dst, target_file_bytes=1 << 20)  # exists
     with pytest.raises(ValueError):
         compact_parquet(spark, src, str(tmp_path / "x"), target_file_bytes=0)
+
+
+def test_compact_inherits_stats_sidecar(spark, tmp_path):
+    """Compaction must not downgrade a skipping-enabled dataset to
+    full scans: an input sidecar's columns re-harvest onto the output
+    (from the fresh footers — no extra data pass), and the compacted
+    sidecar prunes correctly."""
+    from kmeanwithmapreduce_spark.sources.stats import (
+        collect_file_stats,
+        pruned_files,
+        read_file_stats,
+        write_file_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    _fragmented(spark, src, n_files=6)
+    write_file_stats(spark, src, ["id"])
+    dst = str(tmp_path / "out")
+    compact_parquet(spark, src, dst, target_file_bytes=256 * 1024)
+    st = read_file_stats(spark, dst)
+    assert st is not None and list(st["columns"]) == ["id"]
+    assert st == collect_file_stats(spark, dst, ["id"])  # exact harvest
+    keep, total = pruned_files(spark, dst, "id", lower=-10, upper=-1)
+    assert total >= 1 and keep == []  # all-negative range prunes all
+    # no input sidecar -> no output sidecar (inherit finds nothing)
+    src2 = str(tmp_path / "frag2")
+    _fragmented(spark, src2, n_files=3)
+    dst2 = str(tmp_path / "out2")
+    compact_parquet(spark, src2, dst2, target_file_bytes=1 << 20)
+    assert read_file_stats(spark, dst2) is None
+    # explicit columns override
+    dst3 = str(tmp_path / "out3")
+    compact_parquet(
+        spark, src2, dst3, target_file_bytes=1 << 20, stats_columns=["id"]
+    )
+    assert read_file_stats(spark, dst3) is not None
