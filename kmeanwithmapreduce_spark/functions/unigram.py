@@ -190,6 +190,10 @@ def _seed_candidates(
         .groupBy("p")
         .agg(F.sum("f").alias("c"))
     )
+    # bounded by the corpus ALPHABET (distinct codepoints: <= ~1.1M by
+    # Unicode itself, a few thousand for real text), not by seed_size —
+    # single characters are all kept for the coverage guarantee, so
+    # this collect's bound is structural, unlike the limit() below
     chars = grouped.where(F.length("p") == 1).collect()
     multi = (
         grouped.where((F.length("p") > 1) & (F.col("c") >= min_count))

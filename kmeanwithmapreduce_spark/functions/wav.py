@@ -94,10 +94,18 @@ def _ima_decode_blocks(
     Block layout (the canonical WAV one): per channel a 4-byte header
     (int16 predictor == first output sample, step index, reserved),
     then 4-byte data words round-robin across channels, 8 nibbles per
-    word, low nibble first."""
+    word, low nibble first. A TRUNCATED final block (legal in real
+    files) decodes the headers plus every complete word round it
+    carries — a tail too short to even hold the per-channel headers is
+    corrupt and raises, so the shortfall never passes silently."""
     out: list[list[int]] = [[] for _ in range(channels)]
-    for b0 in range(0, len(pcm) - (len(pcm) % block_align), block_align):
+    for b0 in range(0, len(pcm), block_align):
         block = pcm[b0 : b0 + block_align]
+        if len(block) < 4 * channels:
+            raise ValueError(
+                f"corrupt IMA ADPCM: final block of {len(block)} bytes "
+                f"cannot hold the {4 * channels}-byte channel headers"
+            )
         preds, idxs = [], []
         for ch in range(channels):
             (p,) = struct.unpack_from("<h", block, 4 * ch)
@@ -142,6 +150,14 @@ def encode_wav_ima(
     n, channels = arr.shape
     if n == 0:
         raise ValueError("encode_wav_ima: need at least one frame")
+    if block_align_per_ch < 8 or (block_align_per_ch - 4) % 4 != 0:
+        # 4-byte header + whole 4-byte data words per channel; anything
+        # else makes the nibble loop emit more bytes per block than
+        # block_align declares, silently misaligning every decoder
+        raise ValueError(
+            f"encode_wav_ima: block_align_per_ch={block_align_per_ch} "
+            "must be >= 8 with (block_align_per_ch - 4) % 4 == 0"
+        )
     block_align = block_align_per_ch * channels
     frames_per_block = (block_align - 4 * channels) * 2 // channels + 1
     blocks = bytearray()

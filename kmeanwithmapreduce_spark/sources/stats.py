@@ -215,27 +215,38 @@ def _list_parquet(spark: SparkSession, dir_path: str) -> list[str]:
     return out
 
 
-def _from_footer(v, col_type: str, tz_name: str):
-    """A footer statistics value mapped into the sidecar's value
-    domain (the domain collect_file_stats produces via ``collect``),
-    or None when the encoding can't be trusted — the caller then falls
-    back to the scan for that column. tz-aware timestamps normalize to
-    the session timezone and drop tzinfo (Spark's collect returns
-    session-local naive datetimes)."""
+def _from_footer(v, col_type: str):
+    """A footer statistics value mapped toward the sidecar's value
+    domain, or None when the encoding can't be trusted — the caller
+    then falls back to the scan for that column. tz-aware timestamps
+    stay TZ-AWARE here (absolute instants compare correctly for the
+    min/max folds on the executors); ``_to_collect_domain`` converts
+    them on the DRIVER, because the collect domain is driver-OS-local
+    naive, not session-tz naive (round-11 ADVICE: PySpark's
+    ``TimestampType.fromInternal`` uses ``fromtimestamp`` — the OS
+    zone — and naive predicate literals go through ``toInternal``'s
+    ``mktime``, also the OS zone; normalizing footers to
+    ``spark.sql.session.timeZone`` instead would offset min/max by the
+    OS-vs-session delta and wrongly prune matching files)."""
     if v is None or isinstance(v, bytes):
         return None
     if isinstance(v, float) and v != v:  # NaN ordering differs from Spark's
         return None
-    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
-        from zoneinfo import ZoneInfo
-
-        return v.astimezone(ZoneInfo(tz_name)).replace(tzinfo=None)
     return v
 
 
-def _footer_stats_one(
-    path: str, cols: list[str], types: dict, tz_name: str
-) -> dict:
+def _to_collect_domain(v):
+    """Driver-side: a tz-aware footer timestamp → the naive OS-local
+    datetime ``collect()`` would have produced for the same instant.
+    Runs on the DRIVER ONLY (collect_file_stats collects on the
+    driver, so the driver's OS zone defines the sidecar domain; an
+    executor with a different OS zone must not bake its own in)."""
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone().replace(tzinfo=None)
+    return v
+
+
+def _footer_stats_one(path: str, cols: list[str], types: dict) -> dict:
     """One file's sidecar entry from its parquet FOOTER only: columns
     the footer can't serve exactly are OMITTED from the entry (the
     caller scans just those), never guessed."""
@@ -270,15 +281,17 @@ def _footer_stats_one(
                     continue  # all-null row group: no min/max to add
                 ok = False
                 break
-            vmn = _from_footer(st.min, types[c], tz_name)
-            vmx = _from_footer(st.max, types[c], tz_name)
+            vmn = _from_footer(st.min, types[c])
+            vmx = _from_footer(st.max, types[c])
             if vmn is None or vmx is None:
                 ok = False
                 break
             mn = vmn if mn is None or vmn < mn else mn
             mx = vmx if mx is None or vmx > mx else mx
         if ok:
-            entry[c] = [_jsonable(mn), _jsonable(mx), int(nulls)]
+            # raw values (tz-aware datetimes included) — the DRIVER
+            # converts to the collect domain and JSON-encodes
+            entry[c] = [mn, mx, int(nulls)]
     return entry
 
 
@@ -299,24 +312,30 @@ def harvest_file_stats(
         if "://" in u and not u.startswith("file:"):
             return None  # non-local FS: footers need an FS client here
         paths.append(_path_of(u))
-    tz_name = spark.conf.get("spark.sql.session.timeZone")
     if len(paths) > 32:
         # a million-file epoch reads footers on the executors; only the
         # tiny per-file entries come back to the driver
         rows = (
             spark.sparkContext.parallelize(paths, max(2, len(paths) // 32))
-            .map(lambda p: (p, _footer_stats_one(p, cols, types, tz_name)))
+            .map(lambda p: (p, _footer_stats_one(p, cols, types)))
             .collect()
         )
     else:
-        rows = [
-            (p, _footer_stats_one(p, cols, types, tz_name)) for p in paths
-        ]
+        rows = [(p, _footer_stats_one(p, cols, types)) for p in paths]
     qdir = qualified(spark, dir_path)
-    return {
-        "columns": types,
-        "files": {_rel_to(qdir, p): entry for p, entry in rows},
-    }
+    files = {}
+    for p, entry in rows:
+        out = {"rows": entry["rows"]}
+        for c in cols:
+            if c in entry:
+                mn, mx, nulls = entry[c]
+                out[c] = [
+                    _jsonable(_to_collect_domain(mn)),
+                    _jsonable(_to_collect_domain(mx)),
+                    nulls,
+                ]
+        files[_rel_to(qdir, p)] = out
+    return {"columns": types, "files": files}
 
 
 def write_file_stats(

@@ -440,3 +440,76 @@ def test_datetime_bounds_over_date_column_never_lose_rows(spark, tpath):
         F.col("d") >= F.lit(datetime.date(1997, 1, 7))
     )
     assert _rows(got3) == _rows(want3) and r3["files_scanned"] <= 2
+
+
+def test_footer_harvest_tz_hostile_parity():
+    """Round-11 ADVICE (medium): footer-harvested timestamp stats used
+    to normalize to spark.sql.session.timeZone, but collect() and
+    naive predicate literals run through the driver's OS zone — on a
+    host where OS tz != session tz the harvested min/max were offset
+    by the delta and pruning could drop files containing matching
+    rows. Rerun the harvest-vs-scan parity and a bounded scan in a
+    subprocess pinned to TZ=America/New_York with a UTC session."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import datetime, os, tempfile
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("tz-hostile-stats")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    # the engine session writes TIMESTAMP_MICROS (session.py:124) so
+    # footers CARRY timestamp stats — set it here too, else the footer
+    # path legitimately falls back to the scan and the tz bug hides
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from kmeanwithmapreduce_spark.sources.stats import (
+    collect_file_stats, harvest_file_stats, scan_table,
+)
+from kmeanwithmapreduce_spark.sources.table import read_table, write_snapshot
+
+tp = os.path.join(tempfile.mkdtemp(), "tbl")
+df = spark.range(2000).select(
+    F.col("id").alias("k"),
+    (
+        F.lit("2024-03-01").cast("timestamp")
+        + F.make_interval(hours=(F.col("id") % 500))
+    ).alias("ts"),
+)
+write_snapshot(df.repartitionByRange(5, "ts"), tp, stats_columns=["ts"])
+epoch = read_table(spark, tp).inputFiles()[0].rsplit("/", 1)[0]
+h = harvest_file_stats(spark, epoch)
+c = collect_file_stats(spark, epoch)
+assert h == c, ("harvest/scan sidecars diverge under hostile OS tz",
+                h["files"], c["files"])
+lo = datetime.datetime(2024, 3, 5, 0, 0)
+hi = datetime.datetime(2024, 3, 9, 12, 0)
+got, report = scan_table(spark, tp, "ts", lo, hi)
+want = read_table(spark, tp).where(F.col("ts").between(F.lit(lo), F.lit(hi)))
+g = sorted(map(tuple, got.collect()))
+w = sorted(map(tuple, want.collect()))
+assert g == w and len(w) > 0, (len(g), len(w))
+assert report["files_scanned"] < report["files_total"], report
+print("TZ_HOSTILE_OK")
+"""
+    env = dict(os.environ, TZ="America/New_York")
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert r.returncode == 0 and "TZ_HOSTILE_OK" in r.stdout, (
+        r.stdout[-2000:],
+        r.stderr[-4000:],
+    )

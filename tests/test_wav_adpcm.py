@@ -154,3 +154,49 @@ def test_decode_audio_batch_routes_ima_through_real_path(spark):
     # rms over the DECODED samples, not the source — but 4-bit ADPCM
     # keeps energy close; assert the real-decode ballpark
     assert abs(row.rms - want_rms) / want_rms < 0.05
+
+
+def test_encode_rejects_misaligned_block_align():
+    """Round-11 ADVICE: block_align_per_ch that is not
+    4-byte-header + whole data words (e.g. 10) made the nibble loop
+    emit MORE bytes per block than block_align declares — every
+    decoder then misaligns block boundaries and produces silently
+    corrupt audio. Must refuse loudly instead."""
+    sig = _signal(64, 1, seed=3)
+    for bad in (4, 7, 10, 13, 253):
+        with pytest.raises(ValueError, match="block_align_per_ch"):
+            encode_wav_ima(sig, block_align_per_ch=bad)
+    # the boundary valid sizes still encode and round-trip
+    for ok in (8, 12, 256):
+        _, _, out = decode_wav(encode_wav_ima(sig, block_align_per_ch=ok))
+        assert out.shape == (64, 1)
+
+
+def test_truncated_final_block_decodes_available_words():
+    """Round-11 ADVICE: a truncated final block (legal in real IMA
+    files) was silently DROPPED, returning fewer frames than the fact
+    chunk claims with no error. Now the headers plus every complete
+    word round decode (prefix-causal: identical to the full decode's
+    prefix), and a tail too short for the headers raises."""
+    from kmeanwithmapreduce_spark.functions.wav import _ima_decode_blocks
+
+    sig = _signal(600, 1, seed=11)
+    wav = encode_wav_ima(sig, block_align_per_ch=256)
+    # pull the raw data chunk back out of the container
+    pos, pcm = 12, None
+    while pos + 8 <= len(wav):
+        tag = wav[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", wav, pos + 4)
+        if tag == b"data":
+            pcm = wav[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+    assert pcm is not None and len(pcm) == 2 * 256  # 505 frames/block
+    full = _ima_decode_blocks(pcm, 1, 256)
+    # cut the final block to header + 3 complete data words
+    cut = pcm[: 256 + 4 + 3 * 4]
+    part = _ima_decode_blocks(cut, 1, 256)
+    assert part.shape[0] == 505 + 1 + 3 * 8
+    assert np.array_equal(part, full[: part.shape[0]])
+    # a tail that cannot even hold the channel headers is corrupt
+    with pytest.raises(ValueError, match="final block"):
+        _ima_decode_blocks(pcm[: 256 + 2], 1, 256)
