@@ -17,12 +17,14 @@ log-probabilities (Viterbi). Training starts from a large seed of
 candidate substrings and alternates EM (expected piece counts over
 all segmentations, the forward-backward lattice pass) with pruning
 (drop the lowest-probability pieces, never single characters) until
-the vocabulary reaches ``vocab_size``. Pruning ranks pieces by
-expected count — the standard simplification of Kudo §3.2's
-loss-ranked prune (which re-segments with each piece removed); both
-shrink toward the same high-likelihood core, and the count-ranked
-form keeps training a pure function of the word table. This
-simplification is deliberate and documented — not hidden.
+the vocabulary reaches ``vocab_size``. Two prune rankings
+(``prune_by``): ``"count"`` (default) ranks by expected count — an
+exact-integer ranking that keeps training a pure integer function of
+the word table (the t14 golden surface); ``"loss"`` implements Kudo
+§3.2's likelihood-loss ranking (expected count x the log-prob gap to
+each piece's best alternative segmentation — see ``_prune_loss``).
+Both shrink toward the same high-likelihood core; a parity test pins
+the loss variant against an independent sequential reference.
 
 Scale design (the bpe.py discipline, extended):
 
@@ -158,6 +160,58 @@ def _prune(counts: dict[str, int], target: int) -> dict[str, int]:
     )
     keep = dict(chars)
     for p, c in multi[: max(0, target - len(chars))]:
+        keep[p] = c
+    return keep
+
+
+def _best_alt_logp(
+    piece: str, logp: dict[str, float], max_piece_len: int
+) -> float:
+    """Best log-probability of segmenting ``piece``'s own surface with
+    every vocabulary piece EXCEPT itself — the re-segmentation its
+    occurrences fall back to if it is pruned (Kudo §3.2's alternative
+    path). Always finite: single characters are never pruned, so a
+    char-by-char path exists."""
+    n = len(piece)
+    best = [_neg_inf()] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for length in range(1, min(max_piece_len, i) + 1):
+            sub = piece[i - length : i]
+            if sub == piece:
+                continue
+            lp = logp.get(sub)
+            if lp is None:
+                continue
+            s = best[i - length] + lp
+            if s > best[i]:
+                best[i] = s
+    return best[n]
+
+
+def _prune_loss(
+    counts: dict[str, int], target: int, max_piece_len: int
+) -> dict[str, int]:
+    """Kudo §3.2's LOSS-RANKED prune: rank each multi-char piece by
+    the corpus-likelihood drop its removal costs — expected count x
+    (logp(piece) - logp(best alternative segmentation of its surface))
+    — and keep the ``target`` highest-loss pieces (loss DESC, piece
+    ASC). Single characters always survive (coverage). Driver-side
+    O(pieces x len x max_piece_len) — piece-table-sized, like the
+    M-step. Ranking uses fixed-order float arithmetic (the same
+    one-libm assumption the lattice math documents); the count-ranked
+    ``_prune`` remains the default and the t14 golden surface."""
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    logp = _to_logprobs(counts)
+    scored = []
+    for p, c in counts.items():
+        if len(p) == 1:
+            continue
+        loss = c * (logp[p] - _best_alt_logp(p, logp, max_piece_len))
+        scored.append((p, c, loss))
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    keep = dict(chars)
+    for p, c, _loss in scored[: max(0, target - len(chars))]:
         keep[p] = c
     return keep
 
@@ -396,13 +450,19 @@ def train_unigram(
     shrink: float = 0.75,
     em_iters: int = 2,
     min_count: int = 2,
+    prune_by: str = "count",
 ) -> UnigramTokenizer:
     """End-to-end training: corpus → capped word table (one Spark agg)
     → distributed seed extraction → alternating distributed EM and
     deterministic pruning until ``vocab_size``. Pure function of corpus
-    content (partitioning-invariant by exact-integer aggregation)."""
+    content (partitioning-invariant by exact-integer aggregation).
+    ``prune_by``: ``"count"`` (default — exact-integer ranking, the
+    t14 golden surface) or ``"loss"`` (Kudo §3.2's likelihood-loss
+    ranking; see _prune_loss)."""
     if not 0.0 < shrink < 1.0:
         raise ValueError("shrink must be in (0, 1)")
+    if prune_by not in ("count", "loss"):
+        raise ValueError(f"prune_by must be 'count' or 'loss', got {prune_by!r}")
     words, counts = _seed_candidates(
         docs, text_col, top_words, seed_size, max_piece_len, min_count
     )
@@ -425,7 +485,10 @@ def train_unigram(
             if len(counts) <= vocab_size:
                 break
             target = max(vocab_size, int(len(counts) * shrink))
-            pruned = _prune(counts, target)
+            if prune_by == "loss":
+                pruned = _prune_loss(counts, target, max_piece_len)
+            else:
+                pruned = _prune(counts, target)
             if len(pruned) == len(counts):
                 break  # only chars left above vocab_size: cannot shrink
             counts = pruned

@@ -6,20 +6,23 @@ endian) around raw PCM samples. This module implements:
 
 - ``decode_wav(data) -> (sample_rate, n_channels, samples)`` for
   16-bit integer PCM (format tag 1), any channel count/sample rate,
-  AND (round 11) IMA/DVI ADPCM (format tag 0x11) — the 4-bit
-  block-coded compression from the IMA Digital Audio Pack spec (the
-  algorithm Microsoft documents for WAVE_FORMAT_IMA_ADPCM): per-block
+  IMA/DVI ADPCM (round 11, format tag 0x11) — the 4-bit block-coded
+  compression from the IMA Digital Audio Pack spec (the algorithm
+  Microsoft documents for WAVE_FORMAT_IMA_ADPCM): per-block
   per-channel predictor/step-index header, nibble stream through the
-  89-entry step table, pure integer arithmetic so decode is exactly
-  reproducible. Remaining compressed formats (MS ADPCM tag 0x02,
-  mu-law, float, 24-bit) raise a clear ValueError — those stay on the
-  labeled-fake path in operators/multimodal.py, as does video.
+  89-entry step table — AND (round 12) Microsoft ADPCM (format tag
+  0x02): per-block per-channel predictor-pair/delta/two-sample
+  header, signed nibbles through the 7 standard coefficient pairs and
+  the 16-entry delta adaptation table. All pure integer arithmetic,
+  exactly reproducible. Remaining compressed formats (mu-law, float,
+  24-bit) raise a clear ValueError — those stay on the labeled-fake
+  path in operators/multimodal.py, as does non-MJPEG video.
 - ``encode_wav(samples, sample_rate)`` — the matching PCM encoder
   (used by the m05 registry entry and tests to synthesize valid WAVs
-  so the decode is value-verified against the DuckDB oracle), and
-  ``encode_wav_ima`` — the matching IMA ADPCM encoder (standard
-  quantize-against-step rule, a ``fact`` chunk carrying the exact
-  frame count so partial final blocks round-trip).
+  so the decode is value-verified against the DuckDB oracle), plus
+  ``encode_wav_ima`` and ``encode_wav_ms`` — the matching ADPCM
+  encoders (state tracked through the exact decoder rules, a ``fact``
+  chunk carrying the exact frame count so padded tails round-trip).
 
 Scale: like PNG decode, per-item work inside the Arrow ``mapInPandas``
 kernel; the sample reshape is one numpy frombuffer — no per-sample
@@ -135,6 +138,176 @@ def _ima_decode_blocks(
     return arr
 
 
+# Microsoft ADPCM (WAVE_FORMAT_ADPCM, tag 0x02) tables — public spec
+# (Microsoft "Multimedia Programming Interface and Data Specifications"
+# / RIFF WAVE ADPCM extension; the 7 standard predictor pairs and the
+# delta adaptation table)
+_MS_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _ms_step(nibble: int, s1: int, s2: int, delta: int, c1: int, c2: int):
+    """One MS ADPCM reconstruction step → (sample, new s1, new s2,
+    new delta). Pure integer (Python's ``>>`` floors like C's
+    arithmetic shift; the signed nibble is two's-complement 4-bit)."""
+    signed = nibble - 16 if nibble >= 8 else nibble
+    pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+    pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+    delta = (_MS_ADAPT[nibble] * delta) >> 8
+    if delta < 16:
+        delta = 16
+    return pred, pred, s1, delta
+
+
+def _ms_decode_blocks(
+    pcm: bytes, channels: int, block_align: int,
+    samples_per_block: int | None,
+) -> np.ndarray:
+    """Decode an MS ADPCM data chunk to int16 (n_frames, channels).
+    Block layout (the spec's): per channel a 7-byte header —
+    predictor index (1 B), initial delta (int16), sample1, sample2
+    (int16 each), fields grouped field-major across channels — whose
+    sample2/sample1 ARE the block's first two output frames; then
+    4-bit nibbles, high nibble first, successive samples round-robin
+    across channels. Same truncated-final-block discipline as IMA:
+    complete data bytes decode, a tail too short for the headers
+    raises."""
+    hdr = 7 * channels
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for b0 in range(0, len(pcm), block_align):
+        block = pcm[b0 : b0 + block_align]
+        if len(block) < hdr:
+            raise ValueError(
+                f"corrupt MS ADPCM: final block of {len(block)} bytes "
+                f"cannot hold the {hdr}-byte channel headers"
+            )
+        preds, deltas, s1s, s2s = [], [], [], []
+        for ch in range(channels):
+            p = block[ch]
+            if p >= len(_MS_COEFS):
+                raise ValueError(f"corrupt MS ADPCM: predictor index {p}")
+            preds.append(p)
+        for ch in range(channels):
+            (d,) = struct.unpack_from("<h", block, channels + 2 * ch)
+            deltas.append(d if d >= 16 else 16)
+        for ch in range(channels):
+            (v,) = struct.unpack_from("<h", block, 3 * channels + 2 * ch)
+            s1s.append(v)
+        for ch in range(channels):
+            (v,) = struct.unpack_from("<h", block, 5 * channels + 2 * ch)
+            s2s.append(v)
+        blk: list[list[int]] = [[s2s[ch], s1s[ch]] for ch in range(channels)]
+        k = 0  # running sample index across the nibble stream
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                ch = k % channels
+                c1, c2 = _MS_COEFS[preds[ch]]
+                smp, s1s[ch], s2s[ch], deltas[ch] = _ms_step(
+                    nib, s1s[ch], s2s[ch], deltas[ch], c1, c2
+                )
+                blk[ch].append(smp)
+                k += 1
+        for ch in range(channels):
+            # wSamplesPerBlock caps a block that carries padding nibbles
+            cap = samples_per_block if samples_per_block is not None else len(
+                blk[ch]
+            )
+            out[ch].extend(blk[ch][:cap])
+    n = min(len(o) for o in out) if out else 0
+    arr = np.empty((n, channels), dtype=np.int16)
+    for ch in range(channels):
+        arr[:, ch] = out[ch][:n]
+    return arr
+
+
+def encode_wav_ms(
+    samples, sample_rate: int = 16_000, block_align_per_ch: int = 256
+) -> bytes:
+    """Encode an int16 array (n,) mono or (n, channels) as MS ADPCM
+    WAV (format tag 0x02). Deterministic: predictor pair 0 for every
+    block/channel, initial delta from the block's mean absolute
+    second difference (integer math), quantizer truncates toward zero
+    against the decoder-tracked state — every nibble reconstructs
+    through the exact ``_ms_step`` rule, so encode→decode round-trips
+    track the signal. A ``fact`` chunk records the true frame count
+    (the final block is zero-padded)."""
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    if n == 0:
+        raise ValueError("encode_wav_ms: need at least one frame")
+    if block_align_per_ch < 8:
+        raise ValueError(
+            f"encode_wav_ms: block_align_per_ch={block_align_per_ch} "
+            "must be >= 8 (7-byte header + data)"
+        )
+    block_align = block_align_per_ch * channels
+    data_bytes = block_align - 7 * channels
+    frames_per_block = 2 + (2 * data_bytes) // channels
+    blocks = bytearray()
+    for f0 in range(0, n, frames_per_block):
+        chunk = arr[f0 : f0 + frames_per_block]
+        if len(chunk) < frames_per_block:
+            pad = np.zeros((frames_per_block - len(chunk), channels), "<i2")
+            chunk = np.concatenate([chunk, pad])
+        s2s = [int(chunk[0, ch]) for ch in range(channels)]
+        s1s = [int(chunk[1, ch]) for ch in range(channels)]
+        deltas = []
+        for ch in range(channels):
+            c = chunk[:, ch].astype(np.int64)
+            dmean = int(np.abs(np.diff(c)).mean()) if len(c) > 1 else 0
+            deltas.append(max(16, dmean >> 2))
+        blocks += bytes([0] * channels)  # predictor pair 0 everywhere
+        for d in deltas:
+            blocks += struct.pack("<h", d)
+        for v in s1s:
+            blocks += struct.pack("<h", v)
+        for v in s2s:
+            blocks += struct.pack("<h", v)
+        c1, c2 = _MS_COEFS[0]
+        nibbles = []
+        for fidx in range(2, frames_per_block):
+            for ch in range(channels):
+                target = int(chunk[fidx, ch])
+                pred = (s1s[ch] * c1 + s2s[ch] * c2) >> 8
+                err = target - pred
+                nib = int(err / deltas[ch])  # truncate toward zero
+                nib = -8 if nib < -8 else (7 if nib > 7 else nib)
+                nib &= 0x0F
+                _, s1s[ch], s2s[ch], deltas[ch] = _ms_step(
+                    nib, s1s[ch], s2s[ch], deltas[ch], c1, c2
+                )
+                nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for i in range(0, len(nibbles), 2):
+            blocks += bytes([(nibbles[i] << 4) | nibbles[i + 1]])
+    byte_rate = (sample_rate * block_align + frames_per_block - 1) // max(
+        frames_per_block, 1
+    )
+    extra = struct.pack("<HH", frames_per_block, len(_MS_COEFS))
+    for c1, c2 in _MS_COEFS:
+        extra += struct.pack("<hh", c1, c2)
+    fmt = struct.pack(
+        "<HHIIHHH", 0x02, channels, sample_rate, byte_rate, block_align,
+        4, len(extra),
+    ) + extra
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_ima(
     samples, sample_rate: int = 16_000, block_align_per_ch: int = 256
 ) -> bytes:
@@ -220,6 +393,7 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("not a WAV (bad RIFF/WAVE signature)")
     pos = 12
     fmt = None
+    fmt_body = b""
     pcm = None
     fact_frames = None
     while pos + 8 <= len(data):
@@ -229,6 +403,7 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif tag == b"data":
             pcm = body
         elif tag == b"fact" and length >= 4:
@@ -243,10 +418,24 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         if fact_frames is not None:  # exact length incl. padded tail
             samples = samples[:fact_frames]
         return sample_rate, channels, samples
+    if audio_format == 0x02 and bits == 4:
+        if align < 7 * channels + 1:
+            raise ValueError(f"corrupt MS ADPCM: block align {align}")
+        # WAVEFORMATEX extension: cbSize at offset 16, then
+        # wSamplesPerBlock — absent/short extensions decode uncapped
+        spb = None
+        if len(fmt_body) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt_body, 18)
+            spb = spb or None
+        samples = _ms_decode_blocks(pcm, channels, align, spb)
+        if fact_frames is not None:
+            samples = samples[:fact_frames]
+        return sample_rate, channels, samples
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"unsupported WAV (format={audio_format}, bits={bits}): this "
-            "stdlib decoder handles 16-bit integer PCM and IMA ADPCM only"
+            "stdlib decoder handles 16-bit integer PCM, IMA ADPCM, and "
+            "MS ADPCM only"
         )
     n_frames = len(pcm) // (channels * 2)
     samples = np.frombuffer(

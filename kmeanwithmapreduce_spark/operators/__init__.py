@@ -56,7 +56,11 @@ from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .profiling import PROFILE_QUERIES
 from .subword import SUBWORD_QUERIES, UNIGRAM_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
-from .ann_index import ANN_FILTER_QUERIES, ANN_INDEX_QUERIES
+from .ann_index import (
+    ANN_FILTER_QUERIES,
+    ANN_INDEX_QUERIES,
+    ANN_SAMPLED_QUERIES,
+)
 from .versioning import (
     IN_SKIPPING_QUERIES,
     REBUCKET_QUERIES,
@@ -107,6 +111,7 @@ EXTRA_QUERIES = {
     **ANN_FILTER_QUERIES,
     **UNIGRAM_QUERIES,
     **IN_SKIPPING_QUERIES,
+    **ANN_SAMPLED_QUERIES,
 }
 
 __all__ = [

@@ -100,6 +100,8 @@ class AnnIndex:
         self.codebooks = meta["codebooks"]
         # absent on pre-round-10 indexes (drift_ratio explains)
         self.meta_train_error = meta.get("train_error")
+        # None on exact-trained / pre-round-12 indexes
+        self.train_sample = meta.get("train_sample")
 
     # -- persistence -------------------------------------------------
 
@@ -504,6 +506,7 @@ class AnnIndex:
             m=self.m,
             k_codes=self.k_codes,
             by_residual=self.by_residual,
+            train_sample=self.train_sample,
         )
 
     def quantization_error(
@@ -610,49 +613,48 @@ class AnnIndex:
         """DISTRIBUTED batch search — the table-scale kNN-JOIN path
         (dedup-vs-index, retrieval eval over a whole embeddings table):
         queries stay a DataFrame end-to-end. Per-query coarse
-        assignment + ADC lookup tables are computed EXECUTOR-side in an
-        Arrow ``mapInPandas`` kernel (reusing the exact same pure-Python
-        accumulation as the serving path, so results are bit-equal to
-        ``search`` — pinned in tests), then joined against the persisted
-        codes. No driver collect of the query table anywhere.
+        assignment is computed EXECUTOR-side in an Arrow ``mapInPandas``
+        kernel; the probe rows carry the (residualized) float64 QUERY
+        VECTOR (round 12 — previously the m x k_codes ADC LUT, ~16x
+        bigger; the cogroup kernel now builds the LUT after the
+        shuffle with the identical per-element float64 sequence, so
+        results stay bit-equal to ``search`` — pinned in tests and by
+        the s07/s09 registry entries). No driver collect of the query
+        table anywhere.
 
-        ``salt`` distributes the join: the raw key (cell) has only
-        n_cells distinct values, so the codes side is salted by vec_id
-        hash and each probe row replicated ``salt`` ways — n_cells x
-        salt join partitions. Default: ``ceil(4 * parallelism /
-        n_cells)`` clamped to [1, parallelism] — enough groups to
-        oversubscribe every slot 4x (skew headroom) and no more.
-        Salt is a pure COST multiplier on the fan-out (each replica
-        carries the LUT) and on the pre-rank survivor set
-        (Q x n_probe x salt x top_k): the round-11 sf100 rehearsal
-        (2M queries, auto 1414 cells) filled the box's disk at the old
-        ``salt = parallelism`` default — with cells >= slots the cell
-        key alone already spreads the work and salt must collapse
-        toward 1. Values are salt-invariant (pinned); pass ``salt=``
-        to override, or use ``search`` when the query batch is
-        serving-sized.
+        The join is 2D-salted per cell (pq._adc_topk_qq): probes
+        partition into ``qs`` query slices, codes into ``cs`` candidate
+        slices, giving qs x cs cogroups per cell — distributed GEMM
+        blocking. By default the per-cell (qs, cs) PLAN is
+        DATA-DEPENDENT (round 12, the skewed-batch fix): cell sizes
+        come from an exact census of the searchable codes, per-cell
+        probe counts from a deterministic hash sample of the queries
+        (exact when the batch is <= the sample cap), and each cell is
+        split so no cogroup exceeds ~4k probe rows x ~4k candidates
+        while the total group count keeps ~4x-parallelism headroom. A
+        query batch concentrated on a handful of hot cells — which the
+        round-11 static salt served as ONE giant cogroup per cell —
+        now fans exactly those cells out by query hash, replicating
+        only the tiny codes rows. ``salt=S`` overrides with the legacy
+        uniform shape (qs=1, cs=S — the pinned salt-invariance
+        surface); values are identical under every setting.
 
-        Scale: probe rows are queries x n_probe with an m x k_codes LUT
-        each (~2 KB at the default geometry) — linear in the query
-        table, shuffled once; the codes side reads (vec_id, cluster,
-        codes) only. Round 10: both the probe kernel below and the ADC
-        scorer (pq._adc_score_cogroup) are VECTORIZED NumPy — batched
-        over queries/candidates, but accumulating distances dimension-
-        by-dimension (and subspace-by-subspace) with float64 elementwise
-        adds, left to right, so every per-element IEEE sequence equals
-        the pure-Python serving path's (_sqd / _adc_expr) and results
-        stay bit-equal to ``search`` — pinned in tests and by the s07
-        registry entry. NumPy *reductions* (``.sum()``, ``dot``) are
-        deliberately never used: pairwise summation would shift ulps
-        across the 1e-4 ADC floor."""
-        from .pq import _adc_topk
+        Scale: probe rows are queries x n_probe x (8 + 4 + 8d) bytes
+        (~528 B at d=64), shuffled cs times; the codes side reads
+        (vec_id, cluster, codes) only (~40 B/row), shuffled qs times —
+        the heavy side of the old LUT fan-out is gone. Both the probe
+        kernel and the ADC scorer (pq._adc_score_cogroup_qq) accumulate
+        float64 elementwise adds left-to-right (dim-by-dim, then
+        subspace-by-subspace) — the exact IEEE sequence of the serving
+        path's _sqd / _adc_expr chain; NumPy *reductions* (``.sum()``,
+        ``dot``) are deliberately never used (pairwise summation would
+        shift ulps across the 1e-4 floor)."""
+        from .pq import _adc_topk_qq
 
         idc = "query_id" if "query_id" in queries.columns else "vec_id"
         centroids = self.centroids
         books = self.codebooks
         by_residual = self.by_residual
-        m = len(books)
-        dsub = len(books[0][0])
         n_probe_eff = min(n_probe, len(centroids))
 
         def _probes(batches):
@@ -660,7 +662,6 @@ class AnnIndex:
             import pandas as pd
 
             C = np.array(centroids, dtype=np.float64)  # (n_cells, d)
-            B = np.array(books, dtype=np.float64)  # (m, k, dsub)
             d = C.shape[1]
             for pdf in batches:
                 if len(pdf) == 0:
@@ -680,17 +681,11 @@ class AnnIndex:
                 QQ = np.repeat(Q, n_probe_eff, axis=0)
                 if by_residual:
                     QQ = QQ - C[cells]
-                # LUTs: (rows, m, k), accumulated dim-by-dim within each
-                # subspace — the _sqd order the serving path pins
-                S = QQ.reshape(len(QQ), m, dsub)
-                lut = np.zeros((len(QQ), m, B.shape[1]), dtype=np.float64)
-                for i in range(dsub):
-                    lut += (S[:, :, i : i + 1] - B[None, :, :, i]) ** 2
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(qids, n_probe_eff),
                         "cell": cells.astype(np.int32),
-                        "lut": [row.tolist() for row in lut],
+                        "qq": [row.tolist() for row in QQ],
                     }
                 )
 
@@ -698,15 +693,76 @@ class AnnIndex:
         # column, and bit-equality requires both paths to widen the same
         # physical values
         probes = queries.select(idc, "embedding").mapInPandas(
-            _probes, "query_id long, cell int, lut array<array<double>>"
+            _probes, "query_id long, cell int, qq array<double>"
         )
-        if salt is None:
-            salt = _auto_salt(
-                self.spark.sparkContext.defaultParallelism, len(centroids)
+        codes = self._searchable_codes(keep)
+        if salt is not None:
+            return _adc_topk_qq(codes, probes, books, top_k, salt=int(salt))
+        sizes = {
+            int(r["cluster"]): int(r["n"])
+            for r in codes.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        counts = self._probe_cell_counts(queries, idc, n_probe_eff)
+        plan = _plan_salts(
+            sizes, counts, self.spark.sparkContext.defaultParallelism
+        )
+        return _adc_topk_qq(codes, probes, books, top_k, plan=plan)
+
+    def _probe_cell_counts(
+        self, queries: DataFrame, idc: str, n_probe_eff: int
+    ) -> dict[int, int]:
+        """Estimated probe rows per coarse cell for the search_join
+        planner: exact when the batch is <= _COUNT_SAMPLE_CAP queries,
+        otherwise a deterministic query-id-hash sample scaled back up
+        (a COST signal only — a misestimate makes a group bigger or
+        smaller, never wrong: the plan's cell list comes from the codes
+        census, so every non-empty cell is covered regardless). One
+        extra coarse-assign pass over at most the cap's worth of
+        queries; the collect is bounded by n_cells."""
+        n_q = queries.count()
+        if n_q == 0:
+            return {}
+        rate = max(1, -(-n_q // _COUNT_SAMPLE_CAP))
+        sample = queries
+        if rate > 1:
+            sample = queries.where(
+                F.pmod(F.xxhash64(F.col(idc)), F.lit(rate)) == 0
             )
-        return _adc_topk(
-            self._searchable_codes(keep), probes, m, top_k, salt=int(salt)
+        centroids = self.centroids
+
+        def _cells(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.array(centroids, dtype=np.float64)
+            d = C.shape[1]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d2 = np.zeros((len(Q), C.shape[0]), dtype=np.float64)
+                for i in range(d):
+                    d2 += (Q[:, i : i + 1] - C[None, :, i]) ** 2
+                cell_ids = np.broadcast_to(np.arange(C.shape[0]), d2.shape)
+                probed = np.lexsort((cell_ids, d2), axis=-1)[:, :n_probe_eff]
+                vals, cnt = np.unique(probed.ravel(), return_counts=True)
+                yield pd.DataFrame(
+                    {
+                        "cell": vals.astype(np.int32),
+                        "n": cnt.astype(np.int64),
+                    }
+                )
+
+        rows = (
+            sample.select("embedding")
+            .mapInPandas(_cells, "cell int, n long")
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+            .collect()
         )
+        return {int(r["cell"]): int(r["n"]) * rate for r in rows}
 
 
 def _s07_base(
@@ -832,6 +888,75 @@ SELECT CAST(1 AS BIGINT) AS searches_equal,
        CAST(1 AS BIGINT) AS all_kept
 """
 
+
+def s09_ann_sampled_build_parity(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> DataFrame:
+    """Registry entry gating the SAMPLE-TRAINED coarse quantizer
+    (``build_ann_index(train_sample=...)`` — round 12; at sf100 the
+    full-corpus coarse Lloyd cost 283 s vs 132.7 s for the 2M x 2M
+    join itself, so one decade up the exact training dominates the
+    build). Builds an EXACT index and a SAMPLED one (train_sample=64 —
+    genuinely smaller than every sf's corpus, so the sample path really
+    executes) at the same geometry over the sf's embeddings corpus
+    (vec_id >= 5, the s03/s07 split), then emits one row:
+
+    - ``searches_equal``: serving ``search`` == distributed
+      ``search_join`` BIT-FOR-BIT on the sampled index (the s07
+      guarantee must survive sampled centroids);
+    - ``n_results``: 5 queries x top_k(10) = 50 at every sf;
+    - ``recall_band_ok``: mean top-10 overlap of the sampled build's
+      results vs the exact build's >= 0.15 — the pinned quality band
+      (measured 0.26-0.46 across sf0.001/0.01/0.1 at both 64- and
+      256-vector samples; ground-truth recall is PQ-bound (m=4), and
+      sampled builds measured AT-or-ABOVE the exact build against
+      brute force, so the band guards against a sampling regression,
+      not against PQ loss).
+
+    Literal oracle; same throwaway base-path discipline as s07."""
+    from ..sources.readers import load_table
+
+    base_x = _s07_base(spark, sf_dir, base_path and base_path + "/x", tag="s09x")
+    base_s = _s07_base(spark, sf_dir, base_path and base_path + "/s", tag="s09s")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.where(F.col("vec_id") >= 5)
+    queries = e.where(F.col("vec_id") < 5)
+    exact = build_ann_index(corpus, base_x, n_cells=8)
+    sampled = build_ann_index(corpus, base_s, n_cells=8, train_sample=64)
+    serving = sorted(
+        map(tuple, sampled.search(queries, n_probe=2, top_k=10).collect())
+    )
+    joined = sorted(
+        map(tuple, sampled.search_join(queries, n_probe=2, top_k=10).collect())
+    )
+    ex = exact.search(queries, n_probe=2, top_k=10).collect()
+
+    def _tops(rows):
+        d: dict[int, set] = {}
+        for r in rows:
+            d.setdefault(r[0], set()).add(r[1])
+        return d
+
+    te, ts = _tops(ex), _tops(joined)
+    recall = sum(len(te[q] & ts[q]) / len(te[q]) for q in te) / len(te)
+    return spark.createDataFrame(
+        [
+            (
+                int(serving == joined and len(serving) > 0),
+                len(joined),
+                int(recall >= 0.15),
+            )
+        ],
+        "searches_equal bigint, n_results bigint, recall_band_ok bigint",
+    )
+
+
+S09_SQL = """
+SELECT CAST(1 AS BIGINT) AS searches_equal,
+       CAST(50 AS BIGINT) AS n_results,
+       CAST(1 AS BIGINT) AS recall_band_ok
+"""
+
 ANN_INDEX_QUERIES = {
     "s07_ann_search_join_parity": (s07_ann_search_join_parity, S07_SQL),
 }
@@ -842,6 +967,13 @@ ANN_FILTER_QUERIES = {
     "s08_ann_filtered_search_parity": (
         s08_ann_filtered_search_parity,
         S08_SQL,
+    ),
+}
+
+ANN_SAMPLED_QUERIES = {
+    "s09_ann_sampled_build_parity": (
+        s09_ann_sampled_build_parity,
+        S09_SQL,
     ),
 }
 
@@ -881,19 +1013,69 @@ def _pq_sample_error(
 
 
 def _auto_salt(parallelism: int, n_cells: int) -> int:
-    """search_join's default salt: ceil(4 * parallelism / n_cells)
-    clamped to [1, parallelism]. The join's group key is (cell, salt);
-    parallelism needs n_cells * salt >= slots (with ~4x headroom for
-    skewed cells), while every extra salt unit multiplies BOTH the
-    LUT-carrying probe fan-out and the pre-rank survivor set
-    (Q x n_probe x salt x top_k). The old ``salt = parallelism``
-    default scaled cost with the box instead of the key space: at the
-    sf100 rehearsal's 2M queries x 1414 auto cells it fanned ~77 GB
-    and spilled the disk, for groups no scheduler needed."""
+    """The round-11 STATIC salt rule: ceil(4 * parallelism / n_cells)
+    clamped to [1, parallelism] — enough (cell, salt) groups to
+    oversubscribe every slot ~4x without scaling cost with the box
+    (the sf100 incident: ``salt = parallelism`` fanned ~77 GB of LUT
+    rows). Round 12 superseded it as search_join's default with the
+    per-cell DATA-DEPENDENT plan (``_plan_salts``) — a static rule
+    cannot see a query batch concentrated on a few hot cells — but the
+    function remains the reference point the plan's headroom floor
+    reproduces for uniform batches, and the uniform ``salt=`` override
+    still exists for the pinned salt-invariance surface."""
     if n_cells < 1:
         raise ValueError("n_cells must be >= 1")
     par = max(1, int(parallelism))
     return max(1, min(par, -(-4 * par // n_cells)))
+
+
+# search_join planner bounds: per-cogroup caps keep the scorer's
+# (Q_g x N_g) float64 accumulator <= ~128 MB and its per-group LUT
+# (Q_g x m x k_codes doubles) <= ~32 MB at the default geometry;
+# the sample cap bounds the planner's extra coarse-assign pass.
+_Q_CAP = 4096
+_N_CAP = 4096
+_COUNT_SAMPLE_CAP = 65536
+
+
+def _plan_salts(
+    cell_sizes: dict[int, int],
+    probe_counts: dict[int, int],
+    parallelism: int,
+) -> list[tuple[int, int, int]]:
+    """The per-cell (qs, cs) split plan for _adc_topk_qq, from the
+    exact codes census (``cell_sizes``) and the measured/estimated
+    probe counts. Three forces, in order:
+
+    1. caps: qs = ceil(Q_c / _Q_CAP) and cs = ceil(N_c / _N_CAP) bound
+       every cogroup's memory — the skewed-batch fix: 100k probes on
+       one cell split into ~25 query slices instead of one giant group;
+    2. headroom: probed cells should yield ~4x-parallelism groups
+       total (the _auto_salt rule, spread across cells); grow qs first
+       — extra qs replicates the ~40 B codes rows, extra cs replicates
+       the ~528 B probe rows;
+    3. never split beyond the data: qs <= Q_c, cs <= N_c.
+
+    A uniform batch over many cells reproduces the round-11 static
+    default (qs = cs = 1 when cells >= slots); cells the probe sample
+    missed get qs=1 with the size-based cs — a cost misestimate only,
+    never a correctness one (the plan covers every non-empty cell by
+    construction)."""
+    par = max(1, int(parallelism))
+    probed = sum(1 for c in cell_sizes if probe_counts.get(c, 0) > 0)
+    need = -(-4 * par // max(1, probed))
+    plan = []
+    for c in sorted(cell_sizes):
+        n_c = int(cell_sizes[c])
+        q_c = int(probe_counts.get(c, 0))
+        qs = max(1, -(-q_c // _Q_CAP))
+        cs = max(1, min(n_c, -(-n_c // _N_CAP)))
+        if q_c and qs * cs < need:
+            qs = min(max(qs, -(-need // cs)), max(1, q_c))
+            if qs * cs < need:
+                cs = min(max(cs, -(-need // qs)), max(1, n_c))
+        plan.append((int(c), int(qs), int(cs)))
+    return plan
 
 
 def auto_n_cells(n_vectors: int) -> int:
@@ -917,6 +1099,7 @@ def build_ann_index(
     k_codes: int = _K_CODES,
     by_residual: bool = False,
     sample: int = 2048,
+    train_sample: int | str | None = None,
 ) -> AnnIndex:
     """Train coarse + PQ quantizers on ``vectors`` (vec_id, embedding),
     encode them as codes epoch 0, and persist everything under
@@ -924,7 +1107,22 @@ def build_ann_index(
     crashed build leaves no loadable index and is cleanly re-runnable.
     ``n_cells="auto"`` sizes the coarse quantizer ~sqrt(corpus) (see
     auto_n_cells) — the scale default; the resolved count persists in
-    the meta like any explicit one."""
+    the meta like any explicit one.
+
+    ``train_sample`` bounds the COARSE quantizer's training set (round
+    12 — the sf100 rehearsal measured the full-corpus Lloyd at 283 s
+    vs 132.7 s for the 2M x 2M join itself; one decade up it dominates
+    everything). ``None`` (default) keeps the exact full-corpus
+    training, so every existing golden stands; ``"auto"`` uses FAISS's
+    rule of ~256 vectors per cell (faiss clustering.cpp
+    max_points_per_centroid); an int is the explicit sample size. The
+    sample is the md5-content-hash-ordered prefix — the SAME
+    deterministic recipe as ``quantization_error`` and PQ codebook
+    training, so a re-run reproduces the index bit-for-bit. PQ
+    codebooks already train on a bounded sample (``sample=``); the
+    encode pass over the full corpus is unchanged — sampling changes
+    WHERE the cell boundaries sit, never which vectors are indexed.
+    The resolved size persists in the meta (``rebuild`` reuses it)."""
     from ..kmeans import core
 
     spark = vectors.sparkSession
@@ -939,19 +1137,43 @@ def build_ann_index(
     d = len(feats.select("features").first()[0])
     if d % m:
         raise ValueError(f"d={d} not divisible by m={m}")
-    # deterministic coarse quantizer: the s03 recipe (injected
-    # lowest-vec_id init, compat-mode Lloyd)
-    init = [
-        [float(v) for v in r["features"]]
-        for r in feats.orderBy("vec_id").limit(n_cells).collect()
-    ]
-    if len(init) < n_cells:
-        raise ValueError(f"{len(init)} vectors < n_cells={n_cells}")
-    res = core.lloyd(
-        feats,
-        core.KMeansParams(k=n_cells, thresh=1e-2, max_loop=4, mode="compat"),
-        init_centroids=init,
-    )
+    if train_sample == "auto":
+        train_sample = 256 * n_cells
+    if train_sample is not None:
+        train_sample = int(train_sample)
+        if train_sample < n_cells:
+            raise ValueError(
+                f"train_sample={train_sample} < n_cells={n_cells}: the "
+                "coarse quantizer needs at least one vector per cell"
+            )
+        # one TakeOrdered job materializes the sample; persist so the
+        # Lloyd iterations re-read the cached rows, not the corpus
+        train_feats = (
+            feats.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(train_sample)
+            .persist()
+        )
+    else:
+        train_feats = feats
+    try:
+        # deterministic coarse quantizer: the s03 recipe (injected
+        # lowest-vec_id init, compat-mode Lloyd) over the training set
+        init = [
+            [float(v) for v in r["features"]]
+            for r in train_feats.orderBy("vec_id").limit(n_cells).collect()
+        ]
+        if len(init) < n_cells:
+            raise ValueError(f"{len(init)} vectors < n_cells={n_cells}")
+        res = core.lloyd(
+            train_feats,
+            core.KMeansParams(
+                k=n_cells, thresh=1e-2, max_loop=4, mode="compat"
+            ),
+            init_centroids=init,
+        )
+    finally:
+        if train_feats is not feats:
+            train_feats.unpersist()
     centroids = res.centroids
     books = train_pq_codebooks(
         spark,
@@ -969,6 +1191,7 @@ def build_ann_index(
         "k_codes": k_codes,
         "d": d,
         "by_residual": by_residual,
+        "train_sample": train_sample,
         "centroids": [[float(v) for v in c] for c in centroids],
         "codebooks": books,
         # the drift_ratio denominator: reconstruction error on the

@@ -318,58 +318,108 @@ def search_encoded(
     return _adc_topk(coded, probes, m, top_k)
 
 
-def _adc_topk(
+def _adc_topk(coded: DataFrame, probes: DataFrame, m: int, top_k: int) -> DataFrame:
+    """The BROADCAST ADC scoring tail of the driver-literal probe path
+    (search_encoded — s04/s05's golden-pinned shape): probes (query_id,
+    cell, lut) broadcast, every candidate scored through the
+    plan-pinned ``_adc_expr`` chain. The corpus-scale kNN-JOIN tail
+    lives in ``_adc_topk_qq`` (round 12 — probes carry the query
+    vector, not the LUT)."""
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    adc = (
+        F.floor(_adc_expr("lut", "codes", m) * 10000.0) / 10000.0
+    ).alias("adc")
+    joined = coded.join(F.broadcast(probes), coded.cluster == probes.cell)
+    return (
+        joined.select("query_id", "vec_id", adc)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= top_k)
+        .select("query_id", "vec_id", "adc", "rk")
+    )
+
+
+def _adc_topk_qq(
     coded: DataFrame,
     probes: DataFrame,
-    m: int,
+    books: list[list[list[float]]],
     top_k: int,
     *,
     salt: int | None = None,
+    plan: list[tuple[int, int, int]] | None = None,
 ) -> DataFrame:
-    """The ADC scoring tail shared by the driver-literal probe path
-    (search_encoded — s04/s05's golden-pinned shape) and the
-    distributed probe path (ann_index.AnnIndex.search_join). ``probes``
-    is (query_id, cell, lut).
+    """The corpus-scale kNN-JOIN scoring tail
+    (ann_index.AnnIndex.search_join). ``probes`` is (query_id, cell,
+    qq) where qq is the float64 (residualized) QUERY VECTOR — round 12
+    replaced the old per-probe LUT column (m x k_codes = 1024 doubles)
+    with the d=64-double vector, ~16x smaller probe rows; the kernel
+    rebuilds the LUT inside each cogroup with the identical
+    per-element float64 sequence, so values stay BIT-EQUAL to
+    ``search`` (pinned by s07/s09 and tests).
 
-    ``salt=None`` broadcasts the probes (a driver-literal or
-    serving-sized query batch) and scores every candidate through the
-    plan-pinned ``_adc_expr`` chain — the s04/s05 golden shape,
-    untouched. ``salt=S`` is the corpus-scale kNN-JOIN shape
-    (ann_index.AnnIndex.search_join): the raw key (cell) has only
-    n_cells distinct values, so the codes side is salted by vec_id
-    hash and each probe row replicated S ways — n_cells x S cogroups.
-    Each (cell, salt) cogroup is scored by a VECTORIZED NumPy ADC
-    kernel (round 10; previously a join + full window over every
-    candidate row): a Q_g x N_g gather-add per subspace plus a
-    per-row lexsort top-k, so the window that follows ranks only
-    Q x n_probe x S x top_k survivors instead of every candidate.
-    Values are salt-invariant and BIT-EQUAL to the broadcast path:
-    the kernel accumulates subspaces left-to-right with float64
-    elementwise adds — the exact IEEE sequence ``_adc_expr`` pins —
-    never a NumPy reduction (pairwise summation would shift ulps
-    across the 1e-4 floor; tests pin equality vs ``search``)."""
+    The join is 2D-salted: the group key is (cell, _qs, _cs) where
+    probes partition by query-id hash into ``qs`` slices (replicated
+    over the ``cs`` candidate slices) and codes partition by vec-id
+    hash into ``cs`` slices (replicated over the ``qs`` query slices).
+    Each group scores its Q_g x N_g block — distributed GEMM blocking.
+    Exact under ANY (qs, cs): a query's global per-cell top-k is
+    contained in the union of its cs per-group top-k under the same
+    (adc, vec_id) total order. Two calling shapes:
+
+    - ``salt=S`` (legacy uniform knob, the pinned salt-invariance
+      surface): qs=1, cs=S for every cell — plain literals, no plan
+      join;
+    - ``plan=[(cell, qs, cs), ...]`` (the data-dependent default from
+      search_join): per-cell splits sized from measured probe counts
+      and cell sizes, broadcast-joined to both sides. The plan MUST
+      cover every non-empty cell (search_join derives it from the
+      codes-side cluster census, so it does by construction) — the
+      inner join prunes unprobed cells' codes before the shuffle.
+
+    The kernel accumulates float64 elementwise adds left-to-right —
+    dim-by-dim inside each subspace for the LUT, subspace-by-subspace
+    for the ADC — the exact IEEE sequence the serving path's _sqd /
+    _adc_expr chain produces; never a NumPy reduction (pairwise
+    summation would shift ulps across the 1e-4 floor)."""
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    if salt is None:
-        adc = (
-            F.floor(_adc_expr("lut", "codes", m) * 10000.0) / 10000.0
-        ).alias("adc")
-        joined = coded.join(F.broadcast(probes), coded.cluster == probes.cell)
-        scored = joined.select("query_id", "vec_id", adc)
-    else:
+    if (salt is None) == (plan is None):
+        raise ValueError("_adc_topk_qq: pass exactly one of salt / plan")
+    if salt is not None:
         if salt < 1:
-            raise ValueError("_adc_topk: salt must be >= 1")
+            raise ValueError("_adc_topk_qq: salt must be >= 1")
         salted = coded.withColumn(
-            "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(salt)).cast("int")
+            "_cs", F.pmod(F.xxhash64("vec_id"), F.lit(salt)).cast("int")
+        ).withColumn("_qs", F.lit(0))
+        fanned = probes.withColumn("_qs", F.lit(0)).withColumn(
+            "_cs", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
-        # lut flattens to row-major (m*k) array<double> BEFORE the
-        # cogroup: the doubly-nested array<array<double>> segfaults the
-        # cogroup Arrow deserializer in this pyspark/pyarrow build
-        # (reproduced minimally; plain mapInPandas takes it fine). Pure
-        # reshape — no value changes.
-        fanned = probes.withColumn("lut", F.flatten("lut")).withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    else:
+        if not plan:
+            return coded.sparkSession.createDataFrame(
+                [], "query_id long, vec_id bigint, adc double, rk int"
+            )
+        spark = coded.sparkSession
+        pdf = spark.createDataFrame(plan, "cell int, qs int, cs int")
+        salted = (
+            coded.join(F.broadcast(pdf), coded.cluster == pdf.cell)
+            .withColumn(
+                "_cs", F.pmod(F.xxhash64("vec_id"), F.col("cs")).cast("int")
+            )
+            .withColumn(
+                "_qs", F.explode(F.sequence(F.lit(0), F.col("qs") - 1))
+            )
+            .select("cluster", "vec_id", "codes", "_qs", "_cs")
         )
-        scored = _adc_score_cogroup(salted, fanned, m, top_k)
+        fanned = (
+            probes.join(F.broadcast(pdf), "cell")
+            .withColumn(
+                "_qs", F.pmod(F.xxhash64("query_id"), F.col("qs")).cast("int")
+            )
+            .withColumn(
+                "_cs", F.explode(F.sequence(F.lit(0), F.col("cs") - 1))
+            )
+            .select("cell", "query_id", "qq", "_qs", "_cs")
+        )
+    scored = _adc_score_cogroup_qq(salted, fanned, books, top_k)
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= top_k)
@@ -377,15 +427,20 @@ def _adc_topk(
     )
 
 
-def _adc_score_cogroup(
-    salted: DataFrame, fanned: DataFrame, m: int, top_k: int
+def _adc_score_cogroup_qq(
+    salted: DataFrame,
+    fanned: DataFrame,
+    books: list[list[list[float]]],
+    top_k: int,
 ) -> DataFrame:
-    """Per-(cell, salt) cogroup NumPy ADC scorer emitting each group's
-    top_k per query — exact: the global top-k per query is contained
-    in the union of per-group top-k under the same (adc, vec_id) total
-    order, and ADC values are bit-equal to the JVM ``_adc_expr`` chain
-    (float64 gather-adds in subspace order j=0..m-1, floor to the 1e-4
-    grid — see _adc_topk docstring)."""
+    """Per-(cell, _qs, _cs) cogroup NumPy ADC scorer emitting each
+    group's top_k per query — exact and bit-equal to the serving path
+    (see _adc_topk_qq). The LUT is built INSIDE the kernel from the
+    group's query vectors (round 12): dim-by-dim float64 accumulation
+    within each subspace — the same elementwise sequence the old
+    probe-side kernel produced, just computed after the shuffle
+    instead of before it."""
+    m = len(books)
 
     def score(codes_pdf, probes_pdf):
         import numpy as np
@@ -399,14 +454,18 @@ def _adc_score_cogroup(
                     "adc": pd.Series([], dtype="float64"),
                 }
             )
+        B = np.array(books, dtype=np.float64)  # (m, k, dsub)
+        dsub = B.shape[2]
         C = np.stack(codes_pdf["codes"].to_numpy())  # (N, m) codes
         vids = codes_pdf["vec_id"].to_numpy().astype(np.int64)
-        # LUTs arrive row-major flat (m*k doubles; see _adc_topk's
-        # flatten note) — reshape back to (Q, m, k), values untouched
-        L = np.stack(probes_pdf["lut"].to_numpy()).reshape(
-            len(probes_pdf), m, -1
-        )
+        QQ = np.stack(probes_pdf["qq"].to_numpy())  # (Q, d) float64
         qids = probes_pdf["query_id"].to_numpy().astype(np.int64)
+        # LUTs: (Q, m, k), accumulated dim-by-dim within each subspace
+        # — the _sqd left-to-right order the serving path pins
+        S = QQ.reshape(len(QQ), m, dsub)
+        L = np.zeros((len(QQ), m, B.shape[1]), dtype=np.float64)
+        for i in range(dsub):
+            L += (S[:, :, i : i + 1] - B[None, :, :, i]) ** 2
         # left-to-right over subspaces: acc starts at term 0 and adds
         # each next term in order — the _adc_expr IEEE sequence
         acc = L[:, 0, :][:, C[:, 0]].copy()  # (Q, N)
@@ -426,8 +485,8 @@ def _adc_score_cogroup(
         )
 
     return (
-        salted.groupBy("cluster", "_salt")
-        .cogroup(fanned.groupBy("cell", "_salt"))
+        salted.groupBy("cluster", "_qs", "_cs")
+        .cogroup(fanned.groupBy("cell", "_qs", "_cs"))
         .applyInPandas(score, "query_id long, vec_id bigint, adc double")
     )
 

@@ -581,3 +581,113 @@ def test_search_guards_table_sized_query_batches(spark, sf_dir, tmp_path):
     ok = _rows(idx.search(queries, n_probe=2, top_k=10, max_queries=5))
     dflt = _rows(idx.search(queries, n_probe=2, top_k=10))
     assert ok == dflt and len(ok) == 50
+
+
+def test_sampled_build_determinism_and_meta(spark, sf_dir, tmp_path):
+    """train_sample builds are a pure function of the corpus: two
+    sampled builds agree exactly; the resolved size persists in the
+    meta and rides through load() and rebuild(); "auto" resolves to
+    FAISS's 256/cell rule; a sample smaller than n_cells refuses."""
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    a = build_ann_index(
+        corpus, str(tmp_path / "a"), n_cells=8, train_sample=64
+    )
+    b = build_ann_index(
+        corpus, str(tmp_path / "b"), n_cells=8, train_sample=64
+    )
+    assert a.centroids == b.centroids and a.codebooks == b.codebooks
+    assert a.train_sample == 64
+    assert AnnIndex.load(spark, str(tmp_path / "a")).train_sample == 64
+    reb = a.rebuild(corpus, str(tmp_path / "reb"))
+    assert reb.train_sample == 64 and reb.centroids == a.centroids
+    auto = build_ann_index(
+        corpus, str(tmp_path / "auto"), n_cells=8, train_sample="auto"
+    )
+    assert auto.train_sample == 256 * 8
+    with pytest.raises(ValueError, match="train_sample"):
+        build_ann_index(
+            corpus, str(tmp_path / "bad"), n_cells=8, train_sample=4
+        )
+
+
+def test_sampled_build_search_join_bit_equal_and_serves_all(
+    spark, sf_dir, tmp_path
+):
+    """A sampled index must keep every downstream guarantee: the full
+    corpus is encoded (sampling bounds the TRAINING set only), search
+    == search_join bit-for-bit, and the exact-default build is
+    untouched (train_sample=None reproduces the pre-knob index)."""
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    queries = e.where(F.col("vec_id") < 5)
+    n_corpus = corpus.count()
+    samp = build_ann_index(
+        corpus, str(tmp_path / "s"), n_cells=8, train_sample=64
+    )
+    assert samp.codes().count() == n_corpus  # full corpus encoded
+    sv = _rows(samp.search(queries, n_probe=2, top_k=10))
+    sj = _rows(samp.search_join(queries, n_probe=2, top_k=10))
+    assert sv == sj and len(sv) == 50
+    # default path unchanged: None == the historical exact training
+    exact = build_ann_index(corpus, str(tmp_path / "x"), n_cells=8)
+    assert exact.train_sample is None
+    exact2 = build_ann_index(
+        corpus, str(tmp_path / "x2"), n_cells=8, train_sample=None
+    )
+    assert exact.centroids == exact2.centroids
+
+
+def test_skewed_query_batch_plan_and_values(spark, sf_dir, tmp_path):
+    """Round-12 (the round-11 verdict's skew finding): a query batch
+    concentrated on a handful of hot cells used to collapse to salt=1
+    — one giant cogroup per hot cell. The data-dependent plan must
+    (a) split the hot cells by query hash (qs > 1, bounded group
+    sizes), and (b) keep values IDENTICAL to the uniform-salt path
+    and to the serving search."""
+    from kmeanwithmapreduce_spark.operators.ann_index import (
+        _Q_CAP,
+        _plan_salts,
+    )
+
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    idx = build_ann_index(corpus, str(tmp_path / "ix"), n_cells=8)
+    # 100k queries AT four cells' centroids — the pathological batch
+    hot = [idx.centroids[c] for c in (0, 2, 4, 6)]
+    n_q = 100_000
+    queries = spark.range(n_q).select(
+        F.col("id").alias("query_id"),
+        F.element_at(
+            F.array(*[
+                F.array(*[F.lit(float(v)) for v in c]).cast("array<float>")
+                for c in hot
+            ]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("embedding"),
+    )
+    # the planner sees the concentration and splits by query hash
+    counts = idx._probe_cell_counts(queries, "query_id", 2)
+    sizes = {
+        int(r["cluster"]): int(r["count"])
+        for r in idx.codes().groupBy("cluster").count().collect()
+    }
+    plan = {c: (qs, cs) for c, qs, cs in _plan_salts(sizes, counts, 32)}
+    hot_counts = sorted(counts.values(), reverse=True)[:4]
+    assert hot_counts[0] >= 20_000  # the batch really is concentrated
+    for c, n in counts.items():
+        if n > _Q_CAP:
+            qs, _cs = plan[c]
+            assert qs >= -(-n // _Q_CAP) * 0.5, (c, n, plan[c])
+            assert qs > 1
+    # values: auto plan == uniform salt (the legacy shape) == exact
+    auto = idx.search_join(queries, n_probe=2, top_k=10)
+    uni = idx.search_join(queries, n_probe=2, top_k=10, salt=3)
+    assert auto.count() == n_q * 10
+    assert auto.exceptAll(uni).count() == 0
+    assert uni.exceptAll(auto).count() == 0
+    # serving-search equality on a slice (the bit-equality pin)
+    small = queries.where(F.col("query_id") < 64)
+    sv = _rows(idx.search(small, n_probe=2, top_k=10))
+    sj = _rows(idx.search_join(small, n_probe=2, top_k=10).where(F.lit(True)))
+    assert sv == sj and len(sv) == 640

@@ -420,6 +420,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "s08_ann_filtered_search_parity",
         "t14_unigram_subword_stats",
         "v06_in_list_skipping_scan",
+        "s09_ann_sampled_build_parity",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()

@@ -200,3 +200,134 @@ def test_truncated_final_block_decodes_available_words():
     # a tail that cannot even hold the channel headers is corrupt
     with pytest.raises(ValueError, match="final block"):
         _ima_decode_blocks(pcm[: 256 + 2], 1, 256)
+
+
+# -- MS ADPCM (round 12): independent reference decoder from the spec --------
+
+_MS_COEF1 = [256, 512, 0, 192, 240, 460, 392]
+_MS_COEF2 = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def ref_decode_ms_wav(data: bytes):
+    """Naive MS ADPCM walk, written independently of the module: flat
+    per-channel lists, explicit field-major header parse, one nibble
+    at a time."""
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    pos, fmt_body, pcm, fact = 12, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if tag == b"fmt ":
+            fmt_body = body
+        elif tag == b"data":
+            pcm = body
+        elif tag == b"fact":
+            (fact,) = struct.unpack_from("<I", body, 0)
+    tag_, ch, rate, _br, align, bits = struct.unpack_from("<HHIIHH", fmt_body, 0)
+    assert tag_ == 2 and bits == 4
+    (spb,) = struct.unpack_from("<H", fmt_body, 18)
+    chans = [[] for _ in range(ch)]
+    for b0 in range(0, len(pcm), align):
+        blk = pcm[b0 : b0 + align]
+        pred = [blk[c] for c in range(ch)]
+        delta = [max(16, struct.unpack_from("<h", blk, ch + 2 * c)[0])
+                 for c in range(ch)]
+        s1 = [struct.unpack_from("<h", blk, 3 * ch + 2 * c)[0]
+              for c in range(ch)]
+        s2 = [struct.unpack_from("<h", blk, 5 * ch + 2 * c)[0]
+              for c in range(ch)]
+        blkout = [[s2[c], s1[c]] for c in range(ch)]
+        k = 0
+        for byte in blk[7 * ch :]:
+            for nib in (byte >> 4, byte & 0x0F):
+                c = k % ch
+                signed = nib - 16 if nib >= 8 else nib
+                p = (s1[c] * _MS_COEF1[pred[c]]
+                     + s2[c] * _MS_COEF2[pred[c]]) >> 8
+                p += signed * delta[c]
+                p = max(-32768, min(32767, p))
+                delta[c] = max(16, (_MS_ADAPT[nib] * delta[c]) >> 8)
+                s2[c], s1[c] = s1[c], p
+                blkout[c].append(p)
+                k += 1
+        for c in range(ch):
+            chans[c].extend(blkout[c][:spb])
+    n = min(len(x) for x in chans)
+    out = np.array([x[:n] for x in chans], dtype=np.int16).T
+    if fact is not None:
+        out = out[:fact]
+    return rate, ch, out
+
+
+@pytest.mark.parametrize("channels,n", [(1, 505), (1, 1200), (2, 700)])
+def test_ms_decode_matches_reference_exactly(channels, n):
+    from kmeanwithmapreduce_spark.functions.wav import encode_wav_ms
+
+    sig = _signal(n, channels, seed=13 * channels + n)
+    wav = encode_wav_ms(sig, 22_050)
+    got = decode_wav(wav)
+    want = ref_decode_ms_wav(wav)
+    assert got[0] == want[0] == 22_050 and got[1] == want[1] == channels
+    assert got[2].shape == want[2].shape == (n, channels)
+    assert np.array_equal(got[2], want[2])  # EXACT integer parity
+
+
+def test_ms_roundtrip_tracks_the_signal():
+    from kmeanwithmapreduce_spark.functions.wav import encode_wav_ms
+
+    sig = _signal(2000, 1, seed=5)
+    _, _, out = decode_wav(encode_wav_ms(sig))
+    s = sig.astype(np.float64).ravel()
+    o = out.astype(np.float64).ravel()
+    err = np.sqrt(((s - o) ** 2).mean())
+    rms = np.sqrt((s ** 2).mean())
+    assert err < 0.35 * rms  # 4-bit adaptive: tracks, never exact
+
+
+def test_ms_truncated_final_block_and_corrupt_header():
+    from kmeanwithmapreduce_spark.functions.wav import (
+        _ms_decode_blocks,
+        encode_wav_ms,
+    )
+
+    sig = _signal(600, 1, seed=17)
+    wav = encode_wav_ms(sig, block_align_per_ch=256)
+    pos, pcm = 12, None
+    while pos + 8 <= len(wav):
+        tag = wav[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", wav, pos + 4)
+        if tag == b"data":
+            pcm = wav[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+    # frames/block = 2 + (256-7)*2 = 500 -> 2 blocks for 600 frames
+    assert pcm is not None and len(pcm) == 2 * 256
+    full = _ms_decode_blocks(pcm, 1, 256, None)
+    cut = pcm[: 256 + 7 + 5]  # header + 5 data bytes = 2 + 10 samples
+    part = _ms_decode_blocks(cut, 1, 256, None)
+    assert part.shape[0] == 500 + 12
+    assert np.array_equal(part, full[: part.shape[0]])
+    with pytest.raises(ValueError, match="final block"):
+        _ms_decode_blocks(pcm[: 256 + 3], 1, 256, None)
+    bad = bytearray(pcm)
+    bad[0] = 9  # predictor index out of range
+    with pytest.raises(ValueError, match="predictor"):
+        _ms_decode_blocks(bytes(bad), 1, 256, None)
+
+
+def test_ms_routes_through_multimodal_real_path(spark):
+    from kmeanwithmapreduce_spark.functions.wav import encode_wav_ms
+    from kmeanwithmapreduce_spark.operators.multimodal import (
+        decode_audio_batch,
+    )
+
+    sig = _signal(500, 2, seed=21)
+    wav = encode_wav_ms(sig, 44_100)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id long, payload binary"
+    )
+    (row,) = decode_audio_batch(df).collect()
+    assert (row.sample_rate, row.n_channels, row.n_frames) == (44_100, 2, 500)
