@@ -64,6 +64,7 @@ from .ann_index import (
 from .versioning import (
     IN_SKIPPING_QUERIES,
     REBUCKET_QUERIES,
+    SCHEMA_EVOLUTION_QUERIES,
     SKIPPING_QUERIES,
     TIME_TRAVEL_QUERIES,
     UPSERT_QUERIES,
@@ -112,6 +113,7 @@ EXTRA_QUERIES = {
     **UNIGRAM_QUERIES,
     **IN_SKIPPING_QUERIES,
     **ANN_SAMPLED_QUERIES,
+    **SCHEMA_EVOLUTION_QUERIES,
 }
 
 __all__ = [

@@ -480,6 +480,90 @@ WHERE o_orderpriority NOT IN ('3-MEDIUM')
 """
 
 
+def v07_schema_evolution(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION through the bucketed table layer
+    (sources/table.py round 12): documents committed as epoch 0
+    (doc_id, text, lang; 8 buckets), then one MERGE with
+    ``allow_add_columns=True`` appending a ``quality double`` column —
+    batch = every doc_id % 7 == 0 row carrying quality =
+    (doc_id % 100) / 10, deletes = doc_id % 13 == 0 (batch wins the
+    overlap, the upsert precedence). Cross-boundary reads pinned
+    against DuckDB recomputing the same states from the raw parquet:
+
+    - ``e0_cols`` / ``e1_cols``: the time-travel read BEFORE the
+      boundary keeps the 3-column schema; after, 4;
+    - ``e0_rows_clean``: the e0 read is row-identical to the source;
+    - ``e1_rows``: post-MERGE row count (deletes minus the overlap);
+    - ``q_rows`` / ``q_cents``: non-NULL quality count and the exact
+      integer cents sum — every untouched row NULL-fills, every batch
+      row carries its value (quality * 10 is integral by
+      construction, so the sum is grid-exact across engines)."""
+    from ..sources.table import (
+        create_bucketed_table,
+        read_bucketed_table,
+        upsert_table,
+    )
+
+    base = _entry_base(sf_dir, "v07", base_path)
+    _reset_epoch_dir(spark, base, "v07_schema_evolution")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    e0 = create_bucketed_table(d, base, "doc_id", n_buckets=8)
+    batch = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "quality", (F.col("doc_id") % 100) / F.lit(10.0)
+    )
+    removed = d.where(F.col("doc_id") % 13 == 0).select("doc_id")
+    e1 = upsert_table(batch, base, deletes=removed, allow_add_columns=True)
+
+    t0 = read_bucketed_table(spark, base, as_of=e0)
+    t1 = read_bucketed_table(spark, base, as_of=e1)
+    clean = int(
+        t0.columns == ["doc_id", "text", "lang"]
+        and t0.subtract(d).count() == 0
+        and d.subtract(t0).count() == 0
+    )
+    stats = t1.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("quality").isNotNull().cast("bigint")).alias("q_rows"),
+        F.sum(F.round(F.col("quality") * 10).cast("bigint")).alias("q_cents"),
+    ).first()
+    rows = [
+        ("e0_cols", len(t0.columns)),
+        ("e1_cols", len(t1.columns)),
+        ("e0_rows_clean", clean),
+        ("e1_rows", int(stats["rows"])),
+        ("q_rows", int(stats["q_rows"])),
+        ("q_cents", int(stats["q_cents"] or 0)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint")
+
+
+V07_SQL = """
+SELECT 'e0_cols' AS metric, CAST(3 AS BIGINT) AS value
+UNION ALL
+SELECT 'e1_cols', CAST(4 AS BIGINT)
+UNION ALL
+SELECT 'e0_rows_clean', CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'e1_rows',
+       CAST((SELECT count(*) FROM documents
+             WHERE NOT (doc_id % 13 = 0 AND doc_id % 7 <> 0)) AS BIGINT)
+UNION ALL
+SELECT 'q_rows',
+       CAST((SELECT count(*) FROM documents WHERE doc_id % 7 = 0) AS BIGINT)
+UNION ALL
+SELECT 'q_cents',
+       CAST((SELECT coalesce(sum(doc_id % 100), 0) FROM documents
+             WHERE doc_id % 7 = 0) AS BIGINT)
+"""
+
+
+SCHEMA_EVOLUTION_QUERIES = {
+    "v07_schema_evolution": (v07_schema_evolution, V07_SQL),
+}
+
+
 SKIPPING_QUERIES = {
     "v05_file_skipping_scan": (v05_file_skipping_scan, V05_SQL),
 }

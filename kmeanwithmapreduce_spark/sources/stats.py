@@ -602,6 +602,7 @@ def scan_bucketed_table(
         _bucketed_gc_log,
         _era_epochs,
         _resolve_buckets,
+        _schema_at,
         _table_meta,
     )
 
@@ -620,7 +621,10 @@ def scan_bucketed_table(
     resolved = _resolve_buckets(
         spark, table_path, _era_epochs(meta, [e for e in done if e <= as_of])
     )
-    schema = ", ".join(f"`{n}` {t}" for n, t in meta["columns"])
+    # the schema IN EFFECT at as_of (sources/table.py schema history):
+    # files older than an added column NULL-fill it under the explicit
+    # read schema, exactly like read_bucketed_table
+    schema = ", ".join(f"`{n}` {t}" for n, t in _schema_at(meta, as_of))
     keep: list[str] = []
     total = 0
     by_epoch: dict[int, list[str]] = {}

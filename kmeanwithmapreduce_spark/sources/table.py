@@ -328,12 +328,25 @@ def _shape(schema) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
 
+_SCHEMA_HISTORY = "_schema_history.json"
+
+
+def table_schema_history(spark: SparkSession, table_path: str) -> list[dict]:
+    """The snapshot table's recorded schema changes: [{"epoch": N,
+    "columns": [[name, type], ...]}] ascending — one entry per epoch
+    that changed the shape (written by write_snapshot's evolution
+    paths). Advisory/audit metadata: reads derive truth from the
+    epochs' own parquet footers."""
+    return read_json(spark, os.path.join(table_path, _SCHEMA_HISTORY)) or []
+
+
 def write_snapshot(
     df: DataFrame,
     table_path: str,
     allow_schema_change: bool = False,
     writer: str | None = None,
     stats_columns: list[str] | None = None,
+    allow_add_columns: bool = False,
 ) -> int:
     """Append ``df`` as the next committed snapshot; returns its epoch.
     Stage-then-claim-then-rename (module docstring): concurrent writers
@@ -344,9 +357,14 @@ def write_snapshot(
 
     Refuses silent schema drift: the snapshot's (column, type) list
     must equal the latest committed epoch's, unless the caller states
-    the evolution explicitly with ``allow_schema_change=True`` (older
+    the evolution explicitly — ``allow_add_columns=True`` for the
+    ADDITIVE case (new columns appended after the exact existing list;
+    round 12 — the everyday Delta/Iceberg evolution; old epochs
+    NULL-fill the new columns under ``read_table(..., unified=True)``),
+    or the blunt ``allow_schema_change=True`` for anything else (older
     epochs keep their own schema — time-travel reads return what was
-    committed, not a unified view)."""
+    committed). Either evolution appends an audit entry to
+    ``_schema_history.json``."""
     import uuid
 
     spark = df.sparkSession
@@ -355,17 +373,24 @@ def write_snapshot(
     )
     done = _committed_epochs(spark, table_path)
     epoch = (done[-1] + 1) if done else 0
-    if done and not allow_schema_change:
+    changed_shape = False
+    if done:
         prev = spark.read.parquet(
             os.path.join(table_path, f"epoch={done[-1]}")
         ).schema
-        if _shape(prev) != _shape(df.schema):
-            raise ValueError(
-                f"write_snapshot: schema drift vs epoch {done[-1]} at "
-                f"{table_path}: committed {_shape(prev)} but snapshot has "
-                f"{_shape(df.schema)}. Pass allow_schema_change=True to "
-                "evolve the table explicitly."
-            )
+        changed_shape = _shape(prev) != _shape(df.schema)
+        if changed_shape and not allow_schema_change:
+            if not (
+                allow_add_columns
+                and _additive_change(_shape(prev), _shape(df.schema))
+            ):
+                raise ValueError(
+                    f"write_snapshot: schema drift vs epoch {done[-1]} at "
+                    f"{table_path}: committed {_shape(prev)} but snapshot "
+                    f"has {_shape(df.schema)}. Pass allow_add_columns=True "
+                    "to append new columns (additive evolution), or "
+                    "allow_schema_change=True for anything else."
+                )
     token = uuid.uuid4().hex
     df.write.mode("overwrite").parquet(_staged_dir(table_path, token))
     if stats_columns:
@@ -376,16 +401,36 @@ def write_snapshot(
 
         write_file_stats(spark, _staged_dir(table_path, token), stats_columns)
     _commit_staged(spark, table_path, epoch, token, "_SUCCESS", writer)
+    if changed_shape:
+        # audit record, appended AFTER the commit (a crash in between
+        # loses only the audit line, never data — reads derive schemas
+        # from the epochs themselves)
+        hist = table_schema_history(spark, table_path)
+        write_json(
+            spark,
+            os.path.join(table_path, _SCHEMA_HISTORY),
+            hist + [{"epoch": epoch, "columns": _shape(df.schema)}],
+        )
     return epoch
 
 
 def read_table(
-    spark: SparkSession, table_path: str, as_of: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    as_of: int | None = None,
+    unified: bool = False,
 ) -> DataFrame:
     """The table at ``as_of`` (a committed epoch), or the latest
     committed snapshot. Raises on an unknown/uncommitted epoch —
     reading a half-written directory must be impossible — and names
-    the cause when the epoch existed but was garbage-collected."""
+    the cause when the epoch existed but was garbage-collected.
+
+    ``unified=True`` (round 12, additive evolution) reads the epoch
+    under the LATEST committed epoch's schema: columns added since
+    ``as_of`` NULL-fill (parquet explicit-schema projection), columns
+    the latest schema dropped disappear — so every epoch of an evolved
+    table unions shape-compatibly. Default stays the committed truth:
+    each epoch's own schema."""
     done = _committed_epochs(spark, table_path)
     if not done:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -401,7 +446,13 @@ def read_table(
             f"epoch {as_of} is not committed at {table_path} "
             f"(committed: {done})"
         )
-    return spark.read.parquet(os.path.join(table_path, f"epoch={as_of}"))
+    ep_dir = os.path.join(table_path, f"epoch={as_of}")
+    if not unified or as_of == done[-1]:
+        return spark.read.parquet(ep_dir)
+    latest = spark.read.parquet(
+        os.path.join(table_path, f"epoch={done[-1]}")
+    ).schema
+    return spark.read.schema(latest).parquet(ep_dir)
 
 
 def gc_table(
@@ -470,7 +521,8 @@ def rollback(spark: SparkSession, table_path: str, epoch: int) -> int:
 # bucket to its newest rewrite at-or-before that epoch. One changed row
 # costs one bucket rewrite (~1/n_buckets of the table), not a snapshot.
 #
-# Layout:  <path>/_table_meta.json            key, n_buckets, columns
+# Layout:  <path>/_table_meta.json            key, n_buckets, columns,
+#                                             modulus + schema history
 #          <path>/epoch=N/bucket=B/*.parquet  the buckets N rewrote
 #          <path>/epoch=N/_buckets.json       N's rewritten-bucket list —
 #                                             the atomic COMMIT marker
@@ -506,7 +558,48 @@ def _table_meta(spark: SparkSession, table_path: str) -> dict:
     # epoch. Pre-rebucket tables lack the key: their whole history is
     # one era anchored at the create epoch.
     meta.setdefault("history", [{"epoch": 0, "n_buckets": meta["n_buckets"]}])
+    # schema history (round 12, additive evolution): [{"epoch": E,
+    # "columns": [(name, type)]}] ascending — the columns IN EFFECT for
+    # reads at as_of >= E (until the next entry). Entries record when a
+    # column was ADDED; files older than the entry simply lack the
+    # column and NULL-fill under the explicit read schema. Pre-evolution
+    # tables lack the key: one era anchored at the create epoch.
+    meta.setdefault(
+        "schema_history", [{"epoch": 0, "columns": meta["columns"]}]
+    )
     return meta
+
+
+def _schema_at(meta: dict, as_of: int) -> list[tuple[str, str]]:
+    """The (name, type) list in effect for a read at ``as_of``: the
+    newest schema-history entry at or before it. Time travel returns
+    what the table LOOKED LIKE then — columns added later do not
+    appear in earlier reads."""
+    cols = meta["columns"]
+    for h in meta["schema_history"]:
+        if h["epoch"] <= as_of:
+            cols = h["columns"]
+    return [tuple(c) for c in cols]
+
+
+def _additive_change(
+    old: list[tuple[str, str]], new: list[tuple[str, str]]
+) -> list[tuple[str, str]] | None:
+    """The added (name, type) columns when ``new`` is an ADDITIVE
+    evolution of ``old`` — every old column present with its exact
+    type and order preserved, new columns appended AFTER them — else
+    None. Type changes, drops, renames, and reorders are all None:
+    min/max sidecars, bucket layouts, and committed files all assume
+    a column's identity never mutates in place."""
+    old_t = [tuple(c) for c in old]
+    new_t = [tuple(c) for c in new]
+    if len(new_t) <= len(old_t) or new_t[: len(old_t)] != old_t:
+        return None
+    added = new_t[len(old_t):]
+    names = {n for n, _ in old_t}
+    if any(n in names for n, _ in added):
+        return None
+    return added
 
 
 def _bucketed_epochs(spark: SparkSession, table_path: str) -> list[int]:
@@ -787,6 +880,7 @@ def upsert_table(
     table_path: str,
     deletes: DataFrame | None = None,
     writer: str | None = None,
+    allow_add_columns: bool = False,
 ) -> int:
     """MERGE ``batch`` into the bucketed table: rows whose key exists are
     replaced, new keys are inserted, and keys in ``deletes`` (a frame
@@ -797,8 +891,19 @@ def upsert_table(
     buckets holding changed keys — each rewritten in full (prior bucket
     content minus changed keys, plus the batch rows). Returns the new
     epoch id; an empty change set is a no-op returning the current
-    epoch. Schema must match the table exactly (a partial-bucket epoch
-    mixing schemas would corrupt union reads — evolve by rebuilding).
+    epoch.
+
+    Schema: must match the table exactly, with ONE sanctioned
+    exception (round 12) — ``allow_add_columns=True`` accepts a batch
+    that APPENDS new nullable columns after the table's exact column
+    list (additive evolution; type changes, drops, renames, reorders
+    still refuse — see _additive_change). The new columns are recorded
+    in the meta's schema history at this epoch; rows already in the
+    table NULL-fill at read (parquet explicit-schema projection), and
+    time-travel reads BEFORE this epoch keep the old column list. The
+    meta lands before the epoch commits: a crash (or a lost claim
+    race) between them leaves the columns visible-as-NULL one epoch
+    early — never a wrong value — and the re-run lands the data.
 
     Concurrency: the merge is computed against the committed state read
     AT ENTRY and commits via the claim protocol — a second writer that
@@ -815,11 +920,25 @@ def upsert_table(
     if _complete_pending_rebucket(spark, table_path, meta) is not None:
         meta = _table_meta(spark, table_path)  # the modulus changed
     key, n_buckets = meta["key"], meta["n_buckets"]
+    added = None
     if _shape(batch.schema) != [tuple(c) for c in meta["columns"]]:
-        raise ValueError(
-            f"upsert_table: schema mismatch at {table_path}: table has "
-            f"{meta['columns']}, batch has {_shape(batch.schema)}"
+        added = (
+            _additive_change(meta["columns"], _shape(batch.schema))
+            if allow_add_columns
+            else None
         )
+        if added is None:
+            raise ValueError(
+                f"upsert_table: schema mismatch at {table_path}: table has "
+                f"{meta['columns']}, batch has {_shape(batch.schema)}"
+                + (
+                    " — not an additive change (only appending new columns "
+                    "is supported; type changes/drops/renames refuse)"
+                    if allow_add_columns
+                    else ". Pass allow_add_columns=True to append new "
+                    "nullable columns (additive evolution)."
+                )
+            )
     done = _bucketed_epochs(spark, table_path)
     if not done:
         raise ValueError(f"no committed epochs at {table_path}")
@@ -845,12 +964,27 @@ def upsert_table(
         )
         if not touched:
             return done[-1]
+        epoch = done[-1] + 1
+        if added is not None:
+            # record the evolution BEFORE the epoch commits (docstring:
+            # the crash/race window shows the columns as NULL one epoch
+            # early; the reverse order could commit files whose columns
+            # the meta never learns about)
+            meta = {
+                **meta,
+                "columns": _shape(batch.schema),
+                "schema_history": meta["schema_history"]
+                + [{"epoch": epoch, "columns": _shape(batch.schema)}],
+            }
+            write_json(spark, os.path.join(table_path, _META_FILE), meta)
         resolved = _resolve_buckets(spark, table_path, _era_epochs(meta, done))
         prior_paths = [
             resolved[b][1]
             for b in touched
             if b in resolved and resolved[b][1] is not None
         ]
+        # prior buckets read under the (possibly evolved) CURRENT
+        # schema: files written before an added column NULL-fill
         schema = ", ".join(f"`{n}` {t}" for n, t in meta["columns"])
         prior = (
             spark.read.schema(schema).parquet(*prior_paths)
@@ -860,7 +994,7 @@ def upsert_table(
         merged = prior.join(
             changed.hint("broadcast"), key, "left_anti"
         ).unionByName(batch)
-        return _write_epoch(merged, table_path, done[-1] + 1, meta, touched, writer)
+        return _write_epoch(merged, table_path, epoch, meta, touched, writer)
     finally:
         batch.unpersist()
 
@@ -869,7 +1003,9 @@ def read_bucketed_table(
     spark: SparkSession, table_path: str, as_of: int | None = None
 ) -> DataFrame:
     """The bucketed table at ``as_of`` (default: latest committed epoch):
-    each bucket resolves to its newest rewrite at-or-before ``as_of``.
+    each bucket resolves to its newest rewrite at-or-before ``as_of``,
+    read under the schema IN EFFECT at ``as_of`` (columns added later
+    don't appear; files older than an added column NULL-fill it).
     Reads below the GC floor are refused with the real cause."""
     meta = _table_meta(spark, table_path)
     done = _bucketed_epochs(spark, table_path)
@@ -896,7 +1032,7 @@ def read_bucketed_table(
         spark, table_path, _era_epochs(meta, [e for e in done if e <= as_of])
     )
     paths = sorted(p for _, p in resolved.values() if p is not None)
-    schema = ", ".join(f"`{n}` {t}" for n, t in meta["columns"])
+    schema = ", ".join(f"`{n}` {t}" for n, t in _schema_at(meta, as_of))
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)

@@ -421,6 +421,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "t14_unigram_subword_stats",
         "v06_in_list_skipping_scan",
         "s09_ann_sampled_build_parity",
+        "v07_schema_evolution",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
