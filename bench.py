@@ -182,6 +182,15 @@ def main() -> int:
         # the one family (s01-s08) that previously had no
         # BENCH-vs-BASELINE presence.
         "s07_ann_search_join_parity",
+        # round-12 addition (BASELINE §Q target): additive schema
+        # evolution through the bucketed table — create + an
+        # add-column MERGE + two time-travel reads + the exact-integer
+        # quality aggregate; guards the evolved-read NULL-fill path as
+        # one number. s09 (sampled-build parity) is NOT a bench entry:
+        # its cost is TWO fresh index builds by construction (the
+        # s04/g01 exact-cost exclusion rule) — s07 already guards one
+        # build+search; SCALE.md carries s09's measured build speedup.
+        "v07_schema_evolution",
         # m04_png_roundtrip is NOT a bench entry: its cost is the
         # per-item Python PNG encode+decode kernel by construction (the
         # g01/t08/s04 exact-cost exclusion rule); the codec itself is
