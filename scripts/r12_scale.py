@@ -205,13 +205,19 @@ def run_ann_sf1000(spark):
         "n_cells": auto_n_cells(n), "train_sample": idx.train_sample,
         "wall_sec": round(time.monotonic() - t0, 1), "load": _stamp(),
     })
+    # per-query economics at the full 20M-vector index geometry, from a
+    # 2M-query slice (~sf100's batch size): candidate volume per query
+    # is what the decade changes (n_probe * n / sqrt(n)); the full self-
+    # join wall is 10x this row by linearity in queries
+    queries = e.where(F.col("vec_id") % 10 == 0)
+    n_q = queries.count()
     for tag in ("cold", "warm"):
         t0 = time.monotonic()
-        idx.search_join(e, n_probe=2, top_k=10).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        idx.search_join(queries, n_probe=2, top_k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
         _emit({
-            "step": f"sf1000_ann_join_{tag}", "n_queries": n,
+            "step": f"sf1000_ann_join_{tag}", "n_queries": n_q,
             "wall_sec": round(time.monotonic() - t0, 1), "load": _stamp(),
         })
 
