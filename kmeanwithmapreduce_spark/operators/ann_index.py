@@ -1146,11 +1146,17 @@ def build_ann_index(
                 f"train_sample={train_sample} < n_cells={n_cells}: the "
                 "coarse quantizer needs at least one vector per cell"
             )
-        # one TakeOrdered job materializes the sample; persist so the
-        # Lloyd iterations re-read the cached rows, not the corpus
+        # one sort+limit job materializes the sample; persist so the
+        # Lloyd iterations re-read the cached rows, not the corpus.
+        # REPARTITION first (round-12 sf1000 incident): a global
+        # limit() lands its output in ONE partition, and persisting
+        # that would run every Lloyd iteration's assign — the
+        # sample x n_cells x d distance work — on a single core
+        par = feats.sparkSession.sparkContext.defaultParallelism
         train_feats = (
             feats.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
             .limit(train_sample)
+            .repartition(max(2, par))
             .persist()
         )
     else:
