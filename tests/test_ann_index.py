@@ -691,3 +691,62 @@ def test_skewed_query_batch_plan_and_values(spark, sf_dir, tmp_path):
     sv = _rows(idx.search(small, n_probe=2, top_k=10))
     sj = _rows(idx.search_join(small, n_probe=2, top_k=10).where(F.lit(True)))
     assert sv == sj and len(sv) == 640
+
+
+def test_planner_never_full_scans_query_table(spark, sf_dir, tmp_path):
+    """Round-12 verdict: ``_probe_cell_counts`` opened with an exact
+    ``queries.count()`` — a full pass over the query table before any
+    real work. The planner must now classify the batch with a
+    limit-capped count and, above the cap, a FIXED-rate hash sample
+    (rate independent of the batch size), so a full count() job on the
+    query table is never issued; below _PLAN_MIN_QUERIES it must opt
+    out of planning entirely (legacy uniform salt)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+    from kmeanwithmapreduce_spark.operators.ann_index import (
+        _COUNT_SAMPLE_CAP,
+        _PLAN_MIN_QUERIES,
+        _PLAN_SAMPLE_RATE,
+    )
+
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5)
+    idx = build_ann_index(corpus, str(tmp_path / "ix"), n_cells=8)
+
+    class _NoFullCount(_ClassicDF):
+        def count(self):
+            raise AssertionError(
+                "planner issued a full count() over the query table"
+            )
+
+    c0 = idx.centroids[0]
+    n_q = _COUNT_SAMPLE_CAP + 2048
+    big = spark.range(n_q).select(
+        F.col("id").alias("query_id"),
+        F.array(*[F.lit(float(v)) for v in c0])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    counts = idx._probe_cell_counts(
+        _NoFullCount(big._jdf, spark), "query_id", 2
+    )
+    # above the cap: fixed-rate estimates — multiples of the rate, and
+    # the hot cell (every query sits AT centroid 0) estimates ~n_q
+    assert counts is not None and len(counts) >= 1
+    assert all(v % _PLAN_SAMPLE_RATE == 0 for v in counts.values())
+    hot = max(counts.values())
+    assert 0.5 * n_q <= hot <= 2.0 * n_q, (hot, n_q)
+
+    # small batch: planner opts out (None), no census / assign passes
+    small = big.where(F.col("query_id") < _PLAN_MIN_QUERIES)
+    assert (
+        idx._probe_cell_counts(
+            _NoFullCount(small._jdf, spark), "query_id", 2
+        )
+        is None
+    )
+    # and the fallback path still matches the serving search bit-for-bit
+    tiny = big.where(F.col("query_id") < 5)
+    sv = _rows(idx.search(tiny, n_probe=2, top_k=10))
+    sj = _rows(idx.search_join(tiny, n_probe=2, top_k=10))
+    assert sv == sj and len(sv) == 50
