@@ -13,10 +13,13 @@ endian) around raw PCM samples. This module implements:
   89-entry step table — AND (round 12) Microsoft ADPCM (format tag
   0x02): per-block per-channel predictor-pair/delta/two-sample
   header, signed nibbles through the 7 standard coefficient pairs and
-  the 16-entry delta adaptation table. All pure integer arithmetic,
-  exactly reproducible. Remaining compressed formats (mu-law, float,
-  24-bit) raise a clear ValueError — those stay on the labeled-fake
-  path in operators/multimodal.py, as does non-MJPEG video.
+  the 16-entry delta adaptation table — AND (round 13) ITU-T G.711
+  mu-law (tag 0x07) and A-law (tag 0x06): 256-entry companding table
+  lookups, byte-exact against CPython's audioop reference. All pure
+  integer arithmetic, exactly reproducible. Remaining compressed
+  formats (float, 24-bit) raise a clear ValueError — those stay on
+  the labeled-fake path in operators/multimodal.py, as does non-MJPEG
+  video.
 - ``encode_wav(samples, sample_rate)`` — the matching PCM encoder
   (used by the m05 registry entry and tests to synthesize valid WAVs
   so the decode is value-verified against the DuckDB oracle), plus
@@ -154,10 +157,16 @@ _MS_ADAPT = [
 
 def _ms_step(nibble: int, s1: int, s2: int, delta: int, c1: int, c2: int):
     """One MS ADPCM reconstruction step → (sample, new s1, new s2,
-    new delta). Pure integer (Python's ``>>`` floors like C's
-    arithmetic shift; the signed nibble is two's-complement 4-bit)."""
+    new delta). Pure integer; the predictor divide is TRUNCATION
+    toward zero (the spec's C ``/ 256``, what ffmpeg/libsndfile do) —
+    round-12 ADVICE: ``>> 8`` floors, which differs by 1 LSB on
+    negative coefficient sums and drifts predictor state against
+    externally-encoded files. The delta adaptation stays ``>> 8``:
+    ``_MS_ADAPT[n] * delta`` is non-negative (delta >= 16), where
+    floor == truncate. The signed nibble is two's-complement 4-bit."""
     signed = nibble - 16 if nibble >= 8 else nibble
-    pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+    acc = s1 * c1 + s2 * c2
+    pred = (acc >> 8 if acc >= 0 else -((-acc) >> 8)) + signed * delta
     pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
     delta = (_MS_ADAPT[nibble] * delta) >> 8
     if delta < 16:
@@ -276,7 +285,8 @@ def encode_wav_ms(
         for fidx in range(2, frames_per_block):
             for ch in range(channels):
                 target = int(chunk[fidx, ch])
-                pred = (s1s[ch] * c1 + s2s[ch] * c2) >> 8
+                acc = s1s[ch] * c1 + s2s[ch] * c2
+                pred = acc >> 8 if acc >= 0 else -((-acc) >> 8)
                 err = target - pred
                 nib = int(err / deltas[ch])  # truncate toward zero
                 nib = -8 if nib < -8 else (7 if nib > 7 else nib)
@@ -304,6 +314,106 @@ def encode_wav_ms(
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"fact" + struct.pack("<II", 4, n)
         + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+# G.711 mu-law / A-law (format tags 0x07 / 0x06) — ITU-T G.711 is a
+# pure 256-entry companding table; both tables are generated here from
+# the standard shift formulation (CCITT reference code), and the
+# encoders implement the Sun/CCITT 14-bit (mu) / 13-bit (A) reference
+# algorithm — byte-exact against CPython's audioop across all 65536
+# int16 inputs (pinned in tests/test_wav_g711.py).
+_G711_SEG_UEND = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF]
+)
+_G711_SEG_AEND = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+)
+
+
+def _build_g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    ulaw = np.empty(256, dtype=np.int16)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a >> 4) & 0x07
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _build_g711_tables()
+
+
+def _g711_decode(pcm: bytes, channels: int, table: np.ndarray) -> np.ndarray:
+    """G.711 data chunk -> int16 (n_frames, channels): one table
+    lookup over the whole byte buffer, no per-sample Python."""
+    raw = np.frombuffer(pcm, dtype=np.uint8)
+    n_frames = len(raw) // channels
+    return table[raw[: n_frames * channels]].reshape(n_frames, channels)
+
+
+def _g711_encode_bytes(arr: np.ndarray, law: str) -> bytes:
+    """int16 array -> G.711 bytes, the Sun/CCITT reference algorithm
+    vectorized (audioop-byte-exact; >> on negatives floors like C's
+    arithmetic shift, exactly as the reference code relies on)."""
+    x = arr.astype(np.int32).ravel()
+    if law == "mulaw":
+        x = x >> 2  # 14-bit domain
+        mask = np.where(x < 0, 0x7F, 0xFF)
+        x = np.minimum(np.where(x < 0, -x, x), 8159) + 33
+        seg = np.searchsorted(_G711_SEG_UEND, x, side="left")
+        over = seg >= 8
+        seg = np.minimum(seg, 7)
+        val = (seg << 4) | ((x >> (seg + 1)) & 0xF)
+    elif law == "alaw":
+        x = x >> 3  # 13-bit domain
+        mask = np.where(x >= 0, 0xD5, 0x55)
+        x = np.where(x >= 0, x, -x - 1)
+        seg = np.searchsorted(_G711_SEG_AEND, x, side="left")
+        over = seg >= 8
+        seg = np.minimum(seg, 7)
+        val = (seg << 4) | np.where(
+            seg < 2, (x >> 1) & 0xF, (x >> seg) & 0xF
+        )
+    else:
+        raise ValueError(f"law must be 'mulaw' or 'alaw', got {law!r}")
+    return (np.where(over, 0x7F, val) ^ mask).astype(np.uint8).tobytes()
+
+
+def encode_wav_g711(
+    samples, sample_rate: int = 8_000, law: str = "mulaw"
+) -> bytes:
+    """Encode an int16 array (n,) mono or (n, channels) as a G.711 WAV
+    (format tag 0x07 mu-law / 0x06 A-law, 8 bits per sample, one byte
+    per sample so block_align == channels — no padding, no ``fact``
+    needed). Deterministic; decode_wav round-trips through the exact
+    companding tables."""
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    tag = 0x07 if law == "mulaw" else 0x06
+    data = _g711_encode_bytes(arr, law)  # raises on a bad `law`
+    byte_rate = sample_rate * channels
+    fmt = struct.pack(
+        "<HHIIHHH", tag, channels, sample_rate, byte_rate, channels, 8, 0
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
     )
     return RIFF_MAGIC + struct.pack("<I", len(body)) + body
 
@@ -431,11 +541,17 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         if fact_frames is not None:
             samples = samples[:fact_frames]
         return sample_rate, channels, samples
+    if audio_format in (0x07, 0x06) and bits == 8:
+        table = _ULAW_TABLE if audio_format == 0x07 else _ALAW_TABLE
+        samples = _g711_decode(pcm, channels, table)
+        if fact_frames is not None:
+            samples = samples[:fact_frames]
+        return sample_rate, channels, samples
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"unsupported WAV (format={audio_format}, bits={bits}): this "
-            "stdlib decoder handles 16-bit integer PCM, IMA ADPCM, and "
-            "MS ADPCM only"
+            "stdlib decoder handles 16-bit integer PCM, IMA ADPCM, "
+            "MS ADPCM, and G.711 mu-law/A-law only"
         )
     n_frames = len(pcm) // (channels * 2)
     samples = np.frombuffer(

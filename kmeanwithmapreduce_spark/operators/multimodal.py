@@ -476,9 +476,10 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
         for doc_id, b in zip(pdf["doc_id"], pay):
             # RIFF alone is not enough (AVI and WebP are RIFF too);
             # require the WAVE form type, and fall back on variants
-            # decode_wav rejects (mu-law, float, 24-bit — IMA ADPCM
-            # decodes for REAL since round 11, MS ADPCM since round
-            # 12) — one bad payload must not fail the whole job
+            # decode_wav rejects (float, 24-bit — IMA ADPCM decodes
+            # for REAL since round 11, MS ADPCM since round 12, G.711
+            # mu-law/A-law since round 13) — one bad payload must not
+            # fail the whole job
             decoded = None
             if b[:4] == RIFF_MAGIC and b[8:12] == b"WAVE":
                 try:

@@ -246,8 +246,10 @@ def ref_decode_ms_wav(data: bytes):
             for nib in (byte >> 4, byte & 0x0F):
                 c = k % ch
                 signed = nib - 16 if nib >= 8 else nib
-                p = (s1[c] * _MS_COEF1[pred[c]]
-                     + s2[c] * _MS_COEF2[pred[c]]) >> 8
+                acc = (s1[c] * _MS_COEF1[pred[c]]
+                       + s2[c] * _MS_COEF2[pred[c]])
+                # spec pseudocode: / 256 in C — truncation toward zero
+                p = int(acc / 256)
                 p += signed * delta[c]
                 p = max(-32768, min(32767, p))
                 delta[c] = max(16, (_MS_ADAPT[nib] * delta[c]) >> 8)
