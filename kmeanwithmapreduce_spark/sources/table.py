@@ -920,6 +920,9 @@ def upsert_table(
     if _complete_pending_rebucket(spark, table_path, meta) is not None:
         meta = _table_meta(spark, table_path)  # the modulus changed
     key, n_buckets = meta["key"], meta["n_buckets"]
+    done = _bucketed_epochs(spark, table_path)
+    if not done:
+        raise ValueError(f"no committed epochs at {table_path}")
     added = None
     if _shape(batch.schema) != [tuple(c) for c in meta["columns"]]:
         added = (
@@ -928,6 +931,32 @@ def upsert_table(
             else None
         )
         if added is None:
+            # round-12 ADVICE: when an evolving upsert died between the
+            # meta write and the epoch commit, a later old-shape batch
+            # hits this mismatch against columns NO committed epoch
+            # carries — name the pending evolution so the recovery path
+            # (re-run the evolving upsert) is discoverable from the error
+            hist = meta.get("schema_history") or []
+            pending = (
+                hist[-1]
+                if hist and hist[-1]["epoch"] > done[-1]
+                else None
+            )
+            hint = ""
+            if (
+                pending is not None
+                and len(hist) >= 2
+                and _shape(batch.schema)
+                == [tuple(c) for c in hist[-2]["columns"]]
+            ):
+                hint = (
+                    f" Note: a schema evolution to {pending['columns']} "
+                    f"was recorded for epoch {pending['epoch']} but never "
+                    "committed (writer crash or lost claim race) — this "
+                    "batch matches the pre-evolution shape. Re-run the "
+                    "evolving upsert to land it, or include the new "
+                    "column(s) in this batch with allow_add_columns=True."
+                )
             raise ValueError(
                 f"upsert_table: schema mismatch at {table_path}: table has "
                 f"{meta['columns']}, batch has {_shape(batch.schema)}"
@@ -938,10 +967,8 @@ def upsert_table(
                     else ". Pass allow_add_columns=True to append new "
                     "nullable columns (additive evolution)."
                 )
+                + hint
             )
-    done = _bucketed_epochs(spark, table_path)
-    if not done:
-        raise ValueError(f"no committed epochs at {table_path}")
     _check_keys(batch, key)
 
     from pyspark.sql import functions as F

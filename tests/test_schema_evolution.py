@@ -204,6 +204,11 @@ def test_crash_window_meta_before_epoch(spark, tmp_path):
     cur = read_bucketed_table(spark, tp)
     assert cur.columns == ["doc_id", "text", "lang"]
     assert cur.count() == 60
+    # round-12 ADVICE: an old-shape upsert in this window must NAME the
+    # pending evolution (the bare mismatch error hid the recovery path)
+    old_shape = d.where(F.col("doc_id") % 5 == 0)
+    with pytest.raises(ValueError, match="recorded for epoch.*never"):
+        upsert_table(old_shape, tp)
     # the re-run completes the evolution with the data in place
     e1 = upsert_table(batch, tp, allow_add_columns=True)
     t1 = read_bucketed_table(spark, tp, as_of=e1)
