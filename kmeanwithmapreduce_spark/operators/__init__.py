@@ -54,7 +54,7 @@ from .relational import RFM_QUERIES
 from .search import SEARCH_QUERIES
 from .sequences import ATTRIBUTION_QUERIES, SEQUENCE_QUERIES
 from .profiling import PROFILE_QUERIES
-from .subword import SUBWORD_QUERIES, UNIGRAM_QUERIES
+from .subword import SUBWORD_QUERIES, UNIGRAM_LOSS_QUERIES, UNIGRAM_QUERIES
 from .temporal import RESAMPLE_QUERIES, ROLLING_QUERIES, TEMPORAL_QUERIES
 from .ann_index import (
     ANN_FILTER_QUERIES,
@@ -114,6 +114,7 @@ EXTRA_QUERIES = {
     **IN_SKIPPING_QUERIES,
     **ANN_SAMPLED_QUERIES,
     **SCHEMA_EVOLUTION_QUERIES,
+    **UNIGRAM_LOSS_QUERIES,
 }
 
 __all__ = [

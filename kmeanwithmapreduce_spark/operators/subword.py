@@ -181,3 +181,102 @@ FROM (
 UNIGRAM_QUERIES = {
     "t14_unigram_subword_stats": (t14_unigram_subword_stats, T14_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# t15 — unigram-LM with likelihood-loss pruning (Kudo §3.2): the same
+# training surface as t14 but prune_by="loss", so the driver's oracle
+# harness exercises BOTH prune paths (round-12 verdict: the loss prune
+# had unit parity only). t14's golden rows stay frozen; t15's carry a
+# vocab_units fingerprint column because the per-language token totals
+# alone do not discriminate the paths on the synthetic corpora (see
+# the function docstring).
+
+
+def t15_unigram_loss_prune_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t14's per-language compression summary with the likelihood-loss
+    prune ranking (drop the pieces whose removal costs the corpus
+    log-likelihood least — functions/unigram.py:_prune_loss), PLUS a
+    ``vocab_units`` fingerprint: the sum of the trained vocabulary's
+    fixed-point expected counts over multi-char pieces. On the
+    synthetic corpora both prune paths converge to the SAME surviving
+    piece set (the 31-word generator vocabulary leaves EM one
+    attractor), so per-language token totals alone cannot tell them
+    apart — the fingerprint can: the EM counts the loss prune leaves
+    behind differ from the count prune's (…592 vs …598 at sf0.001),
+    so mis-routing prune_by flips the column and the oracle catches
+    it."""
+    from ..functions.unigram import train_unigram
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = train_unigram(
+        d, vocab_size=120, seed_size=2000, max_piece_len=6,
+        prune_by="loss",
+    )
+    vocab_units = sum(c for p, c in tok.pieces_counts if len(p) > 1)
+    counted = tok.count_col(
+        d.select("doc_id", "lang", "text"), "text", "n_uni"
+    )
+    return (
+        counted.withColumn(
+            "n_ws", F.size(F.split(F.col("text"), " ")).cast("bigint")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+            F.sum("n_uni").cast("bigint").alias("uni_tokens"),
+        )
+        .withColumn("vocab_units", F.lit(vocab_units).cast("bigint"))
+    )
+
+
+# Golden rows per corpus (branch key: total document characters — the
+# t13/t14 discipline). Regenerate with
+# ``python scripts/gen_t14_golden.py t15`` (engine + vanilla hostile
+# session at 3 sfs; must agree pair-wise) after any change to the
+# seed/EM spec, _prune_loss ranking, the Viterbi tie-break, or the
+# training knobs.
+T15_SQL = """
+WITH nchars AS (SELECT sum(n_chars) AS c FROM documents)
+SELECT CAST(lang AS VARCHAR) AS lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(uni_tokens AS BIGINT) AS uni_tokens,
+       CAST(vocab_units AS BIGINT) AS vocab_units
+FROM (
+  SELECT * FROM (VALUES
+    ('de', 71, 4070, 4846, 30227290592),
+    ('en', 193, 10343, 12422, 30227290592),
+    ('es', 80, 4516, 5463, 30227290592),
+    ('fr', 82, 4926, 5925, 30227290592),
+    ('zh', 74, 4084, 4893, 30227290592)
+  ) v(lang, n_docs, ws_tokens, uni_tokens, vocab_units)
+  WHERE (SELECT c FROM nchars) = 153156
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('de', 70, 3549, 4286, 29462929851),
+    ('en', 218, 11757, 14101, 29462929851),
+    ('es', 73, 3958, 4751, 29462929851),
+    ('fr', 64, 3758, 4516, 29462929851),
+    ('zh', 75, 4143, 4998, 29462929851)
+  ) v(lang, n_docs, ws_tokens, uni_tokens, vocab_units)
+  WHERE (SELECT c FROM nchars) = 149174
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('de', 702, 38406, 46201, 293298415818),
+    ('en', 2059, 112006, 134648, 293298415818),
+    ('es', 744, 41044, 49152, 293298415818),
+    ('fr', 742, 40521, 48702, 293298415818),
+    ('zh', 753, 38727, 46603, 293298415818)
+  ) v(lang, n_docs, ws_tokens, uni_tokens, vocab_units)
+  WHERE (SELECT c FROM nchars) = 1485576
+)
+"""
+
+
+UNIGRAM_LOSS_QUERIES = {
+    "t15_unigram_loss_prune_stats": (t15_unigram_loss_prune_stats, T15_SQL),
+}

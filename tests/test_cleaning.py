@@ -422,6 +422,7 @@ def test_cleaning_entries_sit_after_driver_window():
         "v06_in_list_skipping_scan",
         "s09_ann_sampled_build_parity",
         "v07_schema_evolution",
+        "t15_unigram_loss_prune_stats",
     ]
     # every cleaning entry carries an oracle
     sqls = entry.oracle_sql()
