@@ -14,10 +14,12 @@ endian) around raw PCM samples. This module implements:
   0x02): per-block per-channel predictor-pair/delta/two-sample
   header, signed nibbles through the 7 standard coefficient pairs and
   the 16-entry delta adaptation table — AND (round 13) ITU-T G.711
-  mu-law (tag 0x07) and A-law (tag 0x06): 256-entry companding table
-  lookups, byte-exact against CPython's audioop reference. All pure
-  integer arithmetic, exactly reproducible. Remaining compressed
-  formats (float, 24-bit) raise a clear ValueError — those stay on
+  mu-law (tag 0x07) and A-law (tag 0x06) (256-entry companding table
+  lookups, byte-exact against CPython's audioop reference), IEEE-float
+  WAV (tag 0x03, 32/64-bit, returned at source precision), 24-bit PCM
+  (widened losslessly to int32), and 8-bit unsigned PCM (widened to
+  int16). Every WAV depth/codec family now decodes for REAL; only
+  WAVE_FORMAT_EXTENSIBLE headers still raise ValueError and fall to
   the labeled-fake path in operators/multimodal.py, as does non-MJPEG
   video.
 - ``encode_wav(samples, sample_rate)`` — the matching PCM encoder
@@ -58,6 +60,75 @@ def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def _pcm_container(fmt: bytes, data: bytes, n_frames: int) -> bytes:
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_float(
+    samples, sample_rate: int = 16_000, bits: int = 32
+) -> bytes:
+    """Encode a float array (n,) mono or (n, channels) as an IEEE-float
+    WAV (format tag 0x03, 32- or 64-bit). Values pass through at the
+    chosen precision — no scaling or clipping."""
+    if bits not in (32, 64):
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
+    arr = np.ascontiguousarray(samples, dtype="<f4" if bits == 32 else "<f8")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    width = bits // 8
+    fmt = struct.pack(
+        "<HHIIHHH", 0x03, channels, sample_rate,
+        sample_rate * channels * width, channels * width, bits, 0,
+    )
+    return _pcm_container(fmt, arr.tobytes(), n)
+
+
+def encode_wav_pcm24(samples, sample_rate: int = 16_000) -> bytes:
+    """Encode an int array (n,) mono or (n, channels) holding 24-bit
+    values (range +-8388607, checked) as 24-bit PCM WAV: 3-byte
+    little-endian two's-complement frames."""
+    arr = np.ascontiguousarray(samples, dtype=np.int32)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.size and (arr.max() > 8388607 or arr.min() < -8388608):
+        raise ValueError("encode_wav_pcm24: values exceed 24-bit range")
+    n, channels = arr.shape
+    u = arr.astype(np.uint32).ravel()
+    data = np.empty((u.size, 3), dtype=np.uint8)
+    data[:, 0] = u & 0xFF
+    data[:, 1] = (u >> 8) & 0xFF
+    data[:, 2] = (u >> 16) & 0xFF
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 3, channels * 3, 24,
+    )
+    return _pcm_container(fmt, data.tobytes(), n)
+
+
+def encode_wav_pcm8(samples, sample_rate: int = 16_000) -> bytes:
+    """Encode an int16 array as 8-bit UNSIGNED PCM WAV (the RIFF
+    convention): the stored byte is ``(x >> 8) + 128`` — the exact
+    inverse of decode_wav's ``(b - 128) << 8`` widening for values
+    that survive the depth reduction."""
+    arr = np.ascontiguousarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    data = ((arr.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    return _pcm_container(fmt, data, n)
 
 
 # IMA/DVI ADPCM tables (IMA Digital Audio Pack, 1992; reproduced in
@@ -495,10 +566,15 @@ def encode_wav_ima(
 
 
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a PCM WAV to (sample_rate, n_channels, int16 array
-    (n_frames, n_channels)). 16-bit integer PCM only — compressed
-    formats and other depths raise ValueError (the multimodal operator
-    keeps those on its disclosed fake path)."""
+    """Decode a WAV to (sample_rate, n_channels, samples
+    (n_frames, n_channels)). Sample dtype follows the source format —
+    int16 for 16-bit/8-bit PCM and every compressed format (IMA/MS
+    ADPCM, G.711), int32 holding true 24-bit values for 24-bit PCM,
+    float32/float64 for IEEE-float (tag 3) — so no precision is
+    invented or dropped; consumers branch on ``samples.dtype``.
+    Unsupported variants (extensible-format headers, other depths)
+    raise ValueError (the multimodal operator keeps those on its
+    disclosed fake path)."""
     if data[:4] != RIFF_MAGIC or data[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF/WAVE signature)")
     pos = 12
@@ -547,11 +623,43 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         if fact_frames is not None:
             samples = samples[:fact_frames]
         return sample_rate, channels, samples
+    if audio_format == 0x03 and bits in (32, 64):
+        # IEEE-float WAV (round 13): raw little-endian float frames,
+        # returned at source precision — no int conversion invented
+        width = bits // 8
+        dt = "<f4" if bits == 32 else "<f8"
+        n_frames = len(pcm) // (channels * width)
+        samples = np.frombuffer(
+            pcm, dtype=dt, count=n_frames * channels
+        ).reshape(n_frames, channels)
+        return sample_rate, channels, samples
+    if audio_format == 1 and bits == 24:
+        # 24-bit PCM (round 13): 3-byte little-endian two's-complement
+        # frames, widened losslessly to int32 (range +-8388607)
+        n_frames = len(pcm) // (channels * 3)
+        b = np.frombuffer(
+            pcm, dtype=np.uint8, count=n_frames * channels * 3
+        ).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend bit 23
+        return sample_rate, channels, v.reshape(n_frames, channels)
+    if audio_format == 1 and bits == 8:
+        # 8-bit PCM is UNSIGNED by the RIFF spec; widen to int16 by
+        # the libsndfile convention ((x - 128) << 8) — lossless
+        n_frames = len(pcm) // channels
+        x = np.frombuffer(
+            pcm, dtype=np.uint8, count=n_frames * channels
+        ).astype(np.int16)
+        return (
+            sample_rate,
+            channels,
+            ((x - 128) << 8).reshape(n_frames, channels),
+        )
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"unsupported WAV (format={audio_format}, bits={bits}): this "
-            "stdlib decoder handles 16-bit integer PCM, IMA ADPCM, "
-            "MS ADPCM, and G.711 mu-law/A-law only"
+            "stdlib decoder handles 8/16/24-bit integer PCM, 32/64-bit "
+            "IEEE float, IMA ADPCM, MS ADPCM, and G.711 mu-law/A-law only"
         )
     n_frames = len(pcm) // (channels * 2)
     samples = np.frombuffer(

@@ -488,12 +488,36 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
                     decoded = None
             if decoded is not None:
                 rate, ch, samples = decoded
-                ss = samples.astype(np.int64)
-                sumsq = int((ss * ss).sum())
-                # exact int64 sum; /size exact for power-of-two sizes;
-                # sqrt is IEEE correctly-rounded — bit-equal to the SQL
-                # twin's sqrt(sumsq / n)
-                rms = float(np.sqrt(float(sumsq) / max(samples.size, 1)))
+                if samples.dtype.kind == "f":
+                    # IEEE-float WAV (round 13): float64 sum of squares
+                    # (not an oracle surface — m05's SQL twin covers
+                    # the exact-integer PCM path only)
+                    sumsq = float(
+                        (samples.astype(np.float64) ** 2).sum()
+                    )
+                    rms = float(np.sqrt(sumsq / max(samples.size, 1)))
+                elif samples.dtype == np.int32:
+                    # 24-bit PCM: per-sample squares reach 7.04e13, so
+                    # a whole-file int64 sum overflows past ~131k
+                    # samples — accumulate exact chunk sums (each
+                    # bounded well under 2**63) into a Python int
+                    flat = samples.astype(np.int64).ravel()
+                    sumsq = 0
+                    for o in range(0, flat.size, 65536):
+                        c = flat[o : o + 65536]
+                        sumsq += int((c * c).sum())
+                    rms = float(
+                        np.sqrt(float(sumsq) / max(samples.size, 1))
+                    )
+                else:
+                    ss = samples.astype(np.int64)
+                    sumsq = int((ss * ss).sum())
+                    # exact int64 sum; /size exact for power-of-two
+                    # sizes; sqrt is IEEE correctly-rounded — bit-equal
+                    # to the SQL twin's sqrt(sumsq / n)
+                    rms = float(
+                        np.sqrt(float(sumsq) / max(samples.size, 1))
+                    )
                 rows.append(
                     (doc_id, len(b), rate, ch, samples.shape[0], rms)
                 )
