@@ -273,13 +273,16 @@ def test_wav_decode_rejects_unsupported():
     with _pytest.raises(ValueError, match="signature"):
         decode_wav(b"\x89PNG not a wav")
     good = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
-    # fmt body starts at byte 20; bits-per-sample is body offset 14
+    # fmt body starts at byte 20; bits-per-sample is body offset 14.
+    # 8-bit PCM and mu-law are REAL decoders since round 13, so the
+    # rejection probes use genuinely unsupported shapes: 12-bit PCM and
+    # an MP3-in-WAV format tag.
     bad_bits = bytearray(good)
-    bad_bits[20 + 14] = 8
+    bad_bits[20 + 14] = 12
     with _pytest.raises(ValueError, match="unsupported"):
         decode_wav(bytes(bad_bits))
     bad_fmt = bytearray(good)
-    bad_fmt[20] = 7  # mu-law
+    bad_fmt[20] = 0x55  # MPEG layer 3 payload
     with _pytest.raises(ValueError, match="unsupported"):
         decode_wav(bytes(bad_fmt))
 
