@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import ensure_min_parallelism, load_table
 
 # --------------------------------------------------------------------------
 # shared shingle helper: token n-grams as space-joined strings, built
@@ -94,6 +94,13 @@ def decontaminate(
     broadcast — benchmarks are MB-scale against a 100 TB corpus. The
     only full shuffle is the groupBy on the training doc id.
     """
+    # the shingle transform is the CPU wall of this operator, and a
+    # single-file local scan would run it in ONE task on each branch
+    # (round-13 job census: the two 1-task jobs were 95% of c01's
+    # wall); at a real multi-split 100 TB layout this is a no-op
+    # (guide §2.6 — idle capacity, not algorithm)
+    train = ensure_min_parallelism(train)
+    eval_docs = ensure_min_parallelism(eval_docs)
     toks = F.split(F.col(text_col), " ")
     shingled = lambda d: (  # noqa: E731
         d.where(F.size(toks) >= n)
@@ -190,7 +197,10 @@ def repetition_signals(
     document length, independent of corpus size."""
     toks = F.split(F.col(text_col), " ")
     grams = (
-        docs.where(F.size(toks) >= n)
+        # split the gram explode across tasks: a single-file scan would
+        # run the whole n-gram transform in one task (see decontaminate)
+        ensure_min_parallelism(docs)
+        .where(F.size(toks) >= n)
         .select(*id_cols, F.explode(_token_ngrams(toks, n)).alias("g"))
     )
     per_gram = grams.groupBy(*id_cols, "g").agg(F.count(F.lit(1)).alias("c"))

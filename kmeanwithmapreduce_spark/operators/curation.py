@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import ensure_min_parallelism, load_table
 
 _U32 = 4_294_967_296  # 2^32: the md5-prefix draw u is uniform on [0, 2^32)
 _ARGMIN_SCALE = 1_000_000  # integer-division scale for the argmin rule
@@ -388,7 +388,12 @@ def span_dedup(
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
     )
-    ex = docs.select(id_col, F.posexplode(spans).alias("pos", "s"))
+    # split the span explode across tasks: a single-file local scan runs
+    # the whole tokenize+slice transform in one task otherwise (round-13
+    # job census); a multi-split 100 TB layout makes this a no-op
+    ex = ensure_min_parallelism(docs).select(
+        id_col, F.posexplode(spans).alias("pos", "s")
+    )
     owner = ex.groupBy("s").agg(F.min(id_col).alias("_owner"))
     kept = ex.join(owner, "s").withColumn("_keep", F.col(id_col) == F.col("_owner"))
     surviving = F.when(F.col("_keep"), F.struct("pos", "s"))  # null → dropped
