@@ -1023,19 +1023,24 @@ def _pq_sample_error(
     *,
     by_residual: bool,
     sample: int,
+    rows: list | None = None,
 ) -> float:
     """Mean squared PQ reconstruction error over the content-hash-
     ordered sample (the train_pq_codebooks recipe, so build-time and
     drift-time samples are drawn identically). A QUALITY metric, not a
-    golden-pinned value — plain NumPy reductions are fine here."""
+    golden-pinned value — plain NumPy reductions are fine here.
+    ``rows`` lets build_ann_index pass the sample it already collected
+    for codebook training (identical recipe) instead of paying a
+    second TakeOrdered pass over the corpus."""
     import numpy as np
 
-    rows = (
-        vectors.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(sample)
-        .collect()
-    )
+    if rows is None:
+        rows = (
+            vectors.select("vec_id", "embedding")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(sample)
+            .collect()
+        )
     if not rows:
         raise ValueError("quantization_error: empty vector sample")
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -1178,7 +1183,19 @@ def build_ann_index(
     if n_cells == "auto":
         n_cells = auto_n_cells(feats.count())
     n_cells = int(n_cells)
-    d = len(feats.select("features").first()[0])
+    # ONE TakeOrdered pass collects the md5-content-hash-ordered sample
+    # shared by PQ codebook training and the train_error metric (they
+    # used to each run the identical query — two corpus scans), and its
+    # first row supplies d (previously a third pass via first())
+    pq_sample = (
+        vectors.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample)
+        .collect()
+    )
+    if not pq_sample:
+        raise ValueError("build_ann_index: empty vectors frame")
+    d = len(pq_sample[0]["embedding"])
     if d % m:
         raise ValueError(f"d={d} not divisible by m={m}")
     if train_sample == "auto":
@@ -1234,6 +1251,7 @@ def build_ann_index(
         sample=sample,
         residual_centroids=centroids if by_residual else None,
         embeddings=vectors,
+        sample_rows=pq_sample,
     )
     meta = {
         "n_cells": n_cells,
@@ -1252,6 +1270,7 @@ def build_ann_index(
             books,
             by_residual=by_residual,
             sample=sample,
+            rows=pq_sample,
         ),
     }
     idx = AnnIndex(spark, index_path, meta)

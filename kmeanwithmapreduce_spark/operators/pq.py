@@ -65,6 +65,7 @@ def train_pq_codebooks(
     iters: int = 8,
     residual_centroids: list[list[float]] | None = None,
     embeddings: DataFrame | None = None,
+    sample_rows: list | None = None,
 ) -> list[list[list[float]]]:
     """m per-subspace codebooks, each k_codes × (d/m), trained by a
     driver-local NumPy Lloyd on a bounded content-hash-ordered sample.
@@ -96,7 +97,11 @@ def train_pq_codebooks(
     e = embeddings if embeddings is not None else load_table(
         spark, sf_dir, "embeddings"
     )
-    rows = (
+    # ``sample_rows`` lets a caller that already collected the SAME
+    # md5-ordered sample (build_ann_index shares it with the
+    # train_error metric) skip a second TakeOrdered pass over the
+    # corpus — rows must come from the exact recipe below
+    rows = sample_rows if sample_rows is not None else (
         e.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(sample)
