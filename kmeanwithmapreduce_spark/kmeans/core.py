@@ -314,8 +314,6 @@ def lloyd(
 
     df = ensure_min_parallelism(df.select(feats)).cache()
     try:
-        dim = int(df.select(F.size(F.col(feats))).first()[0])
-
         if init_centroids is None:
             if params.init == "k-means||":
                 centroids = init_kmeans_parallel(
@@ -327,6 +325,10 @@ def lloyd(
                 )
         else:
             centroids = [[float(v) for v in c] for c in init_centroids]
+        # every init path yields k centroids of the data's arity, so the
+        # old per-fit `select(size(features)).first()` probe job is
+        # redundant — dim comes from the centroids themselves
+        dim = len(centroids[0])
         init_snapshot = [list(c) for c in centroids]  # copyCentroids, Main.java:239-245
 
         max_rounds = params.max_loop - 1 if compat else params.max_loop

@@ -347,7 +347,14 @@ def q39_copurchase_lift(spark, sf_dir: str, k: int = 20) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
     )
-    n_orders = parts.count()  # k-row driver scalar, like k01's init
+    # k-row driver scalar, like k01's init. count_distinct over the raw
+    # scan, NOT parts.count(): the latter re-ran the whole collect_set
+    # groupBy (its exchange isn't reusable — Catalyst prunes the set
+    # away for the count, so the subplans differ); this is the same
+    # integer from a map-side-combined partial aggregate instead
+    n_orders = int(
+        li.agg(F.count_distinct("l_orderkey").alias("n")).first()["n"]
+    )
     c1 = item_counts.select(
         F.col("node").alias("p1"), F.col("n_item").alias("n_a")
     )

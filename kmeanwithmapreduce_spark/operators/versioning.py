@@ -71,6 +71,38 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     )
 
 
+def merge_changeset(
+    old: DataFrame, new: DataFrame, key_col: str, compare_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """The (changed_rows, removed_keys) MERGE inputs between two
+    UNIQUE-keyed snapshots, from ONE digest-keyed full-outer join — the
+    snapshot_diff shape. The previous derivation
+    (``new.subtract(old)`` + ``old.join(new, key, 'left_anti')``) paid
+    two independent wide shuffles of full rows, and the anti-join was
+    re-evaluated for each consumer inside upsert_table; here the
+    payload crosses the exchange once, digests (O(1) per row however
+    wide the payload) decide membership, and the caller persists the
+    returned frames' shared parent via ``changed.persist()`` semantics
+    only if it needs to. Both frames are exactly the set-semantics
+    results of the old derivation for unique-keyed inputs (same md5
+    digest discipline as snapshot_diff)."""
+    o = old.select(
+        F.col(key_col).alias("k"), _digest(compare_cols).alias("oh")
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        _digest(compare_cols).alias("nh"),
+        F.struct(*new.columns).alias("_row"),
+    )
+    j = o.join(n, "k", "full_outer")
+    changed = j.where(
+        F.col("nh").isNotNull()
+        & (F.col("oh").isNull() | (F.col("oh") != F.col("nh")))
+    ).select("_row.*")
+    removed = j.where(F.col("nh").isNull()).select(F.col("k").alias(key_col))
+    return changed, removed
+
+
 # --------------------------------------------------------------------------
 # c14 registry entry: documents (v1) vs a deterministically mutated v2.
 # Mutation rules on doc_id mod 17: 3 -> dropped (removed), 5 -> text
@@ -246,10 +278,16 @@ def v03_bucketed_upsert_time_travel(
     v2 = _mutate_v2(d)
     e0 = create_bucketed_table(d, base, "doc_id", n_buckets=16)
     # the v1 -> v2 change set as a MERGE: only CHANGED/ADDED rows are
-    # upserted (epoch 1 touches only their buckets); removed ids deleted
-    changed = v2.subtract(d)
-    removed = d.join(v2, "doc_id", "left_anti").select("doc_id")
-    e1 = upsert_table(changed, base, deletes=removed)
+    # upserted (epoch 1 touches only their buckets); removed ids
+    # deleted. One digest join derives both (see merge_changeset) —
+    # identical sets to the old subtract + anti-join, one wide shuffle
+    # instead of two
+    changed, removed = merge_changeset(d, v2, "doc_id", ["text", "lang"])
+    removed = removed.persist()  # consumed twice inside upsert_table
+    try:
+        e1 = upsert_table(changed, base, deletes=removed)
+    finally:
+        removed.unpersist()
     rollback_bucketed(spark, base, e0)
 
     t0 = read_bucketed_table(spark, base, as_of=e0)
@@ -295,9 +333,12 @@ def v04_rebucket_time_travel(
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     v2 = _mutate_v2(d)
     e0 = create_bucketed_table(d, base, "doc_id", n_buckets=4)
-    changed = v2.subtract(d)
-    removed = d.join(v2, "doc_id", "left_anti").select("doc_id")
-    e1 = upsert_table(changed, base, deletes=removed)
+    changed, removed = merge_changeset(d, v2, "doc_id", ["text", "lang"])
+    removed = removed.persist()  # consumed twice inside upsert_table
+    try:
+        e1 = upsert_table(changed, base, deletes=removed)
+    finally:
+        removed.unpersist()
     e2 = rebucket_table(spark, base, 16)
     rollback_bucketed(spark, base, e0)
 
@@ -518,10 +559,15 @@ def v07_schema_evolution(
 
     t0 = read_bucketed_table(spark, base, as_of=e0)
     t1 = read_bucketed_table(spark, base, as_of=e1)
+    # one digest full-outer join replaces the two subtract shuffles the
+    # bidirectional set-equality check used to pay (same md5 digest
+    # discipline as snapshot_diff; unique keys per side)
     clean = int(
         t0.columns == ["doc_id", "text", "lang"]
-        and t0.subtract(d).count() == 0
-        and d.subtract(t0).count() == 0
+        and snapshot_diff(d, t0, "doc_id", ["text", "lang"])
+        .where(F.col("status") != "unchanged")
+        .count()
+        == 0
     )
     stats = t1.agg(
         F.count(F.lit(1)).alias("rows"),
