@@ -100,3 +100,67 @@ def nearest_centroid_expr(
     """
     darr = distance_array_expr(features, centroids)
     return (F.array_position(darr, F.array_min(darr)) - F.lit(1)).cast("int")
+
+
+# --------------------------------------------------------------------------
+# SQL-text twins of the expression builders above.
+#
+# Building a k x d literal distance tree through the Column API costs
+# thousands of py4j round-trips (~0.7 s per call at k=8, d=64 —
+# measured round 13); inside lloyd that bill recurs EVERY iteration
+# because the centroid literals change. Rendering the same expression
+# as ONE SQL string parsed JVM-side by F.expr() produces the identical
+# Catalyst tree (same functions, same double literals via repr + 'D',
+# same int literals and casts — pinned by test_vector_sql_twins and
+# every golden oracle) for one round-trip. Keep the Column forms for
+# composability; route hot, repeated construction through these.
+
+
+def _sql_double(v: float) -> str:
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid component {f!r}")
+    return repr(f) + "D"
+
+
+def _centroid_sql(centroid: Sequence[float]) -> str:
+    return "array(" + ",".join(_sql_double(v) for v in centroid) + ")"
+
+
+def squared_euclidean_sql(a_sql: str, centroid: Sequence[float]) -> str:
+    """SQL text of squared_euclidean_expr(a, lit(centroid))."""
+    return (
+        f"aggregate(zip_with({a_sql}, {_centroid_sql(centroid)}, "
+        "(x, y) -> power(cast(x as double) - cast(y as double), 2)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _squared_dist_unrolled_sql(a_sql: str, centroid: Sequence[float]) -> str:
+    return " + ".join(
+        f"power(cast(element_at({a_sql}, {i + 1}) as double) - "
+        f"{_sql_double(v)}, 2)"
+        for i, v in enumerate(centroid)
+    )
+
+
+def distance_array_sql(
+    a_sql: str, centroids: Sequence[Sequence[float]]
+) -> str:
+    """SQL text of distance_array_expr(a, centroids) — same unroll
+    threshold, same term order."""
+    if centroids and len(centroids[0]) <= _UNROLL_DIM:
+        terms = [_squared_dist_unrolled_sql(a_sql, c) for c in centroids]
+    else:
+        terms = [squared_euclidean_sql(a_sql, c) for c in centroids]
+    return "array(" + ",".join(terms) + ")"
+
+
+def nearest_centroid_sql(
+    a_sql: str, centroids: Sequence[Sequence[float]]
+) -> str:
+    """SQL text of nearest_centroid_expr(a, centroids)."""
+    darr = distance_array_sql(a_sql, centroids)
+    return (
+        f"cast((array_position({darr}, array_min({darr})) - 1) as int)"
+    )

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import euclidean_expr, nearest_centroid_expr
+from ..functions.vector import euclidean_expr
 
 # Above this k*d the per-row expression tree gets unwieldy; switch to the
 # Arrow-batched NumPy argmin (|x|^2 - 2 x.C + |c|^2 over a matmul).
@@ -225,8 +225,16 @@ def _weighted_kmeanspp(
 def _assign_expr_path(
     df: DataFrame, centroids: Sequence[Sequence[float]], features_col: str
 ) -> DataFrame:
+    # the SQL-text twin of nearest_centroid_expr: one JVM parse instead
+    # of thousands of py4j round-trips building the k x d literal tree
+    # (which lloyd pays EVERY iteration — round-13 measurement: ~0.7 s
+    # per construction at k=8, d=64). Identical Catalyst tree, pinned
+    # by the golden oracles and test_vector_sql_twins.
+    from ..functions.vector import nearest_centroid_sql
+
     return df.withColumn(
-        "cluster", nearest_centroid_expr(F.col(features_col), centroids)
+        "cluster",
+        F.expr(nearest_centroid_sql(f"`{features_col}`", centroids)),
     )
 
 
@@ -277,12 +285,20 @@ def _update_centroids(
     combiner (KCombiner.java:9-18) for free — so only k rows per map
     partition cross the wire.
     """
-    aggs = [
-        F.avg(F.col(features_col)[i]).alias(f"m{i}") for i in range(dim)
-    ] + [F.count(F.lit(1)).alias("n")]
-    rows = assigned.groupBy("cluster").agg(*aggs).collect()
+    # one expr-parsed array of the dim per-dimension avgs (identical
+    # AVG aggregates; the array wrapper is a post-aggregation result
+    # expression) — the per-iteration Column-API construction of dim
+    # separate avg(...).alias(...) columns was pure py4j overhead
+    ms = F.expr(
+        "array("
+        + ",".join(f"avg(`{features_col}`[{i}])" for i in range(dim))
+        + ")"
+    ).alias("ms")
+    rows = assigned.groupBy("cluster").agg(
+        ms, F.count(F.lit(1)).alias("n")
+    ).collect()
     return {
-        int(r["cluster"]): ([float(r[f"m{i}"]) for i in range(dim)], int(r["n"]))
+        int(r["cluster"]): ([float(v) for v in r["ms"]], int(r["n"]))
         for r in rows
     }
 

@@ -162,28 +162,46 @@ def pq_encode(
     With ``residual_centroids``, the encoded vector is the RESIDUAL to
     the row's coarse centroid (selected by ``cluster_col``): one
     zip_with subtraction against a plan-literal k_cells × d centroid
-    table, still zero-shuffle."""
-    from ..functions.vector import _centroid_lit, squared_euclidean_expr
+    table, still zero-shuffle.
+
+    The whole m x k_codes literal tree is rendered as ONE SQL string
+    and parsed JVM-side (F.expr) — the Column-API construction cost
+    ~3 s of pure py4j round-trips per encode plan at the default
+    geometry (round-13 measurement); the parsed Catalyst tree is
+    identical (same functions, same repr-exact double literals), so
+    codes are bit-for-bit unchanged (s04/s05/s07 goldens pin it)."""
+    from ..functions.vector import _centroid_sql, squared_euclidean_sql
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    base = F.col(vec_col)
+    base = f"`{vec_col}`"
     if residual_centroids is not None:
-        cents = F.array(*[_centroid_lit(c) for c in residual_centroids])
-        base = F.zip_with(
-            base,
-            F.element_at(cents, F.col(cluster_col) + 1),
-            lambda x, y: x.cast("double") - y,
+        cents = (
+            "array("
+            + ",".join(_centroid_sql(c) for c in residual_centroids)
+            + ")"
+        )
+        base = (
+            f"zip_with({base}, element_at({cents}, `{cluster_col}` + 1), "
+            "(x, y) -> cast(x as double) - y)"
         )
 
-    def _argmin_code(j: int):
-        sl = F.slice(base, j * dsub + 1, dsub)
-        darr = F.array(
-            *[squared_euclidean_expr(sl, _centroid_lit(c)) for c in codebooks[j]]
+    def _argmin_code(j: int) -> str:
+        sl = f"slice({base}, {j * dsub + 1}, {dsub})"
+        darr = (
+            "array("
+            + ",".join(
+                squared_euclidean_sql(sl, c) for c in codebooks[j]
+            )
+            + ")"
         )
-        return (F.array_position(darr, F.array_min(darr)) - F.lit(1)).cast("int")
+        return (
+            f"cast((array_position({darr}, array_min({darr})) - 1) as int)"
+        )
 
-    codes = F.array(*[_argmin_code(j) for j in range(m)])
+    codes = F.expr(
+        "array(" + ",".join(_argmin_code(j) for j in range(m)) + ")"
+    )
     return df.withColumn(code_col, codes)
 
 

@@ -66,3 +66,39 @@ def test_quality_score_expr_matches_python(spark, sf_dir):
         assert g[1] == math.floor(uniq * 10000.0) / 10000.0
         assert g[2] == score
         assert g[3] == (score >= 0.5)
+
+
+def test_vector_sql_twins_match_column_builders(spark):
+    """The SQL-text expression builders (round-13: one F.expr parse
+    replaces thousands of py4j round-trips in lloyd/pq_encode) must
+    produce BIT-IDENTICAL values to the Column builders they twin —
+    distances and argmin labels, across both the unrolled (d <= 32)
+    and zip_with (d > 32) regimes, including exact ties."""
+    from pyspark.sql import functions as F
+
+    from kmeanwithmapreduce_spark.functions.vector import (
+        distance_array_expr,
+        distance_array_sql,
+        nearest_centroid_expr,
+        nearest_centroid_sql,
+    )
+
+    rng = random.Random(7)
+    for d, k in [(4, 8), (7, 3), (32, 5), (64, 8), (40, 2)]:
+        rows = [
+            ([rng.uniform(-5, 5) for _ in range(d)],) for _ in range(60)
+        ]
+        cents = [[rng.uniform(-5, 5) for _ in range(d)] for _ in range(k)]
+        # exact ties: two identical centroids, and a row equal to one
+        cents[-1] = list(cents[0])
+        rows.append((list(cents[0]),))
+        df = spark.createDataFrame(rows, "features array<double>")
+        got = df.select(
+            distance_array_expr(F.col("features"), cents).alias("dc"),
+            F.expr(distance_array_sql("`features`", cents)).alias("ds"),
+            nearest_centroid_expr(F.col("features"), cents).alias("ac"),
+            F.expr(nearest_centroid_sql("`features`", cents)).alias("as_"),
+        ).collect()
+        for r in got:
+            assert list(r["dc"]) == list(r["ds"]), (d, k)
+            assert r["ac"] == r["as_"], (d, k)
