@@ -44,6 +44,13 @@ def ensure_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # perf, not correctness (values identical with or without): stop
+    # InferFiltersFromGenerate cloning heavy generator expressions into
+    # scan-stage predicates — see session.get_spark for the measurement
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     from ..session import ship_package
 
     ship_package(spark)
