@@ -447,15 +447,13 @@ SELECT (SELECT count(*) FROM a) AS n_a,
 
 
 def t11_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # split the sketch/percentile partial aggregation across tasks: the
-    # single-file local scan otherwise runs both heavy aggs in ONE task
-    # (round-13 job census). KLL insertion order shifts with the split,
-    # which moves the estimate only within noise — the entry's oracle is
-    # the ±2-percentile band, exactly the discipline this sketch family
-    # pins (j03/t09); the exact percentile side is order-independent.
-    from ..sources.readers import ensure_min_parallelism
-
-    li = ensure_min_parallelism(load_table(spark, sf_dir, "lineitem"))
+    # examined round 13 (single-task scan census): splitting the input
+    # across tasks was measured a WASH here — the exact-percentile
+    # final merge is the floor and it is single-task regardless, while
+    # the repartition costs a full-row shuffle locally. Left on the
+    # flat scan (multi-split at any real layout), which also keeps the
+    # KLL insertion order — and so the t11 row — bit-stable vs r12.
+    li = load_table(spark, sf_dir, "lineitem")
     sharded = li.withColumn(
         "_shard", F.pmod(F.xxhash64("l_orderkey"), F.lit(8))
     )
