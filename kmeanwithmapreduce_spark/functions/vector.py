@@ -116,10 +116,29 @@ def nearest_centroid_expr(
 # composability; route hot, repeated construction through these.
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column name for SQL text, escaping embedded
+    backticks (`` ` `` -> ```` `` ````) — the one way a user-supplied
+    column name could break or change the meaning of an F.expr parse
+    where the Column API would have handled it (round-13 ADVICE)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _sql_double(v: float) -> str:
+    # Divergence from the Column twin (round-13 ADVICE, documented):
+    # _centroid_lit accepts inf/nan (the old path silently produced NaN
+    # distances from degenerate data), while SQL text has no exact
+    # non-finite double literal — so this path fails FAST and LOUD
+    # instead. Reaching it means the input data fed NaN/inf into a
+    # centroid mean; failing the fit beats silently NaN-poisoned
+    # assignments.
     f = float(v)
     if f != f or f in (float("inf"), float("-inf")):
-        raise ValueError(f"non-finite centroid component {f!r}")
+        raise ValueError(
+            f"non-finite centroid component {f!r} — the input data "
+            "contains NaN/inf features (the Column-API path would "
+            "produce NaN distances here; the SQL path refuses instead)"
+        )
     return repr(f) + "D"
 
 

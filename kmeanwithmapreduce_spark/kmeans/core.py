@@ -230,11 +230,11 @@ def _assign_expr_path(
     # (which lloyd pays EVERY iteration — round-13 measurement: ~0.7 s
     # per construction at k=8, d=64). Identical Catalyst tree, pinned
     # by the golden oracles and test_vector_sql_twins.
-    from ..functions.vector import nearest_centroid_sql
+    from ..functions.vector import nearest_centroid_sql, quote_ident
 
     return df.withColumn(
         "cluster",
-        F.expr(nearest_centroid_sql(f"`{features_col}`", centroids)),
+        F.expr(nearest_centroid_sql(quote_ident(features_col), centroids)),
     )
 
 
@@ -289,10 +289,11 @@ def _update_centroids(
     # AVG aggregates; the array wrapper is a post-aggregation result
     # expression) — the per-iteration Column-API construction of dim
     # separate avg(...).alias(...) columns was pure py4j overhead
+    from ..functions.vector import quote_ident
+
+    fq = quote_ident(features_col)
     ms = F.expr(
-        "array("
-        + ",".join(f"avg(`{features_col}`[{i}])" for i in range(dim))
-        + ")"
+        "array(" + ",".join(f"avg({fq}[{i}])" for i in range(dim)) + ")"
     ).alias("ms")
     rows = assigned.groupBy("cluster").agg(
         ms, F.count(F.lit(1)).alias("n")

@@ -109,16 +109,19 @@ def release_components(df: DataFrame) -> None:
         _release_checkpoint(ckpt)
 
 
-def _edge_signature(e: DataFrame) -> tuple:
-    """O(1)-driver convergence probe, one pass: count plus FOUR
+def _signature_aggs() -> list:
+    """The convergence-probe aggregate list: count plus FOUR
     order-independent aggregates — two differently-keyed hash sums
     (xxhash64 is order-sensitive in its arguments, so (u,v) and (v,u)
     are independent 64-bit families) and the raw endpoint sums. A false
     "converged" requires a simultaneous collision in every component;
     declaring convergence one round early on different edge sets would
     return silently wrong components, so the signature is belt-and-
-    braces cheap insurance."""
-    row = e.agg(
+    braces cheap insurance. All five are merge-order-independent
+    (bigint count, exact decimal sums), so the tuple is identical
+    whether computed by a standalone agg job or observed during the
+    checkpoint materialization."""
+    return [
         F.count(F.lit(1)).alias("n"),
         # decimal accumulation: a LongType sum of 64-bit hashes overflows
         # (ANSI mode raises); decimal(38,0) holds ~1e19 hashes worth
@@ -136,7 +139,14 @@ def _edge_signature(e: DataFrame) -> tuple:
         F.coalesce(
             F.sum(F.col("v").cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
         ).alias("sv"),
-    ).collect()[0]
+    ]
+
+
+def _edge_signature(e: DataFrame) -> tuple:
+    """Standalone one-pass signature (see _signature_aggs). The CC loop
+    instead OBSERVES the same aggregates during its checkpoint action —
+    one pass over the edges per round, not two (round 14, guide §1.2)."""
+    row = e.agg(*_signature_aggs()).collect()[0]
     return (row.n, row.h, row.h2, row.su, row.sv)
 
 
@@ -195,6 +205,8 @@ def connected_components(
     free it deterministically — same contract as unpersisting a frame
     you persisted; otherwise the JVM GC reclaims it eventually.
     """
+    from pyspark.sql import Observation
+
     ckpt = _make_checkpointer(pairs, checkpoint)
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -210,11 +222,19 @@ def connected_components(
         # checkpoints are released IMMEDIATELY — exactly one round's
         # edge set is ever materialized, not O(rounds) of them.
         l = ckpt(_large_star(_symmetrize(e)))
-        new_e = ckpt(_small_star(l))
+        # convergence signature OBSERVED during the checkpoint action
+        # (CollectMetrics rides the same pass): 2 jobs/round instead of
+        # 3 — the standalone signature job re-scanned the whole edge
+        # set, a full extra pass per round at any scale (round 14,
+        # guide §1.2). Identical tuple: the aggregates are merge-order
+        # independent and see exactly the materialized rows.
+        obs = Observation()
+        new_e = ckpt(_small_star(l).observe(obs, *_signature_aggs()))
         _release_checkpoint(l)
         _release_checkpoint(e)
         e = new_e
-        new_sig = _edge_signature(e)
+        m = obs.get
+        new_sig = (m["n"], m["h"], m["h2"], m["su"], m["sv"])
         if new_sig == sig:
             converged = True
             break

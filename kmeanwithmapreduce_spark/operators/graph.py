@@ -351,7 +351,13 @@ def q39_copurchase_lift(spark, sf_dir: str, k: int = 20) -> DataFrame:
     # scan, NOT parts.count(): the latter re-ran the whole collect_set
     # groupBy (its exchange isn't reusable — Catalyst prunes the set
     # away for the count, so the subplans differ); this is the same
-    # integer from a map-side-combined partial aggregate instead
+    # integer from a map-side-combined partial aggregate instead.
+    # NULL semantics (round-13 ADVICE): count_distinct excludes NULL
+    # keys where the old groupBy row count included a NULL group —
+    # identical on TPC-H (l_orderkey is NOT NULL by spec and in every
+    # generated corpus); a null-keyed input would also produce no
+    # pairs for that group, so the lift denominator stays consistent
+    # with the numerator either way.
     n_orders = int(
         li.agg(F.count_distinct("l_orderkey").alias("n")).first()["n"]
     )

@@ -170,11 +170,15 @@ def pq_encode(
     geometry (round-13 measurement); the parsed Catalyst tree is
     identical (same functions, same repr-exact double literals), so
     codes are bit-for-bit unchanged (s04/s05/s07 goldens pin it)."""
-    from ..functions.vector import _centroid_sql, squared_euclidean_sql
+    from ..functions.vector import (
+        _centroid_sql,
+        quote_ident,
+        squared_euclidean_sql,
+    )
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    base = f"`{vec_col}`"
+    base = quote_ident(vec_col)
     if residual_centroids is not None:
         cents = (
             "array("
@@ -182,7 +186,8 @@ def pq_encode(
             + ")"
         )
         base = (
-            f"zip_with({base}, element_at({cents}, `{cluster_col}` + 1), "
+            f"zip_with({base}, element_at({cents}, "
+            f"{quote_ident(cluster_col)} + 1), "
             "(x, y) -> cast(x as double) - y)"
         )
 

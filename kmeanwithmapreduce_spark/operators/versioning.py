@@ -85,7 +85,26 @@ def merge_changeset(
     returned frames' shared parent via ``changed.persist()`` semantics
     only if it needs to. Both frames are exactly the set-semantics
     results of the old derivation for unique-keyed inputs (same md5
-    digest discipline as snapshot_diff)."""
+    digest discipline as snapshot_diff).
+
+    Preconditions GUARDED here (round-13 ADVICE — they were documented
+    but unenforced): ``compare_cols`` + ``key_col`` must cover BOTH
+    schemas exactly — an uncovered column would make real changes
+    invisible to the digest — and key uniqueness (which the full-outer
+    join needs; duplicate keys would multiply rows) stays the caller's
+    contract, enforced downstream by upsert_table's _check_keys."""
+    need = {key_col, *compare_cols}
+    for side, df in (("old", old), ("new", new)):
+        extra = set(df.columns) - need
+        missing = need - set(df.columns)
+        if extra or missing:
+            raise ValueError(
+                f"merge_changeset: {side} schema {df.columns} does not "
+                f"match key_col+compare_cols {sorted(need)} "
+                f"(uncovered: {sorted(extra)}, missing: {sorted(missing)}) "
+                "— an uncovered column would make its changes invisible "
+                "to the digest"
+            )
     o = old.select(
         F.col(key_col).alias("k"), _digest(compare_cols).alias("oh")
     )

@@ -46,11 +46,19 @@ def ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # perf, not correctness (values identical with or without): stop
     # InferFiltersFromGenerate cloning heavy generator expressions into
-    # scan-stage predicates — see session.get_spark for the measurement
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    # scan-stage predicates — see session.get_spark for the measurement.
+    # APPEND to (never overwrite) any exclusions the session already
+    # carries — an externally-built session's own excluded rules must
+    # survive this call (round-13 ADVICE).
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        existing = None
+    rules = [r for r in (existing or "").split(",") if r.strip()]
+    if rule not in rules:
+        rules.append(rule)
+    spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     from ..session import ship_package
 
     ship_package(spark)

@@ -66,6 +66,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vector import quote_ident
 from .fsutil import hadoop, qualified, read_json, write_json
 
 STATS_FILE = "_file_stats.json"
@@ -624,7 +625,7 @@ def scan_bucketed_table(
     # the schema IN EFFECT at as_of (sources/table.py schema history):
     # files older than an added column NULL-fill it under the explicit
     # read schema, exactly like read_bucketed_table
-    schema = ", ".join(f"`{n}` {t}" for n, t in _schema_at(meta, as_of))
+    schema = ", ".join(f"{quote_ident(n)} {t}" for n, t in _schema_at(meta, as_of))
     keep: list[str] = []
     total = 0
     by_epoch: dict[int, list[str]] = {}

@@ -58,7 +58,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.ingest import _committed_epochs
-from .fsutil import hadoop, read_json, write_json
+from ..functions.vector import quote_ident
+from .fsutil import fs_exists, fs_list_names, hadoop, read_json, write_json
 
 _GC_LOG = "_gc_log.json"
 _CLAIMS_DIR = "_claims"
@@ -605,15 +606,12 @@ def _additive_change(
 def _bucketed_epochs(spark: SparkSession, table_path: str) -> list[int]:
     """Committed epochs of a BUCKETED table, ascending: an epoch is
     committed iff its _buckets.json landed (it is written after the
-    parquet data, atomically — the tmp+rename in fsutil)."""
-    jvm, jpath, fs = hadoop(spark, table_path)
-    if not fs.exists(jpath):
-        return []
+    parquet data, atomically — the tmp+rename in fsutil). Read-only
+    probes take fsutil's local fast path (round 14)."""
     out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if name.startswith("epoch=") and fs.exists(
-            jvm.org.apache.hadoop.fs.Path(st.getPath(), _BUCKETS_FILE)
+    for name in fs_list_names(spark, table_path):
+        if name.startswith("epoch=") and fs_exists(
+            spark, os.path.join(table_path, name, _BUCKETS_FILE)
         ):
             out.append(int(name.split("=", 1)[1]))
     return sorted(out)
@@ -650,12 +648,18 @@ def _resolve_buckets(
     resolved: dict[int, tuple[int, str | None]] = {}
     for ep in reversed(epochs):
         ep_dir = os.path.join(table_path, f"epoch={ep}")
-        jvm, _, fs = hadoop(spark, ep_dir)
+        # ONE listing per epoch dir answers every per-bucket existence
+        # probe (round 14): the old per-bucket fs.exists paid one
+        # round-trip per (bucket, epoch) — O(buckets) tiny metadata
+        # calls per read on every FS
+        present = {
+            n for n in fs_list_names(spark, ep_dir) if n.startswith("bucket=")
+        }
         for b in _epoch_listing(spark, table_path, ep):
             if b in resolved:
                 continue
             bdir = os.path.join(ep_dir, f"bucket={b}")
-            has_dir = fs.exists(jvm.org.apache.hadoop.fs.Path(bdir))
+            has_dir = f"bucket={b}" in present
             resolved[b] = (ep, bdir if has_dir else None)
     return resolved
 
@@ -714,16 +718,11 @@ def _bucket_shaped_epochs(spark: SparkSession, table_path: str) -> list[int]:
     epoch-0 write but before the meta commit leaves such a dir carrying
     a parquet ``_SUCCESS``, which the snapshot-epoch guard would
     otherwise misread as a foreign snapshot table (round-8 ADVICE)."""
-    jvm, jpath, fs = hadoop(spark, table_path)
-    if not fs.exists(jpath):
-        return []
     out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
+    for name in fs_list_names(spark, table_path):
         if not name.startswith("epoch="):
             continue
-        for sub in fs.listStatus(st.getPath()):
-            sname = sub.getPath().getName()
+        for sname in fs_list_names(spark, os.path.join(table_path, name)):
             if sname == _BUCKETS_FILE or sname.startswith("bucket="):
                 out.append(int(name.split("=", 1)[1]))
                 break
@@ -977,18 +976,25 @@ def upsert_table(
     try:
         changed = batch.select(key)
         if deletes is not None:
-            n_null = deletes.where(F.col(key).isNull()).count()
-            if n_null:
-                raise ValueError(
-                    f"{n_null} delete row(s) with NULL {key} — a NULL key "
-                    "identifies no row (and would produce a NULL bucket)"
-                )
-            changed = changed.union(deletes.select(key)).distinct()
+            changed = changed.union(deletes.select(key))
         bucket = _bucket_expr(key, n_buckets)
-        touched = sorted(
-            r[0]
-            for r in changed.select(bucket.alias("b")).distinct().collect()
-        )
+        # ONE job yields the touched buckets AND the NULL-delete guard
+        # (a per-group null-key count rides the same aggregation —
+        # xxhash64 ignores NULL inputs, so a NULL key hashes to a REAL
+        # bucket and must be flagged explicitly): the separate
+        # deletes.where(isNull).count() job is folded away (round 14,
+        # guide §1.2). NULL keys can only come from `deletes` — batch
+        # keys were just _check_keys-verified non-null.
+        groups = changed.groupBy(bucket.alias("b")).agg(
+            F.sum(F.col(key).isNull().cast("long")).alias("n_null")
+        ).collect()
+        n_null = sum(r["n_null"] for r in groups)
+        if n_null:
+            raise ValueError(
+                f"{n_null} delete row(s) with NULL {key} — a NULL key "
+                "identifies no row (and would produce a NULL bucket)"
+            )
+        touched = sorted(r["b"] for r in groups)
         if not touched:
             return done[-1]
         epoch = done[-1] + 1
@@ -1012,7 +1018,7 @@ def upsert_table(
         ]
         # prior buckets read under the (possibly evolved) CURRENT
         # schema: files written before an added column NULL-fill
-        schema = ", ".join(f"`{n}` {t}" for n, t in meta["columns"])
+        schema = ", ".join(f"{quote_ident(n)} {t}" for n, t in meta["columns"])
         prior = (
             spark.read.schema(schema).parquet(*prior_paths)
             if prior_paths
@@ -1059,7 +1065,7 @@ def read_bucketed_table(
         spark, table_path, _era_epochs(meta, [e for e in done if e <= as_of])
     )
     paths = sorted(p for _, p in resolved.values() if p is not None)
-    schema = ", ".join(f"`{n}` {t}" for n, t in _schema_at(meta, as_of))
+    schema = ", ".join(f"{quote_ident(n)} {t}" for n, t in _schema_at(meta, as_of))
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)

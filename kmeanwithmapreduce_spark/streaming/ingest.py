@@ -220,16 +220,15 @@ def read_accumulated_hll(spark, key_cols: list[str], sketch_path: str) -> DataFr
 
 
 def _committed_epochs(spark, dim_path: str) -> list[int]:
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(dim_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return []
+    # read-only probes via fsutil: local fast path (one os.listdir +
+    # one os.path.exists per epoch) when the table is on the local FS,
+    # Hadoop FS otherwise — round 14, the per-entry metadata fan-out
+    from ..sources.fsutil import fs_exists, fs_list_names
+
     out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if name.startswith("epoch=") and fs.exists(
-            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+    for name in fs_list_names(spark, dim_path):
+        if name.startswith("epoch=") and fs_exists(
+            spark, os.path.join(dim_path, name, "_SUCCESS")
         ):
             out.append(int(name.split("=", 1)[1]))
     return sorted(out)
