@@ -209,25 +209,27 @@ def _recover_commits(
     mid-rename — both resolve without us). Returns the epochs
     completed. Called at the top of every WRITE path; read paths stay
     mutation-free (an unrecovered dead commit is simply invisible)."""
-    jvm, _, fs = hadoop(spark, table_path)
-    jclaims = jvm.org.apache.hadoop.fs.Path(os.path.join(table_path, _CLAIMS_DIR))
-    if not fs.exists(jclaims):
+    claim_names = fs_list_names(
+        spark, os.path.join(table_path, _CLAIMS_DIR)
+    )  # read-only probe: local fast path (round 14)
+    if not claim_names:
         return []
+    jvm, _, fs = hadoop(spark, table_path)
     done = set(committed)
     completed: list[int] = []
-    for st in fs.listStatus(jclaims):
-        name = st.getPath().getName()
+    for name in sorted(claim_names):
         if not (name.startswith("epoch=") and name.endswith(".json")):
             continue
         ep = int(name[len("epoch=") : -len(".json")])
         if ep in done:
             continue
+        jclaim = jvm.org.apache.hadoop.fs.Path(_claim_file(table_path, ep))
         claim = read_json(spark, _claim_file(table_path, ep))
         if claim is None:
             # torn LEGACY claim (pre-put-if-absent protocol: created,
             # never written). Its content can never land, and at the
             # head epoch it would wedge every future write — remove it.
-            fs.delete(st.getPath(), False)
+            fs.delete(jclaim, False)
             continue
         token = claim.get("staged")
         if not token:
@@ -249,7 +251,7 @@ def _recover_commits(
             # strictly precedes claiming, and rename is atomic (there
             # is no healthy instant with both dirs absent).
             if not fs.exists(jep):
-                fs.delete(st.getPath(), False)
+                fs.delete(jclaim, False)
             continue
         # a leftover target dir is deletable only while UNCOMMITTED —
         # if the marker appeared, the owner just finished; stand down
@@ -968,32 +970,53 @@ def upsert_table(
                 )
                 + hint
             )
-    _check_keys(batch, key)
-
     from pyspark.sql import functions as F
 
     batch = batch.persist()
     try:
-        changed = batch.select(key)
+        changed = batch.select(key, F.lit(1).alias("_is_batch"))
         if deletes is not None:
-            changed = changed.union(deletes.select(key))
+            changed = changed.union(
+                deletes.select(key, F.lit(0).alias("_is_batch"))
+            )
         bucket = _bucket_expr(key, n_buckets)
-        # ONE job yields the touched buckets AND the NULL-delete guard
-        # (a per-group null-key count rides the same aggregation —
-        # xxhash64 ignores NULL inputs, so a NULL key hashes to a REAL
-        # bucket and must be flagged explicitly): the separate
-        # deletes.where(isNull).count() job is folded away (round 14,
-        # guide §1.2). NULL keys can only come from `deletes` — batch
-        # keys were just _check_keys-verified non-null.
+        # ONE job yields the touched buckets AND every pre-write guard
+        # (round 14, guide §1.2 — the old shape paid THREE full passes:
+        # _check_keys on the batch, deletes.where(isNull).count(), and
+        # the touched-bucket distinct): per (bucket, side) this
+        # aggregation carries null-key counts (explicit — xxhash64
+        # ignores NULL inputs, so a NULL key hashes to a REAL bucket),
+        # and batch-key uniqueness as count vs count_distinct per
+        # bucket (a key hashes to exactly one bucket, so per-bucket
+        # equality sums to the global uniqueness check _check_keys
+        # made). This is also the job that fills the batch persist —
+        # the batch is computed once, not twice.
+        isb = F.col("_is_batch") == 1
         groups = changed.groupBy(bucket.alias("b")).agg(
-            F.sum(F.col(key).isNull().cast("long")).alias("n_null")
+            F.sum((isb & F.col(key).isNull()).cast("long")).alias("bn"),
+            F.sum(((~isb) & F.col(key).isNull()).cast("long")).alias("dn"),
+            F.count(F.when(isb, 1)).alias("nb"),
+            F.count_distinct(F.when(isb, F.col(key))).alias("db"),
         ).collect()
-        n_null = sum(r["n_null"] for r in groups)
-        if n_null:
+        batch_null = sum(r["bn"] for r in groups)
+        if batch_null:
             raise ValueError(
-                f"{n_null} delete row(s) with NULL {key} — a NULL key "
+                f"{batch_null} row(s) with NULL {key} — the MERGE key"
+            )
+        n_batch = sum(r["nb"] for r in groups)
+        d_batch = sum(r["db"] for r in groups)
+        if n_batch != d_batch:
+            raise ValueError(
+                f"duplicate {key} values ({n_batch} rows, {d_batch} "
+                "distinct) — upsert identity must be unique"
+            )
+        del_null = sum(r["dn"] for r in groups)
+        if del_null:
+            raise ValueError(
+                f"{del_null} delete row(s) with NULL {key} — a NULL key "
                 "identifies no row (and would produce a NULL bucket)"
             )
+        changed = changed.select(key)
         touched = sorted(r["b"] for r in groups)
         if not touched:
             return done[-1]
