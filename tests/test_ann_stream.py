@@ -112,6 +112,7 @@ def test_restart_is_exactly_once(spark, sf_dir, tmp_path):
     assert idx.codes().count() == len(before) + b3.count()
 
 
+@pytest.mark.exhaustive  # twin: test_stream_marts.py::test_streaming_mart_foreign_checkpoint_refused — same ident-marker refusal mechanism
 def test_fresh_checkpoint_is_refused(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src")
     base, *_ = _split_vectors(spark, sf_dir, src)

@@ -322,6 +322,7 @@ def test_wave_schema_drift_refused_and_read_schema_explicit(spark, tmp_path):
 # a versioned snapshot with chained lineage.
 
 
+@pytest.mark.exhaustive  # twin: test_three_waves_equal_batch_over_union_sf — same waves==batch parity, this adds the global-knob superset
 def test_waves_plus_release_equal_batch_with_global_knobs(spark, sf_dir, tmp_path):
     from kmeanwithmapreduce_spark.operators.corpus_incremental import (
         release_corpus,

@@ -95,6 +95,7 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     )
 
 
+@pytest.mark.exhaustive  # twin: test_stream_marts.py::test_streaming_mart_foreign_checkpoint_refused — same _stream_ident guard (streaming/marts.py), this surface only wraps it
 def test_foreign_checkpoint_refused(spark, tmp_path):
     src = _two_file_source(spark, tmp_path)
     corpus = str(tmp_path / "corpus")

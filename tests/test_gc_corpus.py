@@ -37,6 +37,7 @@ def _wave(i):
     ]
 
 
+@pytest.mark.exhaustive  # twins: test_gc_corpus_applies_to_mart_state + the per-layout gc tests in test_table.py/test_table_bucketed.py
 def test_gc_corpus_one_policy_across_layouts(spark, tmp_path):
     root = str(tmp_path / "corpus")
     spark_rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731

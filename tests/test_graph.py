@@ -68,6 +68,7 @@ def test_pagerank_mass_conserved_with_dangling_sink(spark):
     release_components(res)
 
 
+@pytest.mark.exhaustive  # twins: test_pagerank_matches_numpy_reference + test_pagerank_mass_conserved_with_dangling_sink
 def test_pagerank_converges_early_and_ranks_sensibly(spark):
     """tol stops the loop; node 3 (most in-links incl. from the hub 1)
     must outrank the in-degree-0 node 6."""

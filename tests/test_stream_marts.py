@@ -139,6 +139,7 @@ def _two_batches(spark, tmp_path, rows1, rows2,
     return src
 
 
+@pytest.mark.exhaustive  # twin: test_streaming_mart_equals_batch (same parity) + the unix_micros sub-second discipline pinned in test_temporal.py
 def test_streaming_mart_subsecond_gap_parity(spark, tmp_path):
     """ADVICE r6 (medium): a true cross-epoch gap of 1800.2s whose
     SECOND-TRUNCATED gap is exactly 1800s. sessionize_plain merges
